@@ -1,0 +1,90 @@
+"""Device-resident image buffer.
+
+Re-design of OpBuffer (/root/reference/src/buffer.rs:4-114). The reference is
+an interleaved host Vec<f32> with rayon row-parallel mutation helpers; here a
+buffer is an immutable `jax.Array` shaped [H, W, C] living in HBM, and the
+"parallel map" helpers disappear entirely -- ops are pure jnp functions whose
+elementwise work XLA fuses and vectorizes across the VPU lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["OpBuffer", "from_rgb_str_vec"]
+
+
+@dataclasses.dataclass(frozen=True)
+class OpBuffer:
+    """width x height x colors f32 image plane(s) plus the monochrome flag.
+
+    colors is in {1, 3, 4} like the reference; data is [height, width, colors]
+    float32 on the default device.
+    """
+
+    width: int
+    height: int
+    colors: int
+    monochrome: bool
+    data: jnp.ndarray  # [height, width, colors] f32
+
+    @staticmethod
+    def default() -> "OpBuffer":
+        return OpBuffer(0, 0, 0, False, jnp.zeros((0, 0, 0), jnp.float32))
+
+    @staticmethod
+    def new(width: int, height: int, colors: int, monochrome: bool) -> "OpBuffer":
+        return OpBuffer(width, height, colors, monochrome,
+                        jnp.zeros((height, width, colors), jnp.float32))
+
+    def with_data(self, data: jnp.ndarray, colors: int | None = None,
+                  width: int | None = None, height: int | None = None,
+                  monochrome: bool | None = None) -> "OpBuffer":
+        h, w, c = data.shape
+        return OpBuffer(
+            width if width is not None else w,
+            height if height is not None else h,
+            colors if colors is not None else c,
+            self.monochrome if monochrome is None else monochrome,
+            data,
+        )
+
+    def nbytes(self) -> int:
+        return self.width * self.height * self.colors * 4
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, OpBuffer):
+            return NotImplemented
+        return (
+            self.width == other.width
+            and self.height == other.height
+            and self.colors == other.colors
+            and self.monochrome == other.monochrome
+            and bool(np.array_equal(self.to_numpy(), other.to_numpy()))
+        )
+
+
+def from_rgb_str_vec(rows: list[str]) -> OpBuffer:
+    """ASCII-art test fixture constructor (buffer.rs:82-113): 'R'/'G'/'B'/'O'
+    (white) / ' ' (black) characters -> a 3-channel buffer."""
+    width = len(rows[0])
+    height = len(rows)
+    lut = {
+        "R": (1.0, 0.0, 0.0),
+        "G": (0.0, 1.0, 0.0),
+        "B": (0.0, 0.0, 1.0),
+        "O": (1.0, 1.0, 1.0),
+        " ": (0.0, 0.0, 0.0),
+    }
+    data = np.zeros((height, width, 3), dtype=np.float32)
+    for y, row in enumerate(rows):
+        assert len(row) == width, "ragged fixture rows"
+        for x, ch in enumerate(row):
+            data[y, x] = lut[ch]
+    return OpBuffer(width, height, 3, False, jnp.asarray(data))

@@ -1,0 +1,236 @@
+"""Geometry engine: size planning (host) and the windowed resampler (device).
+
+Re-design of /root/reference/src/scaling.rs. The reference walks each
+destination pixel's source window in scalar Rust with rayon rows; here the
+same math runs as a vectorized gather loop on the TPU: all destination pixels
+advance through their windows in lockstep (one [nh, nw] gather per window
+offset, `lax.fori_loop` over the statically-bounded window size), which keeps
+shapes static for XLA while reproducing the reference's exact weighting
+(paraboloid low-pass, scaling.rs:104-107) and f32 index arithmetic.
+
+Host-side size planning (calculate_scaling_total, scaling.rs:8-32) replicates
+the reference's f32 divisions and truncations so planned sizes agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .buffer import OpBuffer
+
+__all__ = [
+    "calculate_scaling_total", "scaling_size", "calculate_scale",
+    "transform_buffer", "scaled_demosaic", "scale_down_opbuf",
+    "scale_down_srgb", "scale_down_srgb16",
+]
+
+_f32 = np.float32
+
+
+def calculate_scaling_total(width: int, height: int, maxwidth: int, maxheight: int):
+    """Aspect-preserving fit that never upscales (scaling.rs:8-23). All the
+    arithmetic is float32 to match the reference bit-for-bit."""
+    if maxwidth == 0 and maxheight == 0:
+        return (1.0, width, height)
+    xscale = _f32(1.0) if maxwidth == 0 else _f32(_f32(width) / _f32(maxwidth))
+    yscale = _f32(1.0) if maxheight == 0 else _f32(_f32(height) / _f32(maxheight))
+    if yscale <= 1.0 and xscale <= 1.0:
+        return (1.0, width, height)
+    elif yscale > xscale:
+        return (float(yscale), int(_f32(width) / yscale), maxheight)
+    else:
+        return (float(xscale), maxwidth, int(_f32(height) / xscale))
+
+
+def scaling_size(width: int, height: int, maxwidth: int, maxheight: int):
+    _, w, h = calculate_scaling_total(width, height, maxwidth, maxheight)
+    return (w, h)
+
+
+def calculate_scale(width: int, height: int, maxwidth: int, maxheight: int) -> float:
+    return calculate_scaling_total(width, height, maxwidth, maxheight)[0]
+
+
+# ---------------------------------------------------------------------------
+# The resampler (transform_buffer, scaling.rs:51-130).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "topleft", "topright", "bottomleft",
+    "nwidth", "nheight", "components", "cfa_key", "out_dtype"))
+def _transform_impl(src, cfa_tile, *, width, height, topleft, topright, bottomleft,
+                    nwidth, nheight, components, cfa_key, out_dtype):
+    """src: [height, width, C] f32 (C=1 in CFA mode). Returns
+    [nheight, nwidth, components] of out_dtype.
+
+    cfa_key is only a jit cache key for the (device-resident) cfa_tile; None
+    means plain multi-channel resampling.
+    """
+    f = jnp.float32
+    tl0, tl1 = _f32(topleft[0]), _f32(topleft[1])
+    tr0, tr1 = _f32(topright[0]), _f32(topright[1])
+    bl0, bl1 = _f32(bottomleft[0]), _f32(bottomleft[1])
+
+    # Per-axis skips (scaling.rs:69-72); f32 division, inf when n == 1.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skip_x_x = _f32((tr0 - tl0) / _f32(nwidth - 1))
+        skip_x_y = _f32((tr1 - tl1) / _f32(nwidth - 1))
+        skip_y_x = _f32((bl0 - tl0) / _f32(nheight - 1))
+        skip_y_y = _f32((bl1 - tl1) / _f32(nheight - 1))
+
+    # Row-level terms (scaling.rs:77-82) and the per-column products
+    # (scaling.rs:84-89) are precomputed host-side as 1-D numpy f32 arrays:
+    # the reference rounds the product skip*index to f32 BEFORE adding, and
+    # XLA would otherwise contract `base + skip*index` into an FMA whose
+    # single rounding can floor() to a different source pixel at exact
+    # integer window boundaries. With the products baked as constants the
+    # device graph has a single add feeding floor -- nothing to contract.
+    rows_np = np.arange(nheight, dtype=_f32)
+    cols_np = np.arange(nwidth, dtype=_f32)
+    with np.errstate(invalid="ignore"):
+        from_x_row = jnp.asarray(tl0 + skip_y_x * rows_np)[:, None]
+        to_x_row = jnp.asarray(tl0 + skip_y_x * (rows_np + _f32(1.0)))[:, None]
+        from_y_row = jnp.asarray(tl1 + skip_y_y * rows_np)[:, None]
+        to_y_row = jnp.asarray(tl1 + skip_y_y * (rows_np + _f32(1.0)))[:, None]
+        fx_col = jnp.asarray(skip_x_x * cols_np)[None, :]
+        tx_col = jnp.asarray(skip_x_x * (cols_np + _f32(1.0)))[None, :]
+        fy_col = jnp.asarray(skip_x_y * cols_np)[None, :]
+        ty_col = jnp.asarray(skip_x_y * (cols_np + _f32(1.0)))[None, :]
+        center_x_row = jnp.asarray(tl0 + skip_y_x * rows_np + (skip_y_x / _f32(2.0)) - _f32(0.5))[:, None]
+        center_y_row = jnp.asarray(tl1 + skip_y_y * rows_np + (skip_y_y / _f32(2.0)) - _f32(0.5))[:, None]
+        cx_col = jnp.asarray(skip_x_x * cols_np + (skip_x_x / _f32(2.0)))[None, :]
+        cy_col = jnp.asarray(skip_x_y * cols_np + (skip_x_y / _f32(2.0)))[None, :]
+
+    def sat_idx(v, maxv):
+        # Rust `value.floor() as usize` saturates negatives (and NaN) to 0,
+        # then cmp::min(maxv, .) (scaling.rs:84-87).
+        v = jnp.where(jnp.isnan(v), 0.0, v)
+        return jnp.minimum(jnp.maximum(jnp.floor(v), 0.0), _f32(maxv)).astype(jnp.int32)
+
+    from_x = sat_idx(from_x_row + fx_col, width - 1)       # [nh,nw]
+    to_x = sat_idx(to_x_row + tx_col, width - 1)
+    from_y = sat_idx(from_y_row + fy_col, height - 1)
+    to_y = sat_idx(to_y_row + ty_col, height - 1)
+    center_x = center_x_row + cx_col
+    center_y = center_y_row + cy_col
+
+    # Static window bound: every dest pixel's window fits in K_y x K_x.
+    def bound(a, b):
+        s = (0.0 if not math.isfinite(float(a)) else abs(float(a))) + (
+            0.0 if not math.isfinite(float(b)) else abs(float(b)))
+        return max(1, min(int(math.ceil(s)) + 2, max(width, height)))
+
+    K_x = bound(skip_x_x, skip_y_x)
+    K_y = bound(skip_x_y, skip_y_y)
+
+    cfa_mode = cfa_key is not None
+    nsum = 4 if cfa_mode else components
+    sums0 = jnp.zeros((nheight, nwidth, nsum), f)
+    counts0 = jnp.zeros((nheight, nwidth, nsum if cfa_mode else 1), f)
+
+    def body(k, acc):
+        sums, counts = acc
+        ky = k // K_x
+        kx = k % K_x
+        y = from_y + ky
+        x = from_x + kx
+        valid = (y <= to_y) & (x <= to_x)
+        yc = jnp.minimum(y, height - 1)
+        xc = jnp.minimum(x, width - 1)
+        # Weight = max(0, 1 - dx^2 - dy^2) (scaling.rs:104-107); the explicit
+        # `where(f < 0)` preserves the reference's NaN pass-through.
+        # True f32 division (not reciprocal-multiply) to match scaling.rs:104-105.
+        delta_x = (x.astype(f) - center_x) / skip_x_x
+        delta_y = (y.astype(f) - center_y) / skip_y_y
+        factor = 1.0 - delta_x * delta_x - delta_y * delta_y
+        factor = jnp.where(factor < 0.0, 0.0, factor)
+        w = jnp.where(valid, factor, 0.0)
+
+        if cfa_mode:
+            val = src[yc, xc, 0]                                # [nh,nw]
+            color = cfa_tile[yc % 48, xc % 48].astype(jnp.int32)  # [nh,nw]
+            onehot = (color[..., None] == jnp.arange(4, dtype=jnp.int32))
+            contrib = jnp.where(onehot, (val * w)[..., None], 0.0)
+            wcount = jnp.where(onehot, w[..., None], 0.0)
+            return sums + contrib, counts + wcount
+        else:
+            val = src[yc, xc, :]                                # [nh,nw,C]
+            return sums + val * w[..., None], counts + w[..., None]
+
+    sums, counts = jax.lax.fori_loop(0, K_x * K_y, body, (sums0, counts0))
+    out = jnp.where(counts > 0.0, sums / counts, 0.0)
+    if not cfa_mode and components != out.shape[-1]:
+        out = out[..., :components]
+    if out_dtype == jnp.float32:
+        return out
+    # Integer outputs truncate-and-saturate like Rust `as` (num-traits
+    # AsPrimitive used at scaling.rs:124).
+    info = jnp.iinfo(out_dtype)
+    return jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
+
+
+def transform_buffer(src, width, height, topleft, topright, bottomleft,
+                     nwidth, nheight, components, cfa=None, out_dtype=jnp.float32):
+    """General inverse-mapped affine resampler (scaling.rs:51-130).
+
+    src: [height, width, C] device array (f32; integer srgb inputs are cast
+    in by the wrappers). cfa: optional CFA whose pattern makes accumulation
+    color-aware (the fused demosaic-downscale path).
+    """
+    if cfa is not None:
+        cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
+        cfa_key = cfa.name
+    else:
+        cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
+        cfa_key = None
+    return _transform_impl(
+        src, cfa_tile,
+        width=int(width), height=int(height),
+        topleft=(int(topleft[0]), int(topleft[1])),
+        topright=(int(topright[0]), int(topright[1])),
+        bottomleft=(int(bottomleft[0]), int(bottomleft[1])),
+        nwidth=int(nwidth), nheight=int(nheight),
+        components=int(components), cfa_key=cfa_key, out_dtype=out_dtype)
+
+
+def _scale_down(src, width, height, nwidth, nheight, components, cfa=None,
+                out_dtype=jnp.float32):
+    return transform_buffer(
+        src, width, height, (0, 0), (width - 1, 0), (0, height - 1),
+        nwidth, nheight, components, cfa, out_dtype)
+
+
+def scaled_demosaic(cfa, buf: OpBuffer, nwidth: int, nheight: int) -> OpBuffer:
+    """Demosaic fused with downscale in one pass (scaling.rs:132-145): each
+    output pixel averages the CFA-aware source window -- the key trick that
+    avoids materializing full-res RGB for thumbnail renders (HBM budget)."""
+    assert buf.colors == 1
+    data = _scale_down(buf.data, buf.width, buf.height, nwidth, nheight, 4, cfa)
+    return OpBuffer(nwidth, nheight, 4, buf.monochrome, data)
+
+
+def scale_down_opbuf(buf: OpBuffer, nwidth: int, nheight: int) -> OpBuffer:
+    """Plain 4-channel downscale (scaling.rs:147-160)."""
+    assert buf.colors == 4
+    data = _scale_down(buf.data, buf.width, buf.height, nwidth, nheight, 4)
+    return OpBuffer(nwidth, nheight, 4, buf.monochrome, data)
+
+
+def scale_down_srgb(data, nwidth: int, nheight: int):
+    """u8 interleaved sRGB downscale (scaling.rs:162-171); fastpath resize."""
+    h, w, _ = data.shape
+    src = jnp.asarray(data).astype(jnp.float32)
+    return _scale_down(src, w, h, nwidth, nheight, 3, out_dtype=jnp.uint8)
+
+
+def scale_down_srgb16(data, nwidth: int, nheight: int):
+    """u16 interleaved sRGB downscale (scaling.rs:173-182)."""
+    h, w, _ = data.shape
+    src = jnp.asarray(data).astype(jnp.float32)
+    return _scale_down(src, w, h, nwidth, nheight, 3, out_dtype=jnp.uint16)

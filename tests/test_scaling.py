@@ -1,0 +1,92 @@
+"""Resampler and size-planning tests.
+
+Device kernels are cross-checked against the scalar oracle (tests/oracle.py)
+on small images; size math mirrors scaling.rs:8-32 and its no-op test
+(scaling.rs:184-204).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from imagepipe_tpu import scaling
+from imagepipe_tpu.buffer import OpBuffer
+from imagepipe_tpu.raw import CFA
+
+import oracle
+
+
+def test_scaling_size_basics():
+    assert scaling.scaling_size(128, 64, 0, 0) == (128, 64)
+    assert scaling.scaling_size(128, 64, 256, 0) == (128, 64)  # no upscale
+    assert scaling.scaling_size(128, 64, 64, 0) == (64, 32)
+    assert scaling.scaling_size(128, 64, 0, 32) == (64, 32)
+    assert scaling.scaling_size(4000, 6000, 1000, 1000) == (666, 1000)
+
+
+def test_scaling_noop_identity():
+    # scaling.rs:188-203: same-size scale is the identity (u16 path).
+    w = h = 150
+    data = np.arange(w * h * 3, dtype=np.uint16).reshape(h, w, 3) % 65535
+    out = np.asarray(scaling.scale_down_srgb16(data, w, h))
+    np.testing.assert_array_equal(out, data)
+
+
+def _rand_buf(rng, w, h, c):
+    data = rng.random((h, w, c), dtype=np.float32)
+    return OpBuffer(w, h, c, False, jnp.asarray(data)), data
+
+
+def test_scale_down_matches_oracle():
+    rng = np.random.default_rng(42)
+    for (w, h, nw, nh) in [(64, 48, 31, 23), (64, 48, 64, 48), (33, 57, 8, 14), (40, 40, 39, 40)]:
+        buf, data = _rand_buf(rng, w, h, 4)
+        got = np.asarray(scaling.scale_down_opbuf(buf, nw, nh).data)
+        want = oracle.transform_buffer(
+            data.ravel(), w, h, (0, 0), (w - 1, 0), (0, h - 1), nw, nh, 4
+        ).reshape(nh, nw, 4)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_scaled_demosaic_matches_oracle():
+    rng = np.random.default_rng(7)
+    for cfa_name in ["RGGB", "GBGGRGRGRBGBGBGGRGRGRBGBGBGGRGGRGGBG"]:
+        cfa = CFA(cfa_name)
+        w, h, nw, nh = 48, 36, 12, 9
+        plane = rng.random((h, w), dtype=np.float32)
+        buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[..., None]))
+        got = np.asarray(scaling.scaled_demosaic(cfa, buf, nw, nh).data)
+        want = oracle.transform_buffer(
+            plane.ravel(), w, h, (0, 0), (w - 1, 0), (0, h - 1), nw, nh, 4, cfa
+        ).reshape(nh, nw, 4)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_affine_transform_matches_oracle():
+    """Rotated-corner resampling (the rotatecrop path) against the oracle."""
+    rng = np.random.default_rng(3)
+    w, h = 50, 40
+    buf, data = _rand_buf(rng, w, h, 3)
+    # Corner triple for a mild rotation, as rotate_point_reverse would give.
+    topleft, topright, bottomleft = (5, 2), (44, 12), (-3, 33)
+    nw, nh = 37, 29
+    got = np.asarray(scaling.transform_buffer(
+        buf.data, w, h, topleft, topright, bottomleft, nw, nh, 3))
+    want = oracle.transform_buffer(
+        data.ravel(), w, h, topleft, topright, bottomleft, nw, nh, 3
+    ).reshape(nh, nw, 3)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_srgb8_downscale_matches_oracle_quantized():
+    rng = np.random.default_rng(9)
+    w, h, nw, nh = 64, 48, 20, 15
+    data = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got = np.asarray(scaling.scale_down_srgb(data, nw, nh))
+    want_f = oracle.transform_buffer(
+        data.astype(np.float32).ravel(), w, h, (0, 0), (w - 1, 0), (0, h - 1), nw, nh, 3
+    ).reshape(nh, nw, 3)
+    want = np.clip(np.trunc(want_f), 0, 255).astype(np.uint8)
+    # f32 summation-order differences may move a value across the truncation
+    # edge; allow 1 LSB there.
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert (got != want).mean() < 0.02

@@ -1,0 +1,130 @@
+"""File decoding: RAW formats first, raster fallback.
+
+Equivalent of the L0 decode layer (SURVEY.md section 2.4; call site
+/root/reference/src/pipeline.rs:262-272: rawloader::decode_file, falling
+back to image::open). Camera RAW parsing is pluggable: decoders register via
+`register_raw_decoder`; built-ins cover the framework's own .synraw.npz
+container (synthetic RAW round-trips for tests/benchmarks) and 16-bit
+binary PGM (a common intermediate for sensor dumps). Raster formats decode
+through PIL.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from .raw import CFA, Orientation, RawImage
+from .sources import ImageSource
+
+__all__ = ["decode_file", "register_raw_decoder", "save_synraw", "load_synraw"]
+
+_RAW_DECODERS: list[Callable[[str], Optional[RawImage]]] = []
+
+
+def register_raw_decoder(fn: Callable[[str], Optional[RawImage]]) -> None:
+    """Register a camera-RAW decoder: fn(path) -> RawImage or None."""
+    _RAW_DECODERS.append(fn)
+
+
+def save_synraw(path: str, raw: RawImage) -> None:
+    """Persist a RawImage to the .synraw.npz container."""
+    np.savez_compressed(
+        path,
+        data=raw.data,
+        width=raw.width, height=raw.height, cpp=raw.cpp,
+        crops=np.asarray(raw.crops, np.int64),
+        blacklevels=np.asarray(raw.blacklevels, np.int64),
+        whitelevels=np.asarray(raw.whitelevels, np.int64),
+        wb_coeffs=np.asarray(raw.wb_coeffs, np.float32),
+        xyz_to_cam=raw.xyz_to_cam,
+        orientation=raw.orientation.value,
+        cfa=raw.cfa.name,
+        make=raw.make, model=raw.model,
+    )
+
+
+def load_synraw(path: str) -> RawImage:
+    z = np.load(path, allow_pickle=False)
+    return RawImage(
+        width=int(z["width"]), height=int(z["height"]), cpp=int(z["cpp"]),
+        crops=tuple(int(v) for v in z["crops"]),
+        blacklevels=tuple(int(v) for v in z["blacklevels"]),
+        whitelevels=tuple(int(v) for v in z["whitelevels"]),
+        wb_coeffs=tuple(float(v) for v in z["wb_coeffs"]),
+        xyz_to_cam=z["xyz_to_cam"],
+        orientation=Orientation(str(z["orientation"])),
+        cfa=CFA(str(z["cfa"])),
+        data=z["data"],
+        make=str(z["make"]), model=str(z["model"]),
+    )
+
+
+def _decode_synraw(path: str) -> Optional[RawImage]:
+    if path.endswith(".synraw.npz") or path.endswith(".synraw"):
+        return load_synraw(path)
+    return None
+
+
+def _decode_pgm16(path: str) -> Optional[RawImage]:
+    """16-bit binary PGM (P5) as a Bayer RGGB sensor dump with full-range
+    levels -- handy for interchange with dcraw -D -4 output."""
+    if not path.lower().endswith(".pgm"):
+        return None
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"P5":
+            return None
+        vals = []
+        while len(vals) < 3:
+            line = f.readline()
+            if line.startswith(b"#"):
+                continue
+            vals.extend(int(t) for t in line.split())
+        width, height, maxval = vals[:3]
+        count = width * height
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        data = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype, count=count)
+        data = data.astype(np.uint16).reshape(height, width)
+    return RawImage(
+        width=width, height=height, cpp=1,
+        crops=(0, 0, 0, 0),
+        blacklevels=(0, 0, 0, 0),
+        whitelevels=(maxval,) * 4,
+        wb_coeffs=(float("nan"),) * 4,
+        xyz_to_cam=np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                             [0.0, 0.0, 1.0], [0.0, 0.0, 0.0]], np.float32),
+        orientation=Orientation.Normal,
+        cfa=CFA("RGGB"),
+        data=data,
+    )
+
+
+_RAW_DECODERS.extend([_decode_synraw, _decode_pgm16])
+
+
+def decode_file(path) -> ImageSource:
+    """RAW decoders in registration order, then PIL raster fallback
+    (matches pipeline.rs:262-272 behavior)."""
+    path = os.fspath(path)
+    for dec in _RAW_DECODERS:
+        try:
+            raw = dec(path)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            raw = None
+        if raw is not None:
+            return ImageSource.from_raw(raw)
+    try:
+        from PIL import Image
+
+        img = Image.open(path)
+        img.load()
+        return ImageSource.from_raster(img)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise ValueError(f"imagepipe: Don't know how to decode image {path!r}") from e

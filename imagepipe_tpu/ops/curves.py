@@ -1,0 +1,57 @@
+"""Stage 5: tone curve on the L channel.
+
+Re-design of OpBaseCurve (/root/reference/src/ops/curves.rs:5-56): spline
+coefficients computed host-side, evaluation fused into the device chain.
+Exposure scales each control point's y by 2^exposure before fitting.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .base import ImageOp
+from ..buffer import OpBuffer
+from ..hasher import pack_f32, pack_pairs
+from ..sources import ImageSource
+from ..spline import SplineFunc
+
+__all__ = ["OpBaseCurve"]
+
+
+class OpBaseCurve(ImageOp):
+    NAME = "basecurve"
+
+    def __init__(self, img: ImageSource):
+        self.exposure = 0.0
+        if img.is_raw:
+            # Default slope from linear raw toward a natural look
+            # (curves.rs:14-19).
+            self.points = [(0.50, 0.60)]
+        else:
+            self.points = []
+
+    def serialize_binary(self) -> bytes:
+        return pack_f32(self.exposure) + pack_pairs(self.points)
+
+    def to_settings_dict(self) -> dict:
+        return {"exposure": float(self.exposure),
+                "points": [[float(a), float(b)] for a, b in self.points]}
+
+    def load_settings_dict(self, d: dict) -> None:
+        self.exposure = float(d["exposure"])
+        self.points = [(float(a), float(b)) for a, b in d["points"]]
+
+    def get_spline(self) -> SplineFunc:
+        return SplineFunc(self.points)
+
+    def run(self, globals_, buf: OpBuffer) -> OpBuffer:
+        if len(self.points) == 0 and abs(self.exposure) < 0.001:
+            return buf
+        scale = math.pow(2.0, self.exposure)
+        final_points = [(x, y * scale) for (x, y) in self.points]
+        func = SplineFunc(final_points)
+        data = buf.data.at[..., 0].set(func.interpolate(buf.data[..., 0]))
+        return buf.with_data(data)

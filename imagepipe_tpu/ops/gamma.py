@@ -1,0 +1,45 @@
+"""Stage 7: sRGB gamma encode.
+
+Re-design of OpGamma (/root/reference/src/ops/gamma.rs): clamp to [0,1] then
+apply the gamma LUT on every channel; skipped entirely for linear 16-bit
+output (gamma.rs:17-18).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .base import ImageOp
+from ..buffer import OpBuffer
+from ..color import apply_srgb_gamma
+from ..sources import ImageSource
+
+__all__ = ["OpGamma"]
+
+import jax.numpy as jnp
+
+
+@jax.jit
+def _gamma_kernel(data):
+    return apply_srgb_gamma(jnp.clip(data, 0.0, 1.0))
+
+
+class OpGamma(ImageOp):
+    NAME = "gamma"
+
+    def __init__(self, img: ImageSource | None = None):
+        pass
+
+    def serialize_binary(self) -> bytes:
+        return b""
+
+    def to_settings_dict(self) -> dict:
+        return {}
+
+    def load_settings_dict(self, d: dict) -> None:
+        pass
+
+    def run(self, globals_, buf: OpBuffer) -> OpBuffer:
+        if globals_.settings.linear:
+            return buf
+        return buf.with_data(_gamma_kernel(buf.data))

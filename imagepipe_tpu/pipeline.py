@@ -1,0 +1,289 @@
+"""Pipeline orchestrator: size planning, hash chain, stage cache, execution.
+
+Re-design of /root/reference/src/pipeline.rs. The planner is host Python
+(pure integer/f32 arithmetic); execution dispatches per-stage jitted device
+programs whose outputs stay HBM-resident. The chained hashing protocol is
+identical to the reference (settings first, then each op's name+fields,
+pipeline.rs:341-361) so editing op k invalidates exactly stages >= k, and a
+cache probe resumes from the deepest valid stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from contextlib import contextmanager
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+
+from .buffer import OpBuffer
+from .cache import MultiCache
+from .color import output8bit, output16bit
+from .hasher import BufHasher, pack_u64, pack_bool
+from .sources import ImageSource, RasterImage
+from . import scaling
+from .ops import gofloat, demosaic, rotatecrop, colorspaces, curves, gamma, transform
+
+__all__ = [
+    "SRGBImage", "SRGBImage16", "PipelineSettings", "PipelineGlobals",
+    "PipelineOps", "Pipeline", "PipelineCache", "SERIAL_VERSION",
+]
+
+log = logging.getLogger("imagepipe_tpu")
+
+SERIAL_VERSION = 0
+
+PipelineCache = MultiCache
+
+
+@contextmanager
+def _timing(name: str):
+    """Per-stage wall timing like do_timing! (pipeline.rs:68-80). Device
+    dispatch is async; timings bracket block_until_ready at stage exits when
+    the DEBUG log level is enabled, else they only measure dispatch."""
+    start = time.perf_counter()
+    yield
+    ms = (time.perf_counter() - start) * 1000.0
+    log.info("timing: %7.1f ms for |%s", ms, name)
+
+
+@dataclasses.dataclass
+class SRGBImage:
+    """Final 8-bit output: [height, width, 3] uint8 (pipeline.rs:25-30)."""
+    width: int
+    height: int
+    data: np.ndarray
+
+
+@dataclasses.dataclass
+class SRGBImage16:
+    """Final 16-bit output: [height, width, 3] uint16 (pipeline.rs:36-41)."""
+    width: int
+    height: int
+    data: np.ndarray
+
+
+@dataclasses.dataclass
+class PipelineSettings:
+    """Global knobs (pipeline.rs:110-131); all hashed into the op chain."""
+    maxwidth: int = 0
+    maxheight: int = 0
+    demosaic_width: int = 0
+    demosaic_height: int = 0
+    linear: bool = False
+    use_fastpath: bool = True
+
+    def serialize_binary(self) -> bytes:
+        return (pack_u64(self.maxwidth) + pack_u64(self.maxheight)
+                + pack_u64(self.demosaic_width) + pack_u64(self.demosaic_height)
+                + pack_bool(self.linear) + pack_bool(self.use_fastpath))
+
+    def hash(self, hasher: BufHasher) -> None:
+        hasher.from_serialize(self)
+
+
+@dataclasses.dataclass
+class PipelineGlobals:
+    image: ImageSource
+    settings: PipelineSettings
+
+    @staticmethod
+    def mock(width: int, height: int) -> "PipelineGlobals":
+        img = ImageSource.from_raster(np.zeros((height, width, 3), np.uint8))
+        return PipelineGlobals(img, PipelineSettings())
+
+
+class PipelineOps:
+    """The 8 fixed stages in execution order (pipeline.rs:154-164,211-243)."""
+
+    ORDER = ("gofloat", "demosaic", "rotatecrop", "tolab", "basecurve",
+             "fromlab", "gamma", "transform")
+
+    def __init__(self, img: ImageSource):
+        self.gofloat = gofloat.OpGoFloat(img)
+        self.demosaic = demosaic.OpDemosaic(img)
+        self.rotatecrop = rotatecrop.OpRotateCrop(img)
+        self.tolab = colorspaces.OpToLab(img)
+        self.basecurve = curves.OpBaseCurve(img)
+        self.fromlab = colorspaces.OpFromLab(img)
+        self.gamma = gamma.OpGamma(img)
+        self.transform = transform.OpTransform(img)
+
+    def all_ops(self):
+        return [getattr(self, name) for name in self.ORDER]
+
+    def content_hash(self) -> bytes:
+        h = BufHasher()
+        for op in self.all_ops():
+            h.from_serialize(op)
+        return h.result()
+
+    def __eq__(self, other):
+        if not isinstance(other, PipelineOps):
+            return NotImplemented
+        return self.content_hash() == other.content_hash()
+
+    def __hash__(self):
+        return hash(self.content_hash())
+
+    # YAML schema: mapping of stage name -> op settings, stage order
+    # preserved (serde field order parity, pipeline.rs:154-164).
+    def to_settings_dict(self) -> dict:
+        return {name: getattr(self, name).to_settings_dict() for name in self.ORDER}
+
+    def load_settings_dict(self, d: dict) -> None:
+        for name in self.ORDER:
+            sub = d.get(name)
+            if sub is not None:
+                getattr(self, name).load_settings_dict(sub)
+
+
+class Pipeline:
+    """Develop one image through the 8-stage chain (pipeline.rs:245-470)."""
+
+    def __init__(self, globals_: PipelineGlobals, ops: PipelineOps):
+        self.globals = globals_
+        self.ops = ops
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def new_cache(size: int) -> MultiCache:
+        return MultiCache(size)
+
+    @staticmethod
+    def new_from_file(path) -> "Pipeline":
+        from .decode import decode_file
+
+        with _timing("total new_from_file()"):
+            img = decode_file(path)
+        return Pipeline.new_from_source(img)
+
+    @staticmethod
+    def new_from_source(img: ImageSource) -> "Pipeline":
+        return Pipeline(
+            PipelineGlobals(img, PipelineSettings()),
+            PipelineOps(img),
+        )
+
+    def default_ops(self) -> bool:
+        return self.ops == PipelineOps(self.globals.image)
+
+    # -- serialization (pipeline.rs:290-309) -------------------------------
+
+    def to_serial(self) -> str:
+        doc = [
+            {"version": SERIAL_VERSION, "filehash": "0"},
+            self.ops.to_settings_dict(),
+        ]
+        return yaml.safe_dump(doc, sort_keys=False)
+
+    @staticmethod
+    def new_from_serial(img: ImageSource, serial: str) -> "Pipeline":
+        doc = yaml.safe_load(serial)
+        meta, opsdict = doc[0], doc[1]
+        if int(meta.get("version", 0)) > SERIAL_VERSION:
+            raise ValueError(f"unsupported pipeline file version {meta['version']}")
+        pipe = Pipeline.new_from_source(img)
+        pipe.ops.load_settings_dict(opsdict)
+        return pipe
+
+    # -- the scheduler (pipeline.rs:311-375) -------------------------------
+
+    def run(self, cache: Optional[MultiCache] = None) -> OpBuffer:
+        with _timing("  total pipeline"):
+            ops = self.ops.all_ops()
+
+            # Phase A: reset op memo state.
+            for op in ops:
+                op.reset()
+
+            # Phase B: 3-pass size planning.
+            width, height = self.globals.image.width(), self.globals.image.height()
+            for op in ops:
+                width, height = op.transform_forward(width, height)
+            log.debug("Maximum possible image size is %dx%d", width, height)
+            width, height = scaling.scaling_size(
+                width, height, self.globals.settings.maxwidth, self.globals.settings.maxheight)
+            log.debug("Final image size is %dx%d", width, height)
+            for op in reversed(ops):
+                width, height = op.transform_reverse(width, height)
+            log.debug("Needed image size at demosaic %dx%d", width, height)
+            self.globals.settings.demosaic_width = width
+            self.globals.settings.demosaic_height = height
+
+            # Phase C: chained hashing + deepest cache hit (latest wins).
+            hasher = BufHasher()
+            self.globals.settings.hash(hasher)
+            ophashes = []
+            startpos = 0
+            bufin = OpBuffer.default()
+            for i, op in enumerate(ops):
+                op.hash(hasher)
+                result = hasher.copy().result()
+                ophashes.append(result)
+                if cache is not None:
+                    hit = cache.get(result)
+                    if hit is not None:
+                        bufin = hit
+                        startpos = i + 1
+
+            # Phase D: execute the dirty suffix.
+            for i, op in enumerate(ops):
+                if i >= startpos:
+                    with _timing("    " + op.name()):
+                        bufin = op.run(self.globals, bufin)
+                    if cache is not None:
+                        cache.put_arc(ophashes[i], bufin, bufin.nbytes())
+            return bufin
+
+    # -- outputs (pipeline.rs:377-469) -------------------------------------
+
+    def _fastpath_applicable(self) -> bool:
+        return (not self.globals.image.is_raw
+                and self.globals.settings.use_fastpath and self.default_ops())
+
+    def output_8bit(self, cache: Optional[MultiCache] = None) -> SRGBImage:
+        if self._fastpath_applicable():
+            with _timing("total output_8bit_fastpath()"):
+                rgb = self.globals.image.other.to_rgb8()
+                height, width = rgb.shape[:2]
+                nwidth, nheight = scaling.scaling_size(
+                    width, height,
+                    self.globals.settings.maxwidth, self.globals.settings.maxheight)
+                if (nwidth, nheight) != (width, height):
+                    data = np.asarray(scaling.scale_down_srgb(rgb, nwidth, nheight))
+                    return SRGBImage(nwidth, nheight, data)
+                return SRGBImage(width, height, rgb)
+
+        with _timing("total output_8bit()"):
+            self.globals.settings.linear = False
+            buffer = self.run(cache)
+            with _timing("  8 bit conversion"):
+                data = np.asarray(output8bit(buffer.data))
+            return SRGBImage(buffer.width, buffer.height, data)
+
+    def output_16bit(self, cache: Optional[MultiCache] = None) -> SRGBImage16:
+        if self._fastpath_applicable():
+            with _timing("total output_16bit_fastpath()"):
+                rgb = self.globals.image.other.to_rgb16()
+                height, width = rgb.shape[:2]
+                nwidth, nheight = scaling.scaling_size(
+                    width, height,
+                    self.globals.settings.maxwidth, self.globals.settings.maxheight)
+                if (nwidth, nheight) != (width, height):
+                    data = np.asarray(scaling.scale_down_srgb16(rgb, nwidth, nheight))
+                    return SRGBImage16(nwidth, nheight, data)
+                return SRGBImage16(width, height, rgb)
+
+        with _timing("total output_16bit()"):
+            self.globals.settings.linear = True
+            buffer = self.run(cache)
+            with _timing("  16 bit conversion"):
+                data = np.asarray(output16bit(buffer.data))
+            return SRGBImage16(buffer.width, buffer.height, data)

@@ -1,0 +1,173 @@
+"""Pipeline orchestration: RAW develop end-to-end, stage cache dirty-suffix
+re-render, YAML serialization round-trip, CLI."""
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu import ImageSource, Pipeline, PipelineOps
+from imagepipe_tpu.raw import synthetic_bayer, synthetic_xtrans
+
+
+def test_raw_develop_end_to_end():
+    raw = synthetic_bayer(200, 120)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    out = p.output_8bit(None)
+    assert (out.width, out.height) == (200, 120)
+    assert out.data.dtype == np.uint8
+    # The synthetic scene is mid-toned: output must not be black or clipped.
+    assert 20 < out.data.mean() < 235
+
+
+def test_raw_develop_16bit_linear():
+    raw = synthetic_bayer(200, 120)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    out = p.output_16bit(None)
+    assert out.data.dtype == np.uint16
+    assert (out.width, out.height) == (200, 120)
+
+
+def test_raw_develop_xtrans():
+    raw = synthetic_xtrans(180, 120)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    out = p.output_8bit(None)
+    assert (out.width, out.height) == (180, 120)
+
+
+def test_raw_thumbnail_fused_demosaic():
+    raw = synthetic_bayer(400, 300)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.globals.settings.maxwidth = 100
+    p.globals.settings.maxheight = 100
+    out = p.output_8bit(None)
+    assert (out.width, out.height) == (100, 75)
+
+
+def test_default_ops_detection():
+    raw = synthetic_bayer(64, 48)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    assert p.default_ops()
+    p.ops.basecurve.exposure = 0.7
+    assert not p.default_ops()
+
+
+def test_stage_cache_dirty_suffix():
+    """Edit a late op: the cache must resume from the stage before it
+    (pipeline.rs:354-372 'latest hit wins')."""
+    raw = synthetic_bayer(120, 90)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    cache = Pipeline.new_cache(200 << 20)
+    first = p.output_8bit(cache)
+    n_after_first = len(cache)
+    assert n_after_first == 8
+
+    # Identical rerun: full cache hit, no new entries.
+    again = p.output_8bit(cache)
+    np.testing.assert_array_equal(first.data, again.data)
+    assert len(cache) == n_after_first
+
+    # Change the tone curve (stage 5): stages 5..8 recompute, 4 new entries.
+    p.ops.basecurve.exposure = 0.5
+    third = p.output_8bit(cache)
+    assert len(cache) == n_after_first + 4
+    assert not np.array_equal(first.data, third.data)
+
+    # Cached rerun of the edited pipeline is identical.
+    fourth = p.output_8bit(cache)
+    np.testing.assert_array_equal(third.data, fourth.data)
+
+
+def test_cache_respects_linear_flag():
+    """8-bit and 16-bit outputs flip settings.linear, which participates in
+    the hash chain -- they must not collide in the cache."""
+    raw = synthetic_bayer(80, 60)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    cache = Pipeline.new_cache(200 << 20)
+    out8 = p.output_8bit(cache)
+    out16 = p.output_16bit(cache)
+    out8b = p.output_8bit(cache)
+    np.testing.assert_array_equal(out8.data, out8b.data)
+    # 16-bit linear output of a midtone scene differs from gamma-encoded.
+    assert not np.array_equal(out8.data, (out16.data >> 8).astype(np.uint8))
+
+
+def test_serial_roundtrip():
+    raw = synthetic_bayer(64, 48)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.ops.basecurve.exposure = 0.25
+    p.ops.rotatecrop.crop_left = 0.125
+    from imagepipe_tpu.ops.transform import Rotation
+
+    p.ops.transform.rotation = Rotation.Rotate90
+    serial = p.to_serial()
+
+    p2 = Pipeline.new_from_serial(ImageSource.from_raw(raw), serial)
+    assert p2.ops.basecurve.exposure == 0.25
+    assert p2.ops.rotatecrop.crop_left == 0.125
+    assert p2.ops.transform.rotation == Rotation.Rotate90
+    assert p.ops == p2.ops
+    out1 = p.output_8bit(None)
+    out2 = p2.output_8bit(None)
+    np.testing.assert_array_equal(out1.data, out2.data)
+
+
+def test_decode_file_and_cli(tmp_path):
+    from imagepipe_tpu.decode import save_synraw
+    from imagepipe_tpu import simple_decode_8bit
+    from imagepipe_tpu.cli import main as cli_main
+    from PIL import Image
+
+    raw = synthetic_bayer(96, 64)
+    path = str(tmp_path / "shot.synraw.npz")
+    save_synraw(path, raw)
+    out = simple_decode_8bit(path, 48, 0)
+    assert (out.width, out.height) == (48, 32)
+
+    # CLI end-to-end to JPEG.
+    rc = cli_main(["converter", path, str(tmp_path / "out.jpg")])
+    assert rc == 0
+    jpg = Image.open(tmp_path / "out.jpg")
+    assert jpg.size == (96, 64)
+
+    # raster path through PIL
+    png = tmp_path / "img.png"
+    Image.fromarray(np.full((20, 30, 3), 128, np.uint8)).save(png)
+    out = simple_decode_8bit(str(png))
+    assert (out.width, out.height) == (30, 20)
+    np.testing.assert_array_equal(out.data, 128)
+
+    with pytest.raises(Exception):
+        simple_decode_8bit(str(tmp_path / "nope.png"))
+
+
+def test_monochrome_raw():
+    """cpp=1 non-CFA RAW: replicated to RGB with identity color handling
+    (gofloat.rs:97-109, colorspaces.rs:90-101)."""
+    from imagepipe_tpu.raw import CFA, Orientation, RawImage
+
+    h, w = 40, 60
+    grad = (np.linspace(0, 16383, w, dtype=np.uint16)[None, :]
+            * np.ones((h, 1), np.uint16))
+    raw = RawImage(
+        width=w, height=h, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(0,) * 4, whitelevels=(16383,) * 4,
+        wb_coeffs=(1.0, 1.0, 1.0, 0.0),
+        xyz_to_cam=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32),
+        orientation=Orientation.Normal, cfa=CFA(""), data=grad)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    out = p.output_8bit(None)
+    # Monochrome: all three channels identical.
+    np.testing.assert_array_equal(out.data[..., 0], out.data[..., 1])
+    np.testing.assert_array_equal(out.data[..., 0], out.data[..., 2])
+    # Gradient increases monotonically.
+    col_means = out.data[..., 0].mean(axis=0)
+    assert col_means[-1] > col_means[0] + 100
+
+
+def test_exif_orientation_applied():
+    raw = synthetic_bayer(100, 60)
+    from imagepipe_tpu.raw import Orientation
+
+    raw.orientation = Orientation.Rotate90
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    out = p.output_8bit(None)
+    assert (out.width, out.height) == (60, 100)

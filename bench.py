@@ -1,0 +1,116 @@
+"""Headline benchmark: 24MP Bayer RAW -> 8-bit sRGB develop throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the fused develop chain (levels -> Bayer demosaic stencil -> WB +
+camera matrix + Lab -> tone spline -> Lab^-1 -> gamma -> quantize) on device-
+resident sensor data, batched (the production serving mode). The baseline is
+the reference-equivalent single-core native implementation measured by
+native/baseline_bench (see BASELINE.md); falls back to the recorded number
+in BASELINE.md if the binary hasn't been built on this host.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Reference-equivalent single-core MP/s for the same 24MP Bayer develop,
+# measured via native/baseline_bench.cc (scalar C++ mirroring the Rust
+# reference's per-pixel math; see BASELINE.md for the procedure + recorded
+# runs). Used when the binary isn't present.
+BASELINE_MP_S_FALLBACK = 11.3
+
+
+def measure_baseline() -> float:
+    exe = os.path.join(REPO, "native", "build", "baseline_bench")
+    if os.path.exists(exe):
+        try:
+            out = subprocess.run([exe], capture_output=True, text=True,
+                                 timeout=900).stdout
+            m = re.search(r"MP/s:\s*([0-9.]+)", out)
+            if m:
+                return float(m.group(1))
+        except Exception:
+            pass
+    return BASELINE_MP_S_FALLBACK
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from imagepipe_tpu import ImageSource, Pipeline
+    from imagepipe_tpu.engine import make_develop_plan, _develop_batch_jit
+    from imagepipe_tpu.raw import synthetic_bayer
+
+    width, height = 6000, 4000  # 24MP
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    raws = [synthetic_bayer(width, height, seed=s) for s in range(batch)]
+    pipe = Pipeline.new_from_source(ImageSource.from_raw(raws[0]))
+    plan = make_develop_plan(pipe, out_bits=8)
+
+    planes = jnp.asarray(np.stack([r.data for r in raws]))
+    planes.block_until_ready()
+
+    def step():
+        return _develop_batch_jit(planes, plan.params, **plan.statics())
+
+    def sync(x):
+        # block_until_ready is not a reliable fence on the experimental
+        # remote-TPU platform; a scalar device->host fetch is.
+        return int(np.asarray(jnp.sum(x[..., 0].astype(jnp.int32))))
+
+    # Warmup/compile.
+    out = step()
+    sync(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step()
+    sync(out)
+    dt = time.perf_counter() - t0
+
+    mp = width * height / 1e6
+    mp_per_s = mp * batch * iters / dt
+
+    # Per-image p50 develop latency (single dispatch incl. host sync).
+    lat = []
+    single = planes[0]
+    from imagepipe_tpu.engine import _develop_single_jit
+
+    o = _develop_single_jit(single, plan.params, **plan.statics())
+    sync(o)
+    for _ in range(5):
+        t0 = time.perf_counter()
+        o = _develop_single_jit(single, plan.params, **plan.statics())
+        sync(o)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
+
+    baseline = measure_baseline()
+    result = {
+        "metric": "Megapixels/sec/chip RAW->sRGB (24MP Bayer); p50 per-image develop latency",
+        "value": round(mp_per_s, 1),
+        "unit": "MP/s",
+        "vs_baseline": round(mp_per_s / baseline, 2),
+        "extra": {
+            "p50_latency_ms": round(p50_ms, 1),
+            "batch": batch,
+            "device": str(jax.devices()[0]),
+            "baseline_mp_s": baseline,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

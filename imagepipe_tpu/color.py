@@ -33,7 +33,7 @@ __all__ = [
     "SRGB_D65_43", "expand_srgb_gamma", "apply_srgb_gamma", "xyz_to_lab",
     "lab_to_xyz", "camera_to_lab", "lab_to_rgb", "temp_tint_to_rgb",
     "input8bit", "input16bit", "output8bit", "output16bit",
-    "set_numerics_mode", "get_numerics_mode",
+    "set_numerics_mode", "get_numerics_mode", "numerics_mode",
 ]
 
 _f32 = np.float32
@@ -100,6 +100,24 @@ def set_numerics_mode(mode: str) -> None:
 
 def get_numerics_mode() -> str:
     return _NUMERICS_MODE
+
+
+class numerics_mode:
+    """Context manager setting the numerics mode during a jit trace. Any jit
+    switching modes must carry the mode in its static args so traces are
+    cached separately."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        self._prev = _NUMERICS_MODE
+        set_numerics_mode(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        set_numerics_mode(self._prev)
+        return False
 
 
 # ---------------------------------------------------------------------------

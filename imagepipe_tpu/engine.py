@@ -1,0 +1,265 @@
+"""Fused develop engine: the whole RAW->sRGB chain as one device program.
+
+This is the TPU-native answer to the reference's per-stage execution
+(/root/reference/src/pipeline.rs:363-372, one materialized buffer per op):
+when no interactive stage cache is needed, the full chain -- levels,
+demosaic, white balance + camera matrix + Lab, tone spline, Lab^-1, gamma,
+quantize -- traces into a single jit so XLA fuses every elementwise stage
+into the demosaic stencil's output pass. One HBM round-trip instead of
+eight. The batch engine vmaps this over [B,H,W] and shards the batch axis
+over the device mesh.
+
+Numerics: the fused trace calls the same kernel functions as the staged
+path; 8-bit outputs are bit-identical, 16-bit outputs may differ by 1 LSB on
+a small fraction of pixels because whole-chain fusion changes a few f32
+rounding points (FMA contraction across former jit boundaries) -- within the
+reference's own 16-bit +-1 LSB contract (color_conversions.rs:595-596).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import color as cc
+from .buffer import OpBuffer
+from .kernels.demosaic_full import stencil_demosaic
+from .raw import CFA, RawImage
+from .spline import SplineFunc
+
+__all__ = ["DevelopPlan", "make_develop_plan", "develop_batch_fn"]
+
+
+class DevelopPlan:
+    """Host-side compiled plan: static config + device params for the fused
+    develop of one RAW shape class."""
+
+    def __init__(self, *, cfa_name, height, width, crop_x, crop_y, mode,
+                 out_bits, linear, params, apply_curve, n_knots,
+                 orientation_flips, numerics):
+        self.cfa_name = cfa_name
+        self.height = height
+        self.width = width
+        self.crop_x = crop_x
+        self.crop_y = crop_y
+        self.mode = mode            # 'cfa' | 'mono' | 'rgb'
+        self.out_bits = out_bits    # 8 | 16
+        self.linear = linear
+        self.params = params        # dict of device arrays
+        self.apply_curve = apply_curve
+        self.n_knots = n_knots
+        self.orientation_flips = orientation_flips  # (transpose, flipx, flipy)
+        self.numerics = numerics    # 'lut' | 'direct'
+
+    def statics(self):
+        return dict(cfa_name=self.cfa_name, height=self.height, width=self.width,
+                    crop_x=self.crop_x, crop_y=self.crop_y,
+                    mode=self.mode, out_bits=self.out_bits, linear=self.linear,
+                    apply_curve=self.apply_curve, n_knots=self.n_knots,
+                    orientation_flips=self.orientation_flips,
+                    numerics=self.numerics)
+
+
+def make_develop_plan(pipeline, out_bits: int = 8, numerics: str = "auto") -> DevelopPlan:
+    """Build the fused plan from a Pipeline over a RAW source with default
+    geometry (no rotatecrop, full-size demosaic)."""
+    from .ops.colorspaces import normalize_wbs
+
+    img = pipeline.globals.image
+    assert img.is_raw, "fused plan targets the RAW path"
+    raw = img.raw
+    ops = pipeline.ops
+    assert ops.rotatecrop._noop(), "fused plan does not cover rotatecrop"
+
+    gf = ops.gofloat
+    x, y, width, height = gf._size_image(raw.width, raw.height)
+
+    if raw.cpp == 3:
+        mode = "rgb"
+    elif gf.is_cfa:
+        mode = "cfa"
+    else:
+        mode = "mono"
+
+    monochrome = mode == "mono"
+    if monochrome:
+        cmatrix = cc.SRGB_D65_43
+        mul = [1.0, 1.0, 1.0, 1.0]
+    else:
+        cmatrix = ops.tolab.cam_to_xyz_normalized
+        mul = normalize_wbs(ops.tolab.wb_coeffs)
+
+    bc = ops.basecurve
+    apply_curve = not (len(bc.points) == 0 and abs(bc.exposure) < 0.001)
+    n_knots = 0
+    if apply_curve:
+        scale = 2.0 ** bc.exposure
+        spline = SplineFunc([(px, py * scale) for (px, py) in bc.points])
+        n_knots = len(spline.xs)
+        spl = dict(
+            spline_xs=jnp.asarray(spline.xs), spline_ys=jnp.asarray(spline.ys),
+            spline_c1=jnp.asarray(spline.c1s), spline_c2=jnp.asarray(spline.c2s),
+            spline_c3=jnp.asarray(spline.c3s))
+    else:
+        spl = {}
+
+    cfa = CFA(ops.demosaic.cfa) if mode == "cfa" else None
+    params = dict(
+        mins=jnp.asarray(gf.blacklevels, jnp.float32),
+        ranges=jnp.asarray([w - b for w, b in zip(gf.whitelevels, gf.blacklevels)],
+                           jnp.float32),
+        mul=jnp.asarray(mul, jnp.float32),
+        cmatrix=jnp.asarray(cmatrix, jnp.float32),
+        rgbmatrix=jnp.asarray(cc.XYZ_D65_33),
+        **spl,
+    )
+    if numerics == "auto":
+        # Reference-faithful LUT interpolation on CPU (golden parity); direct
+        # transcendental math on accelerators, where per-pixel table gathers
+        # serialize on the vector unit. Both satisfy the +-1 LSB contract.
+        numerics = "lut" if jax.default_backend() == "cpu" else "direct"
+    return DevelopPlan(
+        cfa_name=(cfa.name if cfa is not None else ""),
+        height=height, width=width, crop_x=x, crop_y=y, mode=mode, out_bits=out_bits,
+        linear=pipeline.globals.settings.linear and out_bits == 16,
+        params=params, apply_curve=apply_curve, n_knots=n_knots,
+        orientation_flips=ops.transform._orientation().to_flips(),
+        numerics=numerics,
+    )
+
+
+
+
+def _spline_eval(params, n_knots, v):
+    """Gather-free spline evaluation over traced coefficient arrays; interval
+    selection unrolls over the static knot count (matches
+    SplineFunc.interpolate)."""
+    xs, ys = params["spline_xs"], params["spline_ys"]
+    c1, c2, c3 = params["spline_c1"], params["spline_c2"], params["spline_c3"]
+    n_int = n_knots - 1
+    idx = jnp.zeros(v.shape, jnp.int32)
+    for j in range(1, n_knots):
+        idx = idx + (v >= xs[j]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, n_int - 1)
+
+    def sel(tab):
+        acc = jnp.broadcast_to(tab[0], v.shape)
+        for j in range(1, n_int):
+            acc = jnp.where(idx == j, tab[j], acc)
+        return acc
+
+    d = v - sel(xs)
+    y = sel(ys) + sel(c1) * d + sel(c2) * d * d + sel(c3) * d * d * d
+    y = jnp.where(v >= xs[n_knots - 1], ys[n_knots - 1], y)
+    y = jnp.where(v <= xs[0], ys[0], y)
+    return y
+
+
+def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
+                 mode, out_bits, linear, apply_curve, n_knots,
+                 orientation_flips, numerics):
+    """plane: full sensor [H0,W0] (cfa/mono) or [H0,W0,3] (rgb) raw counts ->
+    developed [H',W',3] quantized. Sensor crop applied here (static)."""
+    f = jnp.float32
+    plane = plane.astype(f)
+    if plane.ndim == 2:
+        plane = jax.lax.slice(plane, (crop_y, crop_x),
+                              (crop_y + height, crop_x + width))
+    else:
+        plane = jax.lax.slice(plane, (crop_y, crop_x, 0),
+                              (crop_y + height, crop_x + width, 3))
+
+    # gofloat (levels; cfa/mono paths use channel-0 levels, gofloat.rs:101-127)
+    if mode == "rgb":
+        rgbe = jnp.concatenate([
+            jnp.minimum((plane - params["mins"][:3]) / params["ranges"][:3], 1.0),
+            jnp.zeros((height, width, 1), f)], axis=-1)
+    else:
+        v = jnp.minimum((plane - params["mins"][0]) / params["ranges"][0], 1.0)
+        if mode == "mono":
+            rgbe = jnp.stack([v, v, v, jnp.zeros_like(v)], axis=-1)
+        else:
+            rgbe = stencil_demosaic(v, cfa_name, height, width)
+
+    # to_lab: WB + camera matrix + Lab encode
+    lab = cc.camera_to_lab(params["mul"], params["cmatrix"], rgbe)
+
+    # basecurve on L
+    if apply_curve:
+        lab = lab.at[..., 0].set(_spline_eval(params, n_knots, lab[..., 0]))
+
+    # from_lab
+    rgb = cc.lab_to_rgb(params["rgbmatrix"], lab)
+
+    # gamma (skipped for 16-bit linear output, gamma.rs:17-18)
+    if not linear:
+        rgb = cc.apply_srgb_gamma(jnp.clip(rgb, 0.0, 1.0))
+
+    # output transform (EXIF orientation)
+    transpose, flip_x, flip_y = orientation_flips
+    if flip_x:
+        rgb = rgb[:, ::-1, :]
+    if flip_y:
+        rgb = rgb[::-1, :, :]
+    if transpose:
+        rgb = rgb.transpose(1, 0, 2)
+
+    # quantize on device
+    if out_bits == 8:
+        return cc.output8bit(rgb)
+    return cc.output16bit(rgb)
+
+
+_STATIC_NAMES = ("cfa_name", "height", "width", "crop_x", "crop_y", "mode",
+                 "out_bits", "linear", "apply_curve", "n_knots",
+                 "orientation_flips", "numerics")
+
+
+@partial(jax.jit, static_argnames=_STATIC_NAMES)
+def _develop_single_jit(plane, params, *, cfa_name, height, width, crop_x,
+                        crop_y, mode, out_bits, linear, apply_curve, n_knots,
+                        orientation_flips, numerics):
+    with cc.numerics_mode(numerics):
+        return _develop_one(plane, params, cfa_name=cfa_name, height=height,
+                            width=width, crop_x=crop_x, crop_y=crop_y,
+                            mode=mode, out_bits=out_bits, linear=linear,
+                            apply_curve=apply_curve, n_knots=n_knots,
+                            orientation_flips=orientation_flips,
+                            numerics=numerics)
+
+
+@partial(jax.jit, static_argnames=_STATIC_NAMES)
+def _develop_batch_jit(planes, params, *, cfa_name, height, width, crop_x,
+                       crop_y, mode, out_bits, linear, apply_curve, n_knots,
+                       orientation_flips, numerics):
+    def one(p):
+        return _develop_one(p, params, cfa_name=cfa_name, height=height,
+                            width=width, crop_x=crop_x, crop_y=crop_y,
+                            mode=mode, out_bits=out_bits, linear=linear,
+                            apply_curve=apply_curve, n_knots=n_knots,
+                            orientation_flips=orientation_flips,
+                            numerics=numerics)
+
+    with cc.numerics_mode(numerics):
+        return jax.vmap(one)(planes)
+
+
+def develop_fused(plan: DevelopPlan, plane):
+    """Develop one image through the fused chain. plane: device or numpy
+    array of raw counts."""
+    return _develop_single_jit(jnp.asarray(plane), plan.params, **plan.statics())
+
+
+def develop_batch_fn(plan: DevelopPlan):
+    """Returns fn(planes [B,H,W]) -> [B,H',W',3] for batched develop; vmapped
+    fused chain, jitted per (B,H,W) shape class."""
+    statics = plan.statics()
+    params = plan.params
+
+    def fn(planes):
+        return _develop_batch_jit(planes, params, **statics)
+
+    return fn

@@ -1,0 +1,105 @@
+"""Batched multi-chip develop engine.
+
+The new capability over the reference (SURVEY.md section 2.5: the reference
+is strictly one image per Pipeline, rayon rows as its only parallelism).
+Here the batch dimension is first-class: a file list is bucketed by sensor
+shape, stacked to [B,H,W] planes, and developed by the fused engine under a
+jax.sharding.Mesh:
+
+  * dp ("batch") axis -- images sharded across chips; embarrassingly
+    parallel, no collectives, scales linearly over ICI.
+  * sp ("spatial") axis -- each image's width sharded across chips; the
+    demosaic stencil's shifted reads become 1-pixel halo exchanges that
+    GSPMD inserts automatically. Used for images too large for one chip's
+    HBM (the 61MP config), analogous to sequence/context parallelism.
+
+Host decode runs in a background thread pool, double-buffering the next
+batch's H2D transfer against the current batch's compute (the pipeline-
+parallelism analogue, SURVEY.md section 2.5).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import math
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine import make_develop_plan, _develop_batch_jit
+from ..pipeline import Pipeline
+from ..sources import ImageSource
+
+__all__ = ["BatchEngine", "make_batch_mesh", "shard_batch"]
+
+
+def make_batch_mesh(devices=None, spatial: int = 1) -> Mesh:
+    """1-D data-parallel mesh by default; pass spatial>1 for a 2-D
+    (batch, spatial) mesh that also shards image width."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % spatial == 0, (n, spatial)
+    arr = np.array(devices).reshape(n // spatial, spatial)
+    return Mesh(arr, ("batch", "spatial"))
+
+
+def shard_batch(mesh: Mesh, planes):
+    """Place [B,H,W(,C)] planes with batch over 'batch' and W over 'spatial'."""
+    spec = P("batch", None, "spatial") if planes.ndim == 3 else P("batch", None, "spatial", None)
+    return jax.device_put(planes, NamedSharding(mesh, spec))
+
+
+class BatchEngine:
+    """Develop many RAW files concurrently on a device mesh."""
+
+    def __init__(self, mesh: Mesh | None = None, out_bits: int = 8,
+                 max_batch: int = 8, decode_workers: int = 4):
+        self.mesh = mesh if mesh is not None else make_batch_mesh()
+        self.out_bits = out_bits
+        self.max_batch = max_batch
+        self.decode_workers = decode_workers
+
+    def _plan_for(self, source: ImageSource):
+        pipe = Pipeline.new_from_source(source)
+        if self.out_bits == 16:
+            pipe.globals.settings.linear = True
+        return make_develop_plan(pipe, out_bits=self.out_bits)
+
+    def develop_sources(self, sources: list[ImageSource]):
+        """Develop a list of RAW sources; returns numpy outputs in input
+        order. Sources are bucketed by (shape, plan statics) so each bucket
+        compiles once and pads to the batch multiple of the mesh."""
+        results: list = [None] * len(sources)
+        buckets: dict = defaultdict(list)
+        for idx, src in enumerate(sources):
+            plan = self._plan_for(src)
+            key = tuple(sorted(plan.statics().items()))
+            buckets[key].append((idx, src, plan))
+
+        nbatch_devices = self.mesh.shape["batch"]
+        for _, entries in buckets.items():
+            plan = entries[0][2]
+            for start in range(0, len(entries), self.max_batch):
+                chunk = entries[start:start + self.max_batch]
+                planes = np.stack([np.asarray(src.raw.data) for _, src, _ in chunk])
+                b = planes.shape[0]
+                pad = (-b) % nbatch_devices
+                if pad:
+                    planes = planes[np.arange(b + pad) % b]
+                dev = shard_batch(self.mesh, jnp.asarray(planes))
+                out = _develop_batch_jit(dev, plan.params, **plan.statics())
+                out_np = np.asarray(out)[:b]
+                for (idx, _, _), img in zip(chunk, out_np):
+                    results[idx] = img
+        return results
+
+    def develop_files(self, paths: list[str]):
+        """decode (host thread pool, overlapped) -> batched develop."""
+        from ..decode import decode_file
+
+        with cf.ThreadPoolExecutor(self.decode_workers) as pool:
+            sources = list(pool.map(decode_file, paths))
+        return self.develop_sources(sources)

@@ -68,29 +68,37 @@ class SplineFunc:
     def interpolate(self, val):
         """Vectorized spline evaluation matching SplineFunc::interpolate
         (curves.rs:126-157): clamp to endpoint y outside the knot range,
-        exact knot y at knots, cubic in between."""
+        exact knot y at knots, cubic in between.
+
+        Gather-free: tone curves have a handful of knots, so interval
+        selection unrolls into where-chains (per-pixel table gathers
+        serialize badly on the TPU's vector units; compare-selects don't).
+        """
         val = jnp.asarray(val, dtype=jnp.float32)
-        xs = jnp.asarray(self.xs)
-        ys = jnp.asarray(self.ys)
-        c1s = jnp.asarray(self.c1s)
-        c2s = jnp.asarray(self.c2s)
-        c3s = jnp.asarray(self.c3s)
+        xs, ys = self.xs, self.ys
+        n_int = len(self.c3s)
 
-        # side='right' makes exact-knot inputs select the interval starting at
-        # the knot, so diff == 0 reproduces the reference's exact-match branch
-        # (curves.rs:144-150).
-        idx = jnp.searchsorted(xs, val, side="right") - 1
-        idx = jnp.clip(idx, 0, len(self.c3s) - 1)
+        # Interval index = (#knots <= val) - 1, clamped -- identical to
+        # searchsorted(side='right')-1, so exact-knot inputs get diff == 0
+        # (the reference's exact-match branch, curves.rs:144-150).
+        idx = jnp.zeros(val.shape, jnp.int32)
+        for j in range(1, len(xs)):
+            idx = idx + (val >= xs[j]).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, n_int - 1)
 
-        diff = val - jnp.take(xs, idx)
-        y = (
-            jnp.take(ys, idx)
-            + jnp.take(c1s, idx) * diff
-            + jnp.take(c2s, idx) * diff * diff
-            + jnp.take(c3s, idx) * diff * diff * diff
-        )
-        y = jnp.where(val >= xs[-1], ys[-1], y)
-        y = jnp.where(val <= xs[0], ys[0], y)
+        def sel(table):
+            acc = jnp.full(val.shape, jnp.float32(table[0]))
+            for j in range(1, n_int):
+                acc = jnp.where(idx == j, jnp.float32(table[j]), acc)
+            return acc
+
+        x0 = sel(xs[:n_int])
+        diff = val - x0
+        y = (sel(ys[:n_int]) + sel(self.c1s[:n_int]) * diff
+             + sel(self.c2s) * diff * diff
+             + sel(self.c3s) * diff * diff * diff)
+        y = jnp.where(val >= xs[-1], jnp.float32(ys[-1]), y)
+        y = jnp.where(val <= xs[0], jnp.float32(ys[0]), y)
         return y
 
     def __call__(self, val):

@@ -1,0 +1,118 @@
+"""Fused engine vs staged pipeline bit-equality, batching, and sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imagepipe_tpu import ImageSource, Pipeline
+from imagepipe_tpu.engine import develop_fused, make_develop_plan, develop_batch_fn
+from imagepipe_tpu.parallel import BatchEngine, make_batch_mesh, shard_batch
+from imagepipe_tpu.raw import synthetic_bayer, synthetic_xtrans
+
+
+def test_fused_matches_staged_8bit():
+    raw = synthetic_bayer(160, 120)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    staged = p.output_8bit(None)
+    plan = make_develop_plan(p, out_bits=8)
+    fused = np.asarray(develop_fused(plan, raw.data))
+    np.testing.assert_array_equal(staged.data, fused)
+
+
+def test_fused_matches_staged_16bit_linear():
+    raw = synthetic_bayer(160, 120)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    staged = p.output_16bit(None)
+    p.globals.settings.linear = True
+    plan = make_develop_plan(p, out_bits=16)
+    fused = np.asarray(develop_fused(plan, raw.data))
+    # Whole-chain fusion changes a few f32 roundings (FMA contraction at jit
+    # boundaries) -- 16-bit output is held to the +-1 LSB contract.
+    diff = staged.data.astype(int) - fused.astype(int)
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.01
+
+
+def test_fused_matches_staged_xtrans_with_orientation():
+    from imagepipe_tpu.raw import Orientation
+
+    raw = synthetic_xtrans(120, 96)
+    raw.orientation = Orientation.Rotate270
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    staged = p.output_8bit(None)
+    plan = make_develop_plan(p, out_bits=8)
+    fused = np.asarray(develop_fused(plan, raw.data))
+    np.testing.assert_array_equal(staged.data, fused)
+
+
+def test_fused_with_crops_and_exposure():
+    raw = synthetic_bayer(128, 96)
+    raw.crops = (2, 4, 6, 8)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.ops.basecurve.exposure = 0.4
+    staged = p.output_8bit(None)
+    plan = make_develop_plan(p, out_bits=8)
+    fused = np.asarray(develop_fused(plan, raw.data))
+    np.testing.assert_array_equal(staged.data, fused)
+
+
+def test_batched_develop_matches_single():
+    raws = [synthetic_bayer(96, 64, seed=s) for s in range(5)]
+    p = Pipeline.new_from_source(ImageSource.from_raw(raws[0]))
+    plan = make_develop_plan(p, out_bits=8)
+    fn = develop_batch_fn(plan)
+    batch = np.stack([r.data for r in raws])
+    outs = np.asarray(fn(jnp.asarray(batch)))
+    for i, raw in enumerate(raws):
+        single = np.asarray(develop_fused(plan, raw.data))
+        np.testing.assert_array_equal(outs[i], single)
+
+
+def test_batch_engine_sharded_develop():
+    """dp-sharded batched develop over the 8-device CPU mesh must be
+    bit-identical to single-image develop (sharding cannot change bits)."""
+    raws = [synthetic_bayer(96, 64, seed=s) for s in range(9)]  # odd count -> pad
+    sources = [ImageSource.from_raw(r) for r in raws]
+    eng = BatchEngine(make_batch_mesh(), max_batch=4)
+    outs = eng.develop_sources(sources)
+    p = Pipeline.new_from_source(sources[0])
+    for raw, out in zip(raws, outs):
+        plan = make_develop_plan(Pipeline.new_from_source(ImageSource.from_raw(raw)))
+        single = np.asarray(develop_fused(plan, raw.data))
+        np.testing.assert_array_equal(out, single)
+
+
+def test_spatial_sharding_identical_bits():
+    """sp-sharded (width across chips): GSPMD halo exchange for the demosaic
+    stencil must not change any bit."""
+    raw = synthetic_bayer(256, 64)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    plan = make_develop_plan(p, out_bits=8)
+    want = np.asarray(develop_fused(plan, raw.data))
+
+    mesh = make_batch_mesh(spatial=8)  # all devices on the spatial axis
+    batch = jnp.asarray(raw.data)[None]
+    sharded = shard_batch(mesh, batch)
+    from imagepipe_tpu.engine import _develop_batch_jit
+
+    with mesh:
+        out = _develop_batch_jit(sharded, plan.params, **plan.statics())
+    np.testing.assert_array_equal(np.asarray(out)[0], want)
+
+
+def test_batch_engine_files(tmp_path):
+    from imagepipe_tpu.decode import save_synraw
+
+    paths = []
+    for s in range(3):
+        raw = synthetic_bayer(96, 64, seed=10 + s)
+        path = str(tmp_path / f"r{s}.synraw.npz")
+        save_synraw(path, raw)
+        paths.append(path)
+    eng = BatchEngine(max_batch=8)
+    outs = eng.develop_files(paths)
+    assert len(outs) == 3
+    assert all(o.shape == (64, 96, 3) for o in outs)
+    assert not np.array_equal(outs[0], outs[1])

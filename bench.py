@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # measured via native/baseline_bench.cc (scalar C++ mirroring the Rust
 # reference's per-pixel math; see BASELINE.md for the procedure + recorded
 # runs). Used when the binary isn't present.
-BASELINE_MP_S_FALLBACK = 11.3
+BASELINE_MP_S_FALLBACK = 11.58
 
 
 def measure_baseline() -> float:

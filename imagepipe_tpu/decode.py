@@ -102,7 +102,15 @@ def _decode_pgm16(path: str) -> Optional[RawImage]:
     )
 
 
-_RAW_DECODERS.extend([_decode_synraw, _decode_pgm16])
+def _decode_dng(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith((".dng", ".tif", ".tiff")):
+        return None
+    from .dng import read_dng
+
+    return read_dng(path)
+
+
+_RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng])
 
 
 def decode_file(path) -> ImageSource:

@@ -55,6 +55,15 @@ class OpBuffer:
     def nbytes(self) -> int:
         return self.width * self.height * self.colors * 4
 
+    def transform(self, topleft, topright, bottomleft, width, height) -> "OpBuffer":
+        """Inverse-mapped affine resample (buffer.rs:62-79 parity)."""
+        from . import scaling
+
+        data = scaling.transform_buffer(
+            self.data, self.width, self.height, topleft, topright, bottomleft,
+            width, height, self.colors)
+        return OpBuffer(width, height, self.colors, self.monochrome, data)
+
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.data)
 

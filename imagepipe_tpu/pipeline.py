@@ -248,6 +248,22 @@ class Pipeline:
         return (not self.globals.image.is_raw
                 and self.globals.settings.use_fastpath and self.default_ops())
 
+    def _fused_applicable(self) -> bool:
+        """RAW full-size develop with default geometry: use the fused engine
+        (one device program) instead of per-stage execution. 8-bit output is
+        bit-identical to the staged path; 16-bit within +-1 LSB (engine.py)."""
+        s = self.globals.settings
+        return (self.globals.image.is_raw
+                and s.use_fastpath
+                and s.maxwidth == 0 and s.maxheight == 0
+                and self.ops.rotatecrop._noop())
+
+    def _run_fused(self, out_bits: int):
+        from .engine import make_develop_plan, develop_fused
+
+        plan = make_develop_plan(self, out_bits=out_bits)
+        return np.asarray(develop_fused(plan, self.globals.image.raw.data))
+
     def output_8bit(self, cache: Optional[MultiCache] = None) -> SRGBImage:
         if self._fastpath_applicable():
             with _timing("total output_8bit_fastpath()"):
@@ -260,6 +276,12 @@ class Pipeline:
                     data = np.asarray(scaling.scale_down_srgb(rgb, nwidth, nheight))
                     return SRGBImage(nwidth, nheight, data)
                 return SRGBImage(width, height, rgb)
+
+        if cache is None and self._fused_applicable():
+            with _timing("total output_8bit_fused()"):
+                self.globals.settings.linear = False
+                data = self._run_fused(8)
+                return SRGBImage(data.shape[1], data.shape[0], data)
 
         with _timing("total output_8bit()"):
             self.globals.settings.linear = False
@@ -280,6 +302,12 @@ class Pipeline:
                     data = np.asarray(scaling.scale_down_srgb16(rgb, nwidth, nheight))
                     return SRGBImage16(nwidth, nheight, data)
                 return SRGBImage16(width, height, rgb)
+
+        if cache is None and self._fused_applicable():
+            with _timing("total output_16bit_fused()"):
+                self.globals.settings.linear = True
+                data = self._run_fused(16)
+                return SRGBImage16(data.shape[1], data.shape[0], data)
 
         with _timing("total output_16bit()"):
             self.globals.settings.linear = True

@@ -15,6 +15,7 @@ from imagepipe_tpu.raw import synthetic_bayer, synthetic_xtrans
 def test_fused_matches_staged_8bit():
     raw = synthetic_bayer(160, 120)
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.globals.settings.use_fastpath = False  # force the staged op chain
     staged = p.output_8bit(None)
     plan = make_develop_plan(p, out_bits=8)
     fused = np.asarray(develop_fused(plan, raw.data))
@@ -24,6 +25,7 @@ def test_fused_matches_staged_8bit():
 def test_fused_matches_staged_16bit_linear():
     raw = synthetic_bayer(160, 120)
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.globals.settings.use_fastpath = False  # force the staged op chain
     staged = p.output_16bit(None)
     p.globals.settings.linear = True
     plan = make_develop_plan(p, out_bits=16)
@@ -41,6 +43,7 @@ def test_fused_matches_staged_xtrans_with_orientation():
     raw = synthetic_xtrans(120, 96)
     raw.orientation = Orientation.Rotate270
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.globals.settings.use_fastpath = False  # force the staged op chain
     staged = p.output_8bit(None)
     plan = make_develop_plan(p, out_bits=8)
     fused = np.asarray(develop_fused(plan, raw.data))
@@ -52,6 +55,7 @@ def test_fused_with_crops_and_exposure():
     raw.crops = (2, 4, 6, 8)
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
     p.ops.basecurve.exposure = 0.4
+    p.globals.settings.use_fastpath = False
     staged = p.output_8bit(None)
     plan = make_develop_plan(p, out_bits=8)
     fused = np.asarray(develop_fused(plan, raw.data))

@@ -175,6 +175,149 @@ def _transform_impl(src, cfa_tile, *, width, height, topleft, topright, bottomle
     return jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
 
 
+@partial(jax.jit, static_argnames=(
+    "width", "height", "topleft", "topright", "bottomleft",
+    "nwidth", "nheight", "components", "cfa_key", "out_dtype"))
+def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
+                            bottomleft, nwidth, nheight, components, cfa_key,
+                            out_dtype):
+    """Axis-aligned specialization of the resampler (no rotation: every
+    scale-down and crop path). Identical per-pixel semantics to
+    _transform_impl, restructured for the TPU:
+
+      * row windows are contiguous -> per-window-row `jnp.take` row gathers;
+      * column selection becomes a matmul against a single one-hot matrix
+        (selection by 0/1 matmul at HIGHEST precision is bit-exact), with
+        window offsets as cheap shifts of the padded row block -- the MXU
+        does the "gather", which element-wise gathers cannot touch on TPU.
+
+    The fori(ky) x fori(kx) accumulation order matches the reference's
+    y-outer/x-inner scalar loop (scaling.rs:93-120).
+    """
+    f = jnp.float32
+    tl0, tl1 = _f32(topleft[0]), _f32(topleft[1])
+    tr0 = _f32(topright[0])
+    bl1 = _f32(bottomleft[1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skip_x_x = _f32((tr0 - tl0) / _f32(nwidth - 1))
+        skip_y_y = _f32((bl1 - tl1) / _f32(nheight - 1))
+
+    rows_np = np.arange(nheight, dtype=_f32)
+    cols_np = np.arange(nwidth, dtype=_f32)
+
+    def sat_np(v, maxv):
+        v = np.floor(v)
+        v = np.where(np.isnan(v), 0.0, v)
+        return np.minimum(np.maximum(v, 0.0), maxv).astype(np.int32)
+
+    # Host-side f32 two-rounding index math (see _transform_impl notes).
+    with np.errstate(invalid="ignore"):
+        from_x1 = sat_np(_f32(tl0) + skip_x_x * cols_np, width - 1)        # [nw]
+        to_x1 = sat_np(_f32(tl0) + skip_x_x * (cols_np + _f32(1.0)), width - 1)
+        from_y1 = sat_np(_f32(tl1) + skip_y_y * rows_np, height - 1)       # [nh]
+        to_y1 = sat_np(_f32(tl1) + skip_y_y * (rows_np + _f32(1.0)), height - 1)
+        # Reference f32 order: ((tl0 - 0.5) + sxx*col) + sxx/2 (scaling.rs:81,88).
+        center_x1 = ((tl0 - _f32(0.5)) + skip_x_x * cols_np) + (skip_x_x / _f32(2.0))
+        center_y1 = (tl1 + skip_y_y * rows_np + (skip_y_y / _f32(2.0))) - _f32(0.5)
+
+    def bound(s):
+        s = 0.0 if not math.isfinite(float(s)) else abs(float(s))
+        return max(1, min(int(math.ceil(s)) + 2, max(width, height)))
+
+    K_x, K_y = bound(skip_x_x), bound(skip_y_y)
+
+    cfa_mode = cfa_key is not None
+    if cfa_mode:
+        # Per-color value and mask planes; selection handles the rest.
+        reps = (-(-height // 48), -(-width // 48))
+        colmap = jnp.tile(cfa_tile, reps)[:height, :width].astype(jnp.int32)
+        planes = []
+        for c in range(4):
+            m = (colmap == c).astype(f)
+            planes.append(src[..., 0] * m)
+            planes.append(m)
+        planes = jnp.stack(planes, axis=-1)   # [H, W, 8]
+        nsum = 4
+    else:
+        planes = src                           # [H, W, C]
+        nsum = components
+
+    C = planes.shape[-1]
+    from_x_d = jnp.asarray(from_x1)
+    to_x_d = jnp.asarray(to_x1)
+    from_y_d = jnp.asarray(from_y1)
+    to_y_d = jnp.asarray(to_y1)
+    cx_d = jnp.asarray(center_x1.astype(_f32))
+    cy_d = jnp.asarray(center_y1.astype(_f32))
+
+    # One-hot column selector [nw, W]; shifts of the padded row block give
+    # the kx offsets.
+    xs = jnp.arange(width, dtype=jnp.int32)
+    P = (xs[None, :] == from_x_d[:, None]).astype(f)
+
+    sums0 = jnp.zeros((nheight, C, nwidth), f)
+
+    def ky_body(ky, sums):
+        y = jnp.minimum(from_y_d + ky, height - 1)
+        valid_y = (from_y_d + ky) <= to_y_d
+        dy = (y.astype(f) - cy_d) / skip_y_y
+        dy2 = dy * dy                                                  # [nh]
+
+        A = jnp.take(planes, y, axis=0)                   # [nh, W, C] row gather
+        A = jnp.moveaxis(A, -1, 1).reshape(nheight * C, width)
+        A_pad = jnp.pad(A, ((0, 0), (0, K_x)))
+
+        def kx_body(kx, sums):
+            x = jnp.minimum(from_x_d + kx, width - 1)
+            valid_x = (from_x_d + kx) <= to_x_d
+            dx = (x.astype(f) - cx_d) / skip_x_x
+            # factor = (1 - dx^2) - dy^2 in the reference's order.
+            factor = (1.0 - dx * dx)[None, :] - dy2[:, None]
+            factor = jnp.where(factor < 0.0, 0.0, factor)
+            w = jnp.where(valid_y[:, None] & valid_x[None, :], factor, 0.0)
+
+            A_shift = jax.lax.dynamic_slice(A_pad, (0, kx), (nheight * C, width))
+            sel = jax.lax.dot_general(
+                A_shift, P, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)      # [nh*C, nw]
+            sel = sel.reshape(nheight, C, nwidth)
+            return sums + sel * w[:, None, :]
+
+        return jax.lax.fori_loop(0, K_x, kx_body, sums)
+
+    sums = jax.lax.fori_loop(0, K_y, ky_body, sums0)
+    sums = jnp.moveaxis(sums, 1, -1)                      # [nh, nw, C]
+
+    if cfa_mode:
+        vals = sums[..., 0::2]
+        counts = sums[..., 1::2]
+    else:
+        # counts are selection-independent: sum of weights.
+        def count_body(k, acc):
+            ky = k // K_x
+            kx = k % K_x
+            y = from_y_d + ky
+            x = from_x_d + kx
+            valid = (y <= to_y_d)[:, None] & (x <= to_x_d)[None, :]
+            dy = (jnp.minimum(y, height - 1).astype(f) - cy_d) / skip_y_y
+            dx = (jnp.minimum(x, width - 1).astype(f) - cx_d) / skip_x_x
+            factor = (1.0 - dx * dx)[None, :] - (dy * dy)[:, None]
+            factor = jnp.where(factor < 0.0, 0.0, factor)
+            return acc + jnp.where(valid, factor, 0.0)
+
+        counts = jax.lax.fori_loop(
+            0, K_x * K_y, count_body, jnp.zeros((nheight, nwidth), f))[..., None]
+        vals = sums
+
+    out = jnp.where(counts > 0.0, vals / counts, 0.0)
+    if not cfa_mode and components != out.shape[-1]:
+        out = out[..., :components]
+    if out_dtype == jnp.float32:
+        return out
+    info = jnp.iinfo(out_dtype)
+    return jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
+
+
 def transform_buffer(src, width, height, topleft, topright, bottomleft,
                      nwidth, nheight, components, cfa=None, out_dtype=jnp.float32):
     """General inverse-mapped affine resampler (scaling.rs:51-130).
@@ -189,7 +332,13 @@ def transform_buffer(src, width, height, topleft, topright, bottomleft,
     else:
         cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
         cfa_key = None
-    return _transform_impl(
+    # Axis-aligned geometry (every scale-down / pure-crop path) uses the
+    # MXU selection formulation; rotation falls back to the gather loop.
+    aligned = (int(topright[1]) == int(topleft[1])
+               and int(bottomleft[0]) == int(topleft[0])
+               and nwidth > 1 and nheight > 1)
+    impl = _transform_aligned_impl if aligned else _transform_impl
+    return impl(
         src, cfa_tile,
         width=int(width), height=int(height),
         topleft=(int(topleft[0]), int(topleft[1])),

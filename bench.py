@@ -42,6 +42,79 @@ def measure_baseline() -> float:
     return BASELINE_MP_S_FALLBACK
 
 
+def _sync(x):
+    import numpy as _np
+    import jax.numpy as jnp
+
+    return int(_np.asarray(jnp.sum(x.ravel()[::65537].astype(jnp.int32))))
+
+
+def bench_all():
+    """Measure the remaining BASELINE.json configs; one JSON line each."""
+    import jax.numpy as jnp
+
+    from imagepipe_tpu import ImageSource, Pipeline
+    from imagepipe_tpu.engine import make_develop_plan, _develop_single_jit
+    from imagepipe_tpu.raw import synthetic_bayer, synthetic_xtrans
+    from imagepipe_tpu.sources import staged_raw_plane
+
+    results = []
+
+    def timed(fn, iters=6):
+        out = fn()
+        if hasattr(out, "ravel"):
+            _sync(jnp.asarray(out) if not hasattr(out, "addressable_shards") else out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        if hasattr(out, "ravel"):
+            _sync(jnp.asarray(out) if not hasattr(out, "addressable_shards") else out)
+        return (time.perf_counter() - t0) / iters
+
+    # Config: X-Trans 26MP develop (6x6 CFA stencil path).
+    xr = synthetic_xtrans()
+    xp = Pipeline.new_from_source(ImageSource.from_raw(xr))
+    xplan = make_develop_plan(xp, out_bits=8)
+    xplane = staged_raw_plane(xr)
+    dt = timed(lambda: _develop_single_jit(xplane, xplan.params, **xplan.statics()))
+    mp = xr.width * xr.height / 1e6
+    results.append({"metric": "X-Trans 26MP RAW->sRGB develop", "value": round(mp / dt, 1),
+                    "unit": "MP/s", "vs_baseline": None})
+
+    # Config: maxsize-constrained thumbnail (fused demosaic+downscale).
+    raw = synthetic_bayer()
+    tp = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    tp.globals.settings.maxwidth = 1024
+    tp.globals.settings.maxheight = 1024
+    dt = timed(lambda: tp.output_8bit(None), iters=4)
+    results.append({"metric": "24MP->1024px thumbnail develop", "value": round(24.0 / dt, 1),
+                    "unit": "source MP/s", "vs_baseline": None})
+
+    # Config: 61MP -> 16-bit linear develop.
+    big = synthetic_bayer(9568, 6376)
+    bp = Pipeline.new_from_source(ImageSource.from_raw(big))
+    bp.globals.settings.linear = True
+    bplan = make_develop_plan(bp, out_bits=16)
+    bplane = staged_raw_plane(big)
+    dt = timed(lambda: _develop_single_jit(bplane, bplan.params, **bplan.statics()), iters=4)
+    mp = big.width * big.height / 1e6
+    results.append({"metric": "61MP RAW->16-bit linear develop", "value": round(mp / dt, 1),
+                    "unit": "MP/s", "vs_baseline": None})
+
+    # Config: raster fastpath roundtrip (decode-free, host+device resize path).
+    import numpy as _np
+
+    img = _np.random.default_rng(0).integers(0, 256, (4096, 4096, 3), _np.uint8)
+    rp = Pipeline.new_from_source(ImageSource.from_raster(img))
+    rp.globals.settings.use_fastpath = False
+    dt = timed(lambda: rp.output_8bit(None), iters=3)
+    results.append({"metric": "16.7MP raster slow-path roundtrip", "value": round(16.7 / dt, 1),
+                    "unit": "MP/s", "vs_baseline": None})
+
+    for r in results:
+        print(json.dumps(r))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -113,4 +186,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--all" in sys.argv:
+        main()
+        bench_all()
+        sys.exit(0)
     sys.exit(main())

@@ -132,7 +132,9 @@ class OpGoFloat(ImageOp):
         ranges = jnp.asarray(
             [w - b for w, b in zip(self.whitelevels, self.blacklevels)], jnp.float32)
 
-        data = np.asarray(raw.data)
+        from ..sources import staged_raw_plane
+
+        data = staged_raw_plane(raw)  # uploaded once, sliced on device
         if raw.cpp == 3:
             plane = data.reshape(oheight, owidth, 3)[y:y + height, x:x + width, :]
             mode = "rgb"
@@ -143,7 +145,7 @@ class OpGoFloat(ImageOp):
                 mode, colors, mono = "mono", 4, True
             else:
                 mode, colors, mono = "cfa", 1, False
-        dev = jnp.asarray(plane, jnp.float32)
+        dev = plane.astype(jnp.float32)
         out = _normalize(dev, mins, ranges, mode=mode)
         return OpBuffer(width, height, colors, mono, out)
 

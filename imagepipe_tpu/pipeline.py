@@ -260,9 +260,11 @@ class Pipeline:
 
     def _run_fused(self, out_bits: int):
         from .engine import make_develop_plan, develop_fused
+        from .sources import staged_raw_plane
 
         plan = make_develop_plan(self, out_bits=out_bits)
-        return np.asarray(develop_fused(plan, self.globals.image.raw.data))
+        plane = staged_raw_plane(self.globals.image.raw)
+        return np.asarray(develop_fused(plan, plane))
 
     def output_8bit(self, cache: Optional[MultiCache] = None) -> SRGBImage:
         if self._fastpath_applicable():

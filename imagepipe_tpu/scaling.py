@@ -220,11 +220,10 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
         center_x1 = ((tl0 - _f32(0.5)) + skip_x_x * cols_np) + (skip_x_x / _f32(2.0))
         center_y1 = (tl1 + skip_y_y * rows_np + (skip_y_y / _f32(2.0))) - _f32(0.5)
 
-    def bound(s):
-        s = 0.0 if not math.isfinite(float(s)) else abs(float(s))
-        return max(1, min(int(math.ceil(s)) + 2, max(width, height)))
-
-    K_x, K_y = bound(skip_x_x), bound(skip_y_y)
+    # Exact window bounds (host-side): the largest inclusive window any
+    # output pixel covers on each axis.
+    K_x = max(1, int((to_x1 - from_x1).max()) + 1)
+    K_y = max(1, int((to_y1 - from_y1).max()) + 1)
 
     cfa_mode = cfa_key is not None
     if cfa_mode:
@@ -277,9 +276,12 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
             w = jnp.where(valid_y[:, None] & valid_x[None, :], factor, 0.0)
 
             A_shift = jax.lax.dynamic_slice(A_pad, (0, kx), (nheight * C, width))
+            # HIGH = bf16x3 passes: the 3-way bf16 split of an f32 is exact,
+            # and the other operand is 0/1, so selection stays bit-exact at
+            # half the cost of HIGHEST.
             sel = jax.lax.dot_general(
                 A_shift, P, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)      # [nh*C, nw]
+                precision=jax.lax.Precision.HIGH)         # [nh*C, nw]
             sel = sel.reshape(nheight, C, nwidth)
             return sums + sel * w[:, None, :]
 

@@ -11,7 +11,20 @@ import numpy as np
 
 from .raw import RawImage
 
-__all__ = ["ImageSource", "RasterImage"]
+__all__ = ["ImageSource", "RasterImage", "staged_raw_plane"]
+
+
+def staged_raw_plane(raw: RawImage):
+    """Device-resident copy of the sensor data, uploaded once per RawImage.
+    Host->device transfer of a 24MP u16 plane is ~50MB; re-uploading per
+    develop would dominate interactive re-renders."""
+    import jax.numpy as jnp
+
+    dev = getattr(raw, "_device_plane", None)
+    if dev is None:
+        dev = jnp.asarray(raw.data)
+        raw._device_plane = dev
+    return dev
 
 
 class RasterImage:

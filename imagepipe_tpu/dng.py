@@ -38,6 +38,10 @@ T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_BYTECOUNTS = 279
 T_SUBIFDS = 330
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_BYTECOUNTS = 325
 T_CFA_REPEAT = 33421
 T_CFA_PATTERN = 33422
 T_DNG_VERSION = 50706
@@ -146,7 +150,8 @@ def read_dng(path: str) -> RawImage:
             raw_ifd = e
             break
     if raw_ifd is None:
-        candidates = [e for e in ifds if T_WIDTH in e and T_STRIP_OFFSETS in e]
+        candidates = [e for e in ifds
+                      if T_WIDTH in e and (T_STRIP_OFFSETS in e or T_TILE_OFFSETS in e)]
         if not candidates:
             raise ValueError("no raster IFD found")
         raw_ifd = max(candidates, key=lambda e: get(e, T_WIDTH, [0])[0] * get(e, T_LENGTH, [0])[0])
@@ -156,38 +161,64 @@ def read_dng(path: str) -> RawImage:
     height = get(e, T_LENGTH)[0]
     bits = get(e, T_BITS, [16])[0]
     compression = get(e, T_COMPRESSION, [1])[0]
-    if compression != 1:
-        raise ValueError(f"unsupported DNG compression {compression} (only uncompressed)")
+    if compression not in (1, 7):
+        raise ValueError(
+            f"unsupported DNG compression {compression} (uncompressed=1 and lossless JPEG=7)")
     spp = get(e, T_SAMPLES_PER_PIXEL, [1])[0]
     if spp != 1:
         raise ValueError("only 1 sample/pixel CFA or gray DNGs supported")
 
-    offsets = get(e, T_STRIP_OFFSETS)
-    counts = get(e, T_STRIP_BYTECOUNTS)
-    rows_per_strip = get(e, T_ROWS_PER_STRIP, [height])[0]
-
-    # Decode strips -> u16 plane, via the native unpackers.
-    rows = []
-    row_px = width
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        nrows = min(rows_per_strip, height - si * rows_per_strip)
-        npix = nrows * row_px
-        chunk = np.frombuffer(buf, np.uint8, cnt, off)
+    def decode_uncompressed(chunk, npix):
         if bits == 16:
             if endian == "<":
-                vals = np.frombuffer(buf, "<u2", npix, off).astype(np.uint16)
-            else:
-                vals = native.swap_16be(chunk, npix)
+                return np.frombuffer(chunk[: npix * 2].tobytes(), "<u2").astype(np.uint16)
+            return native.swap_16be(chunk, npix)
         elif bits == 12:
-            vals = native.unpack_12be(chunk, npix)
+            return native.unpack_12be(chunk, npix)
         elif bits == 14:
-            vals = native.unpack_14be(chunk, npix)
+            return native.unpack_14be(chunk, npix)
         elif bits == 8:
-            vals = chunk[:npix].astype(np.uint16)
-        else:
-            raise ValueError(f"unsupported BitsPerSample {bits}")
-        rows.append(vals.reshape(nrows, row_px))
-    data = np.concatenate(rows, axis=0)
+            return chunk[:npix].astype(np.uint16)
+        raise ValueError(f"unsupported BitsPerSample {bits}")
+
+    if T_TILE_OFFSETS in e:
+        # Tiled layout (the common shape for Compression=7 DNGs).
+        tw = get(e, T_TILE_WIDTH)[0]
+        tl = get(e, T_TILE_LENGTH)[0]
+        offsets = get(e, T_TILE_OFFSETS)
+        counts = get(e, T_TILE_BYTECOUNTS)
+        tiles_x = -(-width // tw)
+        tiles_y = -(-height // tl)
+        data = np.zeros((tiles_y * tl, tiles_x * tw), np.uint16)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            chunk = np.frombuffer(buf, np.uint8, cnt, off)
+            if compression == 7:
+                from .lj92 import decode as lj92_decode
+
+                tile = lj92_decode(chunk.tobytes())
+                tile = tile.reshape(tl, tw)
+            else:
+                tile = decode_uncompressed(chunk, tl * tw).reshape(tl, tw)
+            ty, tx = divmod(ti, tiles_x)
+            data[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
+        data = data[:height, :width]
+    else:
+        offsets = get(e, T_STRIP_OFFSETS)
+        counts = get(e, T_STRIP_BYTECOUNTS)
+        rows_per_strip = get(e, T_ROWS_PER_STRIP, [height])[0]
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, height - si * rows_per_strip)
+            npix = nrows * width
+            chunk = np.frombuffer(buf, np.uint8, cnt, off)
+            if compression == 7:
+                from .lj92 import decode as lj92_decode
+
+                vals = lj92_decode(chunk.tobytes()).reshape(nrows, width)
+            else:
+                vals = decode_uncompressed(chunk, npix).reshape(nrows, width)
+            rows.append(vals)
+        data = np.concatenate(rows, axis=0)
     assert data.shape == (height, width)
 
     # CFA pattern.
@@ -248,10 +279,21 @@ def read_dng(path: str) -> RawImage:
 # ---------------------------------------------------------------------------
 
 
-def write_dng(path: str, raw: RawImage) -> None:
+def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
+    """compression: 1 = uncompressed 16-bit, 7 = lossless JPEG (LJ92)."""
     assert raw.cpp == 1, "writer supports single-plane CFA/gray"
+    assert compression in (1, 7)
     data = np.ascontiguousarray(np.asarray(raw.data, np.uint16).reshape(raw.height, raw.width))
     is_cfa = raw.cfa.is_valid()
+    if compression == 7:
+        from .lj92 import encode as lj92_encode
+
+        # Two interleaved components for even-width CFA rows (like real DNG
+        # encoders): each component then predicts from its own color plane.
+        ncomp = 2 if (is_cfa and raw.width % 2 == 0) else 1
+        payload = lj92_encode(data, ncomp=ncomp, precision=16)
+    else:
+        payload = data.astype("<u2").tobytes()
 
     entries = []  # (tag, type, count, values)
 
@@ -262,12 +304,12 @@ def write_dng(path: str, raw: RawImage) -> None:
     add(T_WIDTH, 4, [raw.width])
     add(T_LENGTH, 4, [raw.height])
     add(T_BITS, 3, [16])
-    add(T_COMPRESSION, 3, [1])
+    add(T_COMPRESSION, 3, [compression])
     add(T_PHOTOMETRIC, 3, [32803 if is_cfa else 34892])
     add(T_ORIENTATION, 3, [_ORIENTATION_TO_EXIF.get(raw.orientation, 1)])
     add(T_SAMPLES_PER_PIXEL, 3, [1])
     add(T_ROWS_PER_STRIP, 4, [raw.height])
-    add(T_STRIP_BYTECOUNTS, 4, [data.nbytes])
+    add(T_STRIP_BYTECOUNTS, 4, [len(payload)])
     if is_cfa:
         inv = {"R": 0, "G": 1, "B": 2, "E": 3}
         add(T_CFA_REPEAT, 3, [raw.cfa.height, raw.cfa.width])
@@ -334,6 +376,6 @@ def write_dng(path: str, raw: RawImage) -> None:
             out += struct.pack("<HHII", tag, typ, count, off)
     out += struct.pack("<I", 0)  # next IFD
     out += ext
-    out += data.astype("<u2").tobytes()
+    out += payload
     with open(path, "wb") as f:
         f.write(out)

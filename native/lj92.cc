@@ -1,0 +1,241 @@
+// Lossless JPEG (ITU T.81 process 14, "LJ92") decoder — the compression
+// used by DNG (Compression=7) and most camera RAW containers.
+//
+// Scope: baseline lossless SOF3 scans, 2-16 bit precision, 1..4 components,
+// predictors 1..7, restart markers, FF00 byte stuffing. Interleaved
+// components de-interleave into consecutive columns (the DNG CFA
+// convention). Exposed to Python through ctypes (imagepipe_tpu/native.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t bits = 0;
+  int nbits = 0;
+  bool marker_hit = false;
+
+  BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
+
+  inline int next_byte() {
+    if (p >= end) return -1;
+    uint8_t b = *p++;
+    if (b == 0xFF) {
+      if (p < end && *p == 0x00) {
+        p++;  // stuffed byte
+      } else {
+        // Real marker: stop feeding bits (fill with zeros per spec).
+        p--;
+        marker_hit = true;
+        return -1;
+      }
+    }
+    return b;
+  }
+
+  inline int get_bit() {
+    if (nbits == 0) {
+      int b = next_byte();
+      if (b < 0) return 0;
+      bits = (uint32_t)b;
+      nbits = 8;
+    }
+    nbits--;
+    return (bits >> nbits) & 1;
+  }
+
+  inline int get_bits(int n) {
+    int v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | get_bit();
+    return v;
+  }
+
+  void reset_to_marker() {  // skip to next marker boundary (restart)
+    nbits = 0;
+    while (p < end && *p != 0xFF) p++;
+    // skip marker FFD0-FFD7
+    if (p + 1 < end && p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) p += 2;
+    marker_hit = false;
+  }
+};
+
+struct Huff {
+  // Canonical Huffman per T.81: maxcode/mincode/valptr tables.
+  int32_t mincode[17];
+  int32_t maxcode[17];
+  int32_t valptr[17];
+  uint8_t vals[256];
+
+  void build(const uint8_t counts[16], const uint8_t* values, int nvals) {
+    std::memcpy(vals, values, nvals);
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; l++) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += counts[l - 1];
+      k += counts[l - 1];
+      maxcode[l] = code - 1;
+      if (counts[l - 1] == 0) maxcode[l] = -1;
+      code <<= 1;
+    }
+  }
+
+  inline int decode(BitReader& br) const {
+    int code = br.get_bit();
+    int l = 1;
+    while (l < 16 && (maxcode[l] < 0 || code > maxcode[l])) {
+      code = (code << 1) | br.get_bit();
+      l++;
+    }
+    if (maxcode[l] < 0 || code > maxcode[l]) return -1;
+    return vals[valptr[l] + (code - mincode[l])];
+  }
+};
+
+inline int extend(int v, int ssss) {
+  // T.81 F.2.2.1 EXTEND: sign extension of magnitude bits.
+  if (ssss == 0) return 0;
+  if (ssss == 16) return 32768;  // special: diff = 32768, no bits read
+  if (v < (1 << (ssss - 1))) return v - (1 << ssss) + 1;
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode an LJ92 stream into out[h*w] u16. Returns 0 on success, negative
+// error codes otherwise. Outputs frame dims/components via pointers when
+// out == nullptr (probe mode).
+int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
+                int64_t out_cap, int* out_w, int* out_h, int* out_comps,
+                int* out_prec) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) return -1;  // SOI
+  p += 2;
+
+  int precision = 0, height = 0, width = 0, ncomp = 0;
+  Huff huffs[4];
+  int huff_built[4] = {0, 0, 0, 0};
+  int comp_table[4] = {0, 0, 0, 0};
+  int predictor = 1, pt = 0;
+  int restart_interval = 0;
+
+  while (p + 4 <= end) {
+    if (p[0] != 0xFF) return -2;
+    int marker = p[1];
+    p += 2;
+    if (marker == 0xD8) continue;
+    int seglen = (p[0] << 8) | p[1];
+    const uint8_t* seg = p + 2;
+
+    if (marker == 0xC3) {  // SOF3
+      precision = seg[0];
+      height = (seg[1] << 8) | seg[2];
+      width = (seg[3] << 8) | seg[4];
+      ncomp = seg[5];
+      if (ncomp < 1 || ncomp > 4) return -3;
+      p += seglen;
+    } else if (marker == 0xC4) {  // DHT
+      const uint8_t* q = seg;
+      while (q < p + seglen) {
+        int tc_th = *q++;
+        int th = tc_th & 0x0F;
+        if (th > 3) return -4;
+        uint8_t counts[16];
+        int nvals = 0;
+        for (int i = 0; i < 16; i++) {
+          counts[i] = *q++;
+          nvals += counts[i];
+        }
+        if (nvals > 256) return -4;
+        huffs[th].build(counts, q, nvals);
+        huff_built[th] = 1;
+        q += nvals;
+      }
+      p += seglen;
+    } else if (marker == 0xDD) {  // DRI
+      restart_interval = (seg[0] << 8) | seg[1];
+      p += seglen;
+    } else if (marker == 0xDA) {  // SOS
+      int ns = seg[0];
+      if (ns != ncomp) return -5;
+      for (int i = 0; i < ns; i++) {
+        comp_table[i] = seg[1 + i * 2 + 1] >> 4;
+        if (!huff_built[comp_table[i]]) return -6;
+      }
+      predictor = seg[1 + ns * 2];
+      pt = seg[3 + ns * 2] & 0x0F;
+      p += seglen;
+
+      if (out_w) *out_w = width * ncomp;
+      if (out_h) *out_h = height;
+      if (out_comps) *out_comps = ncomp;
+      if (out_prec) *out_prec = precision;
+      if (out == nullptr) return 0;  // probe only
+      if ((int64_t)height * width * ncomp > out_cap) return -7;
+
+      BitReader br(p, end);
+      int default_val = 1 << (precision - pt - 1);
+      int64_t row_stride = (int64_t)width * ncomp;
+      int mcu_count = 0;
+
+      for (int y = 0; y < height; y++) {
+        uint16_t* row = out + (int64_t)y * row_stride;
+        const uint16_t* prev = row - row_stride;
+        for (int x = 0; x < width; x++) {
+          for (int c = 0; c < ncomp; c++) {
+            int ssss = huffs[comp_table[c]].decode(br);
+            if (ssss < 0) return -8;
+            int diff = ssss == 16 ? 32768 : extend(br.get_bits(ssss), ssss);
+
+            int64_t idx = (int64_t)x * ncomp + c;
+            int pred;
+            bool row_start = (x == 0);
+            if (y == 0 && row_start) pred = default_val;
+            else if (row_start) pred = prev[idx];          // first col: Rb
+            else if (y == 0) pred = row[idx - ncomp];      // first row: Ra
+            else {
+              int ra = row[idx - ncomp];
+              int rb = prev[idx];
+              int rc = prev[idx - ncomp];
+              switch (predictor) {
+                case 1: pred = ra; break;
+                case 2: pred = rb; break;
+                case 3: pred = rc; break;
+                case 4: pred = ra + rb - rc; break;
+                case 5: pred = ra + ((rb - rc) >> 1); break;
+                case 6: pred = rb + ((ra - rc) >> 1); break;
+                case 7: pred = (ra + rb) >> 1; break;
+                default: return -9;
+              }
+            }
+            row[idx] = (uint16_t)((pred + diff) & 0xFFFF);
+          }
+          if (restart_interval) {
+            if (++mcu_count == restart_interval * width) { /* per-MCU-row semantics vary */ }
+          }
+        }
+        if (restart_interval && ((y + 1) % restart_interval) == 0 && y + 1 < height) {
+          br.reset_to_marker();
+        }
+      }
+      if (pt) {
+        int64_t n = (int64_t)height * row_stride;
+        for (int64_t i = 0; i < n; i++) out[i] = (uint16_t)(out[i] << pt);
+      }
+      return 0;
+    } else if (marker == 0xD9) {  // EOI
+      break;
+    } else {
+      p += seglen;  // skip APPn/COM/etc
+    }
+  }
+  return -10;
+}
+
+}  // extern "C"

@@ -247,10 +247,57 @@ def _develop_batch_jit(planes, params, *, cfa_name, height, width, crop_x,
         return jax.vmap(one)(planes)
 
 
-def develop_fused(plan: DevelopPlan, plane):
+def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
     """Develop one image through the fused chain. plane: device or numpy
-    array of raw counts."""
-    return _develop_single_jit(jnp.asarray(plane), plan.params, **plan.statics())
+    array of raw counts.
+
+    bands: split the image into horizontal bands with 1-row halos to bound
+    peak HBM (the fused chain holds several [H,W] f32 intermediates; a 61MP
+    frame overflows a 16GB chip unbanded). Bit-identical to unbanded: the
+    demosaic stencil is 3x3-local and every other stage is pointwise, and
+    the orientation permutation commutes with quantization so it applies
+    after concatenation. None = auto (1 band per ~24MP).
+    """
+    plane = jnp.asarray(plane)
+    if bands is None:
+        bands = max(1, (plan.height * plan.width) // (24_000_000 + 1) + 1) \
+            if plan.height * plan.width > 30_000_000 else 1
+    if bands <= 1 or plan.mode != "cfa":
+        return _develop_single_jit(plane, plan.params, **plan.statics())
+
+    statics = plan.statics()
+    h = plan.height
+    band_h = -(-h // bands)
+    flips = statics["orientation_flips"]
+    pieces = []
+    for b in range(bands):
+        s = b * band_h
+        e = min(h, s + band_h)
+        if s >= e:
+            break
+        # Halo rows (clamped at image edges). Interior halos are real data,
+        # so the stencil's edge handling only engages at true image edges.
+        s_h = max(0, s - 1)
+        e_h = min(h, e + 1)
+        # The stencil's neighbor-color map is phase-0 at the slice origin;
+        # re-anchor the CFA pattern to the band's first row.
+        band_cfa = CFA(plan.cfa_name).shift(0, s_h).name
+        band_statics = dict(statics,
+                            height=e_h - s_h,
+                            crop_y=statics["crop_y"] + s_h,
+                            cfa_name=band_cfa,
+                            orientation_flips=(False, False, False))
+        out = _develop_single_jit(plane, plan.params, **band_statics)
+        pieces.append(out[s - s_h: (s - s_h) + (e - s)])
+    full = jnp.concatenate(pieces, axis=0)
+    transpose, flip_x, flip_y = flips
+    if flip_x:
+        full = full[:, ::-1, :]
+    if flip_y:
+        full = full[::-1, :, :]
+    if transpose:
+        full = full.transpose(1, 0, 2)
+    return full
 
 
 def develop_batch_fn(plan: DevelopPlan):

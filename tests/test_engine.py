@@ -120,3 +120,18 @@ def test_batch_engine_files(tmp_path):
     assert len(outs) == 3
     assert all(o.shape == (64, 96, 3) for o in outs)
     assert not np.array_equal(outs[0], outs[1])
+
+
+def test_banded_develop_bit_identical():
+    """Banded fused develop (peak-HBM bound for big frames) must equal the
+    unbanded result bit-for-bit, including with orientation flips."""
+    from imagepipe_tpu.raw import Orientation
+
+    raw = synthetic_bayer(128, 96)
+    raw.orientation = Orientation.Rotate90
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    plan = make_develop_plan(p, out_bits=8)
+    want = np.asarray(develop_fused(plan, raw.data, bands=1))
+    for bands in (2, 3, 5):
+        got = np.asarray(develop_fused(plan, raw.data, bands=bands))
+        np.testing.assert_array_equal(got, want)

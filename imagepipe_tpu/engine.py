@@ -39,7 +39,8 @@ class DevelopPlan:
 
     def __init__(self, *, cfa_name, height, width, crop_x, crop_y, mode,
                  out_bits, linear, params, apply_curve, n_knots,
-                 orientation_flips, numerics):
+                 orientation_flips, numerics, dem_path="full",
+                 dem_w=0, dem_h=0):
         self.cfa_name = cfa_name
         self.height = height
         self.width = width
@@ -53,6 +54,9 @@ class DevelopPlan:
         self.n_knots = n_knots
         self.orientation_flips = orientation_flips  # (transpose, flipx, flipy)
         self.numerics = numerics    # 'lut' | 'direct'
+        self.dem_path = dem_path    # 'full' | 'scaled' | 'fulldown' | 'plaindown'
+        self.dem_w = dem_w
+        self.dem_h = dem_h
 
     def statics(self):
         return dict(cfa_name=self.cfa_name, height=self.height, width=self.width,
@@ -60,7 +64,8 @@ class DevelopPlan:
                     mode=self.mode, out_bits=self.out_bits, linear=self.linear,
                     apply_curve=self.apply_curve, n_knots=self.n_knots,
                     orientation_flips=self.orientation_flips,
-                    numerics=self.numerics)
+                    numerics=self.numerics, dem_path=self.dem_path,
+                    dem_w=self.dem_w, dem_h=self.dem_h)
 
 
 def make_develop_plan(pipeline, out_bits: int = 8, numerics: str = "auto") -> DevelopPlan:
@@ -116,6 +121,38 @@ def make_develop_plan(pipeline, out_bits: int = 8, numerics: str = "auto") -> De
         rgbmatrix=jnp.asarray(cc.XYZ_D65_33),
         **spl,
     )
+    # Demosaic-stage target size via the reference's 3-pass size planning
+    # (pipeline.rs:317-338); picks the same path demosaic.rs:41-60 would.
+    settings = pipeline.globals.settings
+    dem_path, dem_w, dem_h = "full", width, height
+    if settings.maxwidth or settings.maxheight:
+        from . import scaling as _scaling
+
+        allops = pipeline.ops.all_ops()
+        for op in allops:
+            op.reset()
+        fw, fh = pipeline.globals.image.width(), pipeline.globals.image.height()
+        for op in allops:
+            fw, fh = op.transform_forward(fw, fh)
+        fw, fh = _scaling.scaling_size(fw, fh, settings.maxwidth, settings.maxheight)
+        for op in reversed(allops):
+            fw, fh = op.transform_reverse(fw, fh)
+        for op in allops:
+            op.reset()
+        dem_w, dem_h = fw, fh
+        scale = _scaling.calculate_scale(width, height, dem_w, dem_h)
+        if mode != "cfa":
+            dem_path = "plaindown" if scale > 1.0 else "full"
+        else:
+            minscale = {2: 2.0, 6: 3.0, 8: 2.0, 12: 12.0}.get(
+                (cfa.width if cfa is not None else 2), 2.0)
+            if scale <= 1.0:
+                dem_path = "full"
+            elif scale >= minscale:
+                dem_path = "scaled"
+            else:
+                dem_path = "fulldown"
+
     if numerics == "auto":
         # Reference-faithful LUT interpolation on CPU (golden parity); direct
         # transcendental math on accelerators, where per-pixel table gathers
@@ -127,7 +164,7 @@ def make_develop_plan(pipeline, out_bits: int = 8, numerics: str = "auto") -> De
         linear=pipeline.globals.settings.linear and out_bits == 16,
         params=params, apply_curve=apply_curve, n_knots=n_knots,
         orientation_flips=ops.transform._orientation().to_flips(),
-        numerics=numerics,
+        numerics=numerics, dem_path=dem_path, dem_w=dem_w, dem_h=dem_h,
     )
 
 
@@ -160,7 +197,8 @@ def _spline_eval(params, n_knots, v):
 
 def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
                  mode, out_bits, linear, apply_curve, n_knots,
-                 orientation_flips, numerics):
+                 orientation_flips, numerics, dem_path="full", dem_w=0,
+                 dem_h=0):
     """plane: full sensor [H0,W0] (cfa/mono) or [H0,W0,3] (rgb) raw counts ->
     developed [H',W',3] quantized. Sensor crop applied here (static)."""
     f = jnp.float32
@@ -182,7 +220,30 @@ def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
         if mode == "mono":
             rgbe = jnp.stack([v, v, v, jnp.zeros_like(v)], axis=-1)
         else:
-            rgbe = stencil_demosaic(v, cfa_name, height, width)
+            if dem_path == "scaled":
+                # Fused demosaic+downscale (demosaic.rs:47-50).
+                from . import scaling as _scaling
+                from .raw import CFA as _CFA
+
+                rgbe = _scaling.transform_buffer(
+                    v[..., None], width, height, (0, 0), (width - 1, 0),
+                    (0, height - 1), dem_w, dem_h, 4, cfa=_CFA(cfa_name))
+            else:
+                rgbe = stencil_demosaic(v, cfa_name, height, width)
+                if dem_path == "fulldown":
+                    from . import scaling as _scaling
+
+                    rgbe = _scaling.transform_buffer(
+                        rgbe, width, height, (0, 0), (width - 1, 0),
+                        (0, height - 1), dem_w, dem_h, 4)
+
+    # Any resize path for non-CFA inputs (demosaic.rs:44-46).
+    if dem_path == "plaindown":
+        from . import scaling as _scaling
+
+        rgbe = _scaling.transform_buffer(
+            rgbe, width, height, (0, 0), (width - 1, 0), (0, height - 1),
+            dem_w, dem_h, 4)
 
     # to_lab: WB + camera matrix + Lab encode
     lab = cc.camera_to_lab(params["mul"], params["cmatrix"], rgbe)
@@ -215,36 +276,43 @@ def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
 
 _STATIC_NAMES = ("cfa_name", "height", "width", "crop_x", "crop_y", "mode",
                  "out_bits", "linear", "apply_curve", "n_knots",
-                 "orientation_flips", "numerics")
+                 "orientation_flips", "numerics", "dem_path", "dem_w", "dem_h")
 
 
+def _statics_kw(cfa_name, height, width, crop_x, crop_y, mode, out_bits,
+                linear, apply_curve, n_knots, orientation_flips, numerics,
+                dem_path, dem_w, dem_h):
+    return dict(cfa_name=cfa_name, height=height, width=width, crop_x=crop_x,
+                crop_y=crop_y, mode=mode, out_bits=out_bits, linear=linear,
+                apply_curve=apply_curve, n_knots=n_knots,
+                orientation_flips=orientation_flips, numerics=numerics,
+                dem_path=dem_path, dem_w=dem_w, dem_h=dem_h)
+
+
+# NOTE: static_argnames only binds to explicitly named parameters; a
+# **kwargs catch-all silently turns them into traced values.
 @partial(jax.jit, static_argnames=_STATIC_NAMES)
 def _develop_single_jit(plane, params, *, cfa_name, height, width, crop_x,
                         crop_y, mode, out_bits, linear, apply_curve, n_knots,
-                        orientation_flips, numerics):
+                        orientation_flips, numerics, dem_path="full", dem_w=0,
+                        dem_h=0):
+    kw = _statics_kw(cfa_name, height, width, crop_x, crop_y, mode, out_bits,
+                     linear, apply_curve, n_knots, orientation_flips,
+                     numerics, dem_path, dem_w, dem_h)
     with cc.numerics_mode(numerics):
-        return _develop_one(plane, params, cfa_name=cfa_name, height=height,
-                            width=width, crop_x=crop_x, crop_y=crop_y,
-                            mode=mode, out_bits=out_bits, linear=linear,
-                            apply_curve=apply_curve, n_knots=n_knots,
-                            orientation_flips=orientation_flips,
-                            numerics=numerics)
+        return _develop_one(plane, params, **kw)
 
 
 @partial(jax.jit, static_argnames=_STATIC_NAMES)
 def _develop_batch_jit(planes, params, *, cfa_name, height, width, crop_x,
                        crop_y, mode, out_bits, linear, apply_curve, n_knots,
-                       orientation_flips, numerics):
-    def one(p):
-        return _develop_one(p, params, cfa_name=cfa_name, height=height,
-                            width=width, crop_x=crop_x, crop_y=crop_y,
-                            mode=mode, out_bits=out_bits, linear=linear,
-                            apply_curve=apply_curve, n_knots=n_knots,
-                            orientation_flips=orientation_flips,
-                            numerics=numerics)
-
+                       orientation_flips, numerics, dem_path="full", dem_w=0,
+                       dem_h=0):
+    kw = _statics_kw(cfa_name, height, width, crop_x, crop_y, mode, out_bits,
+                     linear, apply_curve, n_knots, orientation_flips,
+                     numerics, dem_path, dem_w, dem_h)
     with cc.numerics_mode(numerics):
-        return jax.vmap(one)(planes)
+        return jax.vmap(lambda p: _develop_one(p, params, **kw))(planes)
 
 
 def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
@@ -262,7 +330,7 @@ def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
     if bands is None:
         bands = max(1, (plan.height * plan.width) // (24_000_000 + 1) + 1) \
             if plan.height * plan.width > 30_000_000 else 1
-    if bands <= 1 or plan.mode != "cfa":
+    if bands <= 1 or plan.mode != "cfa" or plan.dem_path != "full":
         return _develop_single_jit(plane, plan.params, **plan.statics())
 
     statics = plan.statics()

@@ -255,7 +255,6 @@ class Pipeline:
         s = self.globals.settings
         return (self.globals.image.is_raw
                 and s.use_fastpath
-                and s.maxwidth == 0 and s.maxheight == 0
                 and self.ops.rotatecrop._noop())
 
     def _run_fused(self, out_bits: int):

@@ -135,3 +135,35 @@ def test_banded_develop_bit_identical():
     for bands in (2, 3, 5):
         got = np.asarray(develop_fused(plan, raw.data, bands=bands))
         np.testing.assert_array_equal(got, want)
+
+
+def test_batched_thumbnail_develop():
+    """vmapped fused develop with the scaled-demosaic (resize) path."""
+    raws = [synthetic_bayer(192, 128, seed=s) for s in range(3)]
+    p = Pipeline.new_from_source(ImageSource.from_raw(raws[0]))
+    p.globals.settings.maxwidth = 64
+    plan = make_develop_plan(p, out_bits=8)
+    assert plan.dem_path == "scaled"
+    fn = develop_batch_fn(plan)
+    outs = np.asarray(fn(jnp.asarray(np.stack([r.data for r in raws]))))
+    assert outs.shape == (3, 42, 64, 3)
+    # must equal the staged pipeline's thumbnail bit-for-bit on CPU
+    for raw, out in zip(raws, outs):
+        sp = Pipeline.new_from_source(ImageSource.from_raw(raw))
+        sp.globals.settings.maxwidth = 64
+        sp.globals.settings.use_fastpath = False
+        staged = sp.output_8bit(None)
+        diff = staged.data.astype(int) - out.astype(int)
+        assert np.abs(diff).max() <= 1
+        assert (diff != 0).mean() < 0.01
+
+
+def test_graft_entry_points():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (512, 768, 3) and out.dtype == np.uint8
+    ge.dryrun_multichip(8)

@@ -276,12 +276,34 @@ def lab_to_rgb(rgbmatrix, pix):
 
     rgbmatrix: [3][3]; pix: [..., 3] -> [..., 3].
     """
+    r, g, b = lab_to_rgb_planar(rgbmatrix, (pix[..., 0], pix[..., 1], pix[..., 2]))
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def camera_to_lab_planar(mul, cmatrix, planes):
+    """Planar camera_to_lab: planes = (r, g, b, e) arrays -> (L, a, b).
+
+    TPU note: trailing channel dims of 3/4 get lane-padded up to 128 by the
+    tiled layout (42x memory); the planar forms keep every intermediate at
+    its natural [H, W] shape.
+    """
+    mul = jnp.asarray(mul, dtype=jnp.float32)
+    m = jnp.asarray(cmatrix, dtype=jnp.float32)
+    wb = [jnp.minimum(planes[c] * mul[c], 1.0) for c in range(4)]
+    x = ((wb[0] * m[0, 0] + wb[1] * m[0, 1]) + wb[2] * m[0, 2]) + wb[3] * m[0, 3]
+    y = ((wb[0] * m[1, 0] + wb[1] * m[1, 1]) + wb[2] * m[1, 2]) + wb[3] * m[1, 3]
+    z = ((wb[0] * m[2, 0] + wb[1] * m[2, 1]) + wb[2] * m[2, 2]) + wb[3] * m[2, 3]
+    return xyz_to_lab(x, y, z)
+
+
+def lab_to_rgb_planar(rgbmatrix, lab_planes):
+    """Planar lab_to_rgb: (L, a, b) -> (r, g, b)."""
     m = jnp.asarray(rgbmatrix, dtype=jnp.float32)
-    x, y, z = lab_to_xyz(pix[..., 0], pix[..., 1], pix[..., 2])
+    x, y, z = lab_to_xyz(lab_planes[0], lab_planes[1], lab_planes[2])
     r = (x * m[0, 0] + y * m[0, 1]) + z * m[0, 2]
     g = (x * m[1, 0] + y * m[1, 1]) + z * m[1, 2]
     b = (x * m[2, 0] + y * m[2, 1]) + z * m[2, 2]
-    return jnp.stack([r, g, b], axis=-1)
+    return r, g, b
 
 
 def temp_tint_to_rgb(temp: float, tint: float):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from . import color as cc
 from .buffer import OpBuffer
-from .kernels.demosaic_full import stencil_demosaic
+from .kernels.demosaic_full import stencil_demosaic_planes
 from .raw import CFA, RawImage
 from .spline import SplineFunc
 
@@ -200,7 +200,9 @@ def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
                  orientation_flips, numerics, dem_path="full", dem_w=0,
                  dem_h=0):
     """plane: full sensor [H0,W0] (cfa/mono) or [H0,W0,3] (rgb) raw counts ->
-    developed [H',W',3] quantized. Sensor crop applied here (static)."""
+    developed [3, H', W'] quantized (channel-planar: a trailing 3-channel dim
+    would be lane-padded 3->128 by the TPU tiled layout, 42x memory). Sensor
+    crop applied here (static). Host side converts to HWC."""
     f = jnp.float32
     plane = plane.astype(f)
     if plane.ndim == 2:
@@ -210,68 +212,69 @@ def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
         plane = jax.lax.slice(plane, (crop_y, crop_x, 0),
                               (crop_y + height, crop_x + width, 3))
 
+    from . import scaling as _scaling
+    from .raw import CFA as _CFA
+
     # gofloat (levels; cfa/mono paths use channel-0 levels, gofloat.rs:101-127)
     if mode == "rgb":
-        rgbe = jnp.concatenate([
-            jnp.minimum((plane - params["mins"][:3]) / params["ranges"][:3], 1.0),
-            jnp.zeros((height, width, 1), f)], axis=-1)
+        rgbe = [jnp.minimum((plane[..., c] - params["mins"][c]) / params["ranges"][c], 1.0)
+                for c in range(3)]
+        rgbe.append(jnp.zeros((height, width), f))
     else:
         v = jnp.minimum((plane - params["mins"][0]) / params["ranges"][0], 1.0)
         if mode == "mono":
-            rgbe = jnp.stack([v, v, v, jnp.zeros_like(v)], axis=-1)
+            rgbe = [v, v, v, jnp.zeros_like(v)]
         else:
             if dem_path == "scaled":
                 # Fused demosaic+downscale (demosaic.rs:47-50).
-                from . import scaling as _scaling
-                from .raw import CFA as _CFA
-
-                rgbe = _scaling.transform_buffer(
-                    v[..., None], width, height, (0, 0), (width - 1, 0),
-                    (0, height - 1), dem_w, dem_h, 4, cfa=_CFA(cfa_name))
+                out = _scaling.scale_down_planar(v[None], dem_w, dem_h, 4,
+                                                 cfa=_CFA(cfa_name))
+                rgbe = [out[c] for c in range(4)]
             else:
-                rgbe = stencil_demosaic(v, cfa_name, height, width)
+                rgbe = stencil_demosaic_planes(v, cfa_name, height, width)
                 if dem_path == "fulldown":
-                    from . import scaling as _scaling
-
-                    rgbe = _scaling.transform_buffer(
-                        rgbe, width, height, (0, 0), (width - 1, 0),
-                        (0, height - 1), dem_w, dem_h, 4)
+                    out = _scaling.scale_down_planar(jnp.stack(rgbe, 0), dem_w, dem_h, 4)
+                    rgbe = [out[c] for c in range(4)]
 
     # Any resize path for non-CFA inputs (demosaic.rs:44-46).
     if dem_path == "plaindown":
-        from . import scaling as _scaling
-
-        rgbe = _scaling.transform_buffer(
-            rgbe, width, height, (0, 0), (width - 1, 0), (0, height - 1),
-            dem_w, dem_h, 4)
+        out = _scaling.scale_down_planar(jnp.stack(rgbe, 0), dem_w, dem_h, 4)
+        rgbe = [out[c] for c in range(4)]
 
     # to_lab: WB + camera matrix + Lab encode
-    lab = cc.camera_to_lab(params["mul"], params["cmatrix"], rgbe)
+    L, A, B = cc.camera_to_lab_planar(params["mul"], params["cmatrix"], rgbe)
 
     # basecurve on L
     if apply_curve:
-        lab = lab.at[..., 0].set(_spline_eval(params, n_knots, lab[..., 0]))
+        L = _spline_eval(params, n_knots, L)
 
     # from_lab
-    rgb = cc.lab_to_rgb(params["rgbmatrix"], lab)
+    rgb = list(cc.lab_to_rgb_planar(params["rgbmatrix"], (L, A, B)))
 
     # gamma (skipped for 16-bit linear output, gamma.rs:17-18)
     if not linear:
-        rgb = cc.apply_srgb_gamma(jnp.clip(rgb, 0.0, 1.0))
+        rgb = [cc.apply_srgb_gamma(jnp.clip(ch, 0.0, 1.0)) for ch in rgb]
 
-    # output transform (EXIF orientation)
+    # output transform (EXIF orientation), per plane
     transpose, flip_x, flip_y = orientation_flips
-    if flip_x:
-        rgb = rgb[:, ::-1, :]
-    if flip_y:
-        rgb = rgb[::-1, :, :]
-    if transpose:
-        rgb = rgb.transpose(1, 0, 2)
+    for i in range(3):
+        ch = rgb[i]
+        if flip_x:
+            ch = ch[:, ::-1]
+        if flip_y:
+            ch = ch[::-1, :]
+        if transpose:
+            ch = ch.T
+        rgb[i] = ch
 
-    # quantize on device
-    if out_bits == 8:
-        return cc.output8bit(rgb)
-    return cc.output16bit(rgb)
+    # quantize on device, planar [3, H', W']
+    q = cc.output8bit if out_bits == 8 else cc.output16bit
+    return jnp.stack([q(ch) for ch in rgb], axis=0)
+
+
+def planar_to_hwc(out) -> np.ndarray:
+    """Host-side [.., 3, H, W] -> [.., H, W, 3] numpy conversion."""
+    return np.moveaxis(np.asarray(out), -3, -1)
 
 
 _STATIC_NAMES = ("cfa_name", "height", "width", "crop_x", "crop_y", "mode",
@@ -356,15 +359,15 @@ def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
                             cfa_name=band_cfa,
                             orientation_flips=(False, False, False))
         out = _develop_single_jit(plane, plan.params, **band_statics)
-        pieces.append(out[s - s_h: (s - s_h) + (e - s)])
-    full = jnp.concatenate(pieces, axis=0)
+        pieces.append(out[:, s - s_h: (s - s_h) + (e - s)])
+    full = jnp.concatenate(pieces, axis=1)   # planar [3, H, W]
     transpose, flip_x, flip_y = flips
     if flip_x:
-        full = full[:, ::-1, :]
+        full = full[:, :, ::-1]
     if flip_y:
-        full = full[::-1, :, :]
+        full = full[:, ::-1, :]
     if transpose:
-        full = full.transpose(1, 0, 2)
+        full = full.transpose(0, 2, 1)
     return full
 
 

@@ -65,7 +65,14 @@ def _tiled_colors(cfa_name: str, i: int, height: int, width: int):
     return jnp.tile(jnp.asarray(lut), reps)[:height, :width]
 
 
-def stencil_demosaic(plane, cfa_name: str, height: int, width: int):
+def stencil_demosaic_planes(plane, cfa_name: str, height: int, width: int):
+    """[H,W] f32 sensor plane -> list of four [H,W] RGBE planes (planar form
+    avoids the TPU's 42x lane padding of trailing channel dims)."""
+    out = stencil_demosaic(plane, cfa_name, height, width, stacked=False)
+    return out
+
+
+def stencil_demosaic(plane, cfa_name: str, height: int, width: int, stacked=True):
     """[H,W] f32 sensor plane -> [H,W,4] RGBE. Shared by the staged op and
     the fused engine (identical trace => identical bits)."""
     f = jnp.float32
@@ -86,9 +93,10 @@ def stencil_demosaic(plane, cfa_name: str, height: int, width: int):
             sel = jnp.where(color == c, valid, 0.0)
             sums[c] = sums[c] + val * sel
             counts[c] = counts[c] + sel
-    return jnp.stack(
-        [jnp.where(counts[c] > 0.0, sums[c] / counts[c], 0.0) for c in range(4)],
-        axis=-1)
+    planes = [jnp.where(counts[c] > 0.0, sums[c] / counts[c], 0.0) for c in range(4)]
+    if not stacked:
+        return planes
+    return jnp.stack(planes, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width"))

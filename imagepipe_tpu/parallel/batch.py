@@ -91,7 +91,9 @@ class BatchEngine:
                     planes = planes[np.arange(b + pad) % b]
                 dev = shard_batch(self.mesh, jnp.asarray(planes))
                 out = _develop_batch_jit(dev, plan.params, **plan.statics())
-                out_np = np.asarray(out)[:b]
+                from ..engine import planar_to_hwc
+
+                out_np = planar_to_hwc(out)[:b]
                 for (idx, _, _), img in zip(chunk, out_np):
                     results[idx] = img
         return results

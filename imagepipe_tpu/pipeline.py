@@ -258,12 +258,12 @@ class Pipeline:
                 and self.ops.rotatecrop._noop())
 
     def _run_fused(self, out_bits: int):
-        from .engine import make_develop_plan, develop_fused
+        from .engine import make_develop_plan, develop_fused, planar_to_hwc
         from .sources import staged_raw_plane
 
         plan = make_develop_plan(self, out_bits=out_bits)
         plane = staged_raw_plane(self.globals.image.raw)
-        return np.asarray(develop_fused(plan, plane))
+        return planar_to_hwc(develop_fused(plan, plane))
 
     def output_8bit(self, cache: Optional[MultiCache] = None) -> SRGBImage:
         if self._fastpath_applicable():

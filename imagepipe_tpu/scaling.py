@@ -177,22 +177,26 @@ def _transform_impl(src, cfa_tile, *, width, height, topleft, topright, bottomle
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "topleft", "topright", "bottomleft",
-    "nwidth", "nheight", "components", "cfa_key", "out_dtype"))
+    "nwidth", "nheight", "components", "cfa_key", "out_dtype", "planar"))
 def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
                             bottomleft, nwidth, nheight, components, cfa_key,
-                            out_dtype):
+                            out_dtype, planar=False):
     """Axis-aligned specialization of the resampler (no rotation: every
     scale-down and crop path). Identical per-pixel semantics to
     _transform_impl, restructured for the TPU:
 
       * row windows are contiguous -> per-window-row `jnp.take` row gathers;
       * column selection becomes a matmul against a single one-hot matrix
-        (selection by 0/1 matmul at HIGHEST precision is bit-exact), with
-        window offsets as cheap shifts of the padded row block -- the MXU
-        does the "gather", which element-wise gathers cannot touch on TPU.
+        (selection by 0/1 matmul is bit-exact), with window offsets as cheap
+        shifts of the padded row block -- the MXU does the "gather", which
+        element-wise gathers cannot touch on TPU;
+      * everything is channel-planar [C, H, W] internally: trailing channel
+        dims of 3/4/8 would be lane-padded to 128 by the TPU tiled layout
+        (up to 42x memory).
 
-    The fori(ky) x fori(kx) accumulation order matches the reference's
-    y-outer/x-inner scalar loop (scaling.rs:93-120).
+    src: [H, W, C] (planar=False) or [C, H, W] (planar=True); output layout
+    matches. The fori(ky) x fori(kx) accumulation order matches the
+    reference's y-outer/x-inner scalar loop (scaling.rs:93-120).
     """
     f = jnp.float32
     tl0, tl1 = _f32(topleft[0]), _f32(topleft[1])
@@ -225,23 +229,26 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
     K_x = max(1, int((to_x1 - from_x1).max()) + 1)
     K_y = max(1, int((to_y1 - from_y1).max()) + 1)
 
+    src_chw = src if planar else jnp.moveaxis(jnp.atleast_3d(src), -1, 0)
+
     cfa_mode = cfa_key is not None
     if cfa_mode:
         # Per-color value and mask planes; selection handles the rest.
         reps = (-(-height // 48), -(-width // 48))
         colmap = jnp.tile(cfa_tile, reps)[:height, :width].astype(jnp.int32)
         planes = []
+        v0 = src_chw[0]
         for c in range(4):
             m = (colmap == c).astype(f)
-            planes.append(src[..., 0] * m)
+            planes.append(v0 * m)
             planes.append(m)
-        planes = jnp.stack(planes, axis=-1)   # [H, W, 8]
+        planes = jnp.stack(planes, axis=0)     # [8, H, W]
         nsum = 4
     else:
-        planes = src                           # [H, W, C]
+        planes = src_chw                        # [C, H, W]
         nsum = components
 
-    C = planes.shape[-1]
+    C = planes.shape[0]
     from_x_d = jnp.asarray(from_x1)
     to_x_d = jnp.asarray(to_x1)
     from_y_d = jnp.asarray(from_y1)
@@ -254,7 +261,7 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
     xs = jnp.arange(width, dtype=jnp.int32)
     P = (xs[None, :] == from_x_d[:, None]).astype(f)
 
-    sums0 = jnp.zeros((nheight, C, nwidth), f)
+    sums0 = jnp.zeros((C, nheight, nwidth), f)
 
     def ky_body(ky, sums):
         y = jnp.minimum(from_y_d + ky, height - 1)
@@ -262,8 +269,8 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
         dy = (y.astype(f) - cy_d) / skip_y_y
         dy2 = dy * dy                                                  # [nh]
 
-        A = jnp.take(planes, y, axis=0)                   # [nh, W, C] row gather
-        A = jnp.moveaxis(A, -1, 1).reshape(nheight * C, width)
+        A = jnp.take(planes, y, axis=1)                   # [C, nh, W] row gather
+        A = A.reshape(C * nheight, width)
         A_pad = jnp.pad(A, ((0, 0), (0, K_x)))
 
         def kx_body(kx, sums):
@@ -275,24 +282,23 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
             factor = jnp.where(factor < 0.0, 0.0, factor)
             w = jnp.where(valid_y[:, None] & valid_x[None, :], factor, 0.0)
 
-            A_shift = jax.lax.dynamic_slice(A_pad, (0, kx), (nheight * C, width))
+            A_shift = jax.lax.dynamic_slice(A_pad, (0, kx), (C * nheight, width))
             # HIGH = bf16x3 passes: the 3-way bf16 split of an f32 is exact,
             # and the other operand is 0/1, so selection stays bit-exact at
             # half the cost of HIGHEST.
             sel = jax.lax.dot_general(
                 A_shift, P, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGH)         # [nh*C, nw]
-            sel = sel.reshape(nheight, C, nwidth)
-            return sums + sel * w[:, None, :]
+                precision=jax.lax.Precision.HIGH)         # [C*nh, nw]
+            sel = sel.reshape(C, nheight, nwidth)
+            return sums + sel * w[None, :, :]
 
         return jax.lax.fori_loop(0, K_x, kx_body, sums)
 
-    sums = jax.lax.fori_loop(0, K_y, ky_body, sums0)
-    sums = jnp.moveaxis(sums, 1, -1)                      # [nh, nw, C]
+    sums = jax.lax.fori_loop(0, K_y, ky_body, sums0)      # [C, nh, nw]
 
     if cfa_mode:
-        vals = sums[..., 0::2]
-        counts = sums[..., 1::2]
+        vals = sums[0::2]
+        counts = sums[1::2]
     else:
         # counts are selection-independent: sum of weights.
         def count_body(k, acc):
@@ -308,16 +314,18 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
             return acc + jnp.where(valid, factor, 0.0)
 
         counts = jax.lax.fori_loop(
-            0, K_x * K_y, count_body, jnp.zeros((nheight, nwidth), f))[..., None]
+            0, K_x * K_y, count_body, jnp.zeros((nheight, nwidth), f))[None]
         vals = sums
 
-    out = jnp.where(counts > 0.0, vals / counts, 0.0)
-    if not cfa_mode and components != out.shape[-1]:
-        out = out[..., :components]
-    if out_dtype == jnp.float32:
+    out = jnp.where(counts > 0.0, vals / counts, 0.0)     # [C', nh, nw]
+    if not cfa_mode and components != out.shape[0]:
+        out = out[:components]
+    if out_dtype != jnp.float32:
+        info = jnp.iinfo(out_dtype)
+        out = jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
+    if planar:
         return out
-    info = jnp.iinfo(out_dtype)
-    return jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def transform_buffer(src, width, height, topleft, topright, bottomleft,
@@ -348,6 +356,26 @@ def transform_buffer(src, width, height, topleft, topright, bottomleft,
         bottomleft=(int(bottomleft[0]), int(bottomleft[1])),
         nwidth=int(nwidth), nheight=int(nheight),
         components=int(components), cfa_key=cfa_key, out_dtype=out_dtype)
+
+
+def scale_down_planar(src_chw, nwidth, nheight, components, cfa=None):
+    """Planar ([C,H,W] in, [C',nh,nw] out) axis-aligned scale-down for the
+    fused engine -- avoids HWC intermediates entirely. src_chw: [C, H, W]
+    (C=1 with cfa for the fused demosaic-downscale)."""
+    _, height, width = src_chw.shape
+    if cfa is not None:
+        cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
+        cfa_key = cfa.name
+    else:
+        cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
+        cfa_key = None
+    return _transform_aligned_impl(
+        src_chw, cfa_tile,
+        width=int(width), height=int(height),
+        topleft=(0, 0), topright=(int(width) - 1, 0), bottomleft=(0, int(height) - 1),
+        nwidth=int(nwidth), nheight=int(nheight),
+        components=int(components), cfa_key=cfa_key, out_dtype=jnp.float32,
+        planar=True)
 
 
 def _scale_down(src, width, height, nwidth, nheight, components, cfa=None,

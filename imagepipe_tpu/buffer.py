@@ -21,15 +21,17 @@ __all__ = ["OpBuffer", "from_rgb_str_vec"]
 class OpBuffer:
     """width x height x colors f32 image plane(s) plus the monochrome flag.
 
-    colors is in {1, 3, 4} like the reference; data is [height, width, colors]
-    float32 on the default device.
+    colors is in {1, 3, 4} like the reference; data is CHANNEL-PLANAR
+    [colors, height, width] float32 on the default device -- the TPU tiled
+    layout lane-pads a trailing 3/4-channel dim to 128 (42x memory), so the
+    minor dims must be spatial. Use to_hwc()/from_hwc() at host boundaries.
     """
 
     width: int
     height: int
     colors: int
     monochrome: bool
-    data: jnp.ndarray  # [height, width, colors] f32
+    data: jnp.ndarray  # [colors, height, width] f32
 
     @staticmethod
     def default() -> "OpBuffer":
@@ -38,12 +40,22 @@ class OpBuffer:
     @staticmethod
     def new(width: int, height: int, colors: int, monochrome: bool) -> "OpBuffer":
         return OpBuffer(width, height, colors, monochrome,
-                        jnp.zeros((height, width, colors), jnp.float32))
+                        jnp.zeros((colors, height, width), jnp.float32))
+
+    @staticmethod
+    def from_hwc(arr, monochrome: bool = False) -> "OpBuffer":
+        arr = jnp.asarray(arr, jnp.float32)
+        h, w, c = arr.shape
+        return OpBuffer(w, h, c, monochrome, jnp.moveaxis(arr, -1, 0))
+
+    def to_hwc(self) -> np.ndarray:
+        """Host-side [H, W, C] view of the buffer."""
+        return np.moveaxis(np.asarray(self.data), 0, -1)
 
     def with_data(self, data: jnp.ndarray, colors: int | None = None,
                   width: int | None = None, height: int | None = None,
                   monochrome: bool | None = None) -> "OpBuffer":
-        h, w, c = data.shape
+        c, h, w = data.shape
         return OpBuffer(
             width if width is not None else w,
             height if height is not None else h,
@@ -59,7 +71,7 @@ class OpBuffer:
         """Inverse-mapped affine resample (buffer.rs:62-79 parity)."""
         from . import scaling
 
-        data = scaling.transform_buffer(
+        data = scaling.transform_buffer_planar(
             self.data, self.width, self.height, topleft, topright, bottomleft,
             width, height, self.colors)
         return OpBuffer(width, height, self.colors, self.monochrome, data)
@@ -96,4 +108,4 @@ def from_rgb_str_vec(rows: list[str]) -> OpBuffer:
         assert len(row) == width, "ragged fixture rows"
         for x, ch in enumerate(row):
             data[y, x] = lut[ch]
-    return OpBuffer(width, height, 3, False, jnp.asarray(data))
+    return OpBuffer.from_hwc(data)

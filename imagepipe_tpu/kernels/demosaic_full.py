@@ -104,8 +104,14 @@ def _demosaic_impl(plane, *, cfa_name, height, width):
     return stencil_demosaic(plane, cfa_name, height, width)
 
 
+@partial(jax.jit, static_argnames=("cfa_name", "height", "width"))
+def _demosaic_impl_planar(plane, *, cfa_name, height, width):
+    return jnp.stack(stencil_demosaic(plane, cfa_name, height, width,
+                                      stacked=False), axis=0)
+
+
 def demosaic_full(cfa: CFA, buf: OpBuffer) -> OpBuffer:
-    """CFA single-plane -> 4-channel RGBE at full resolution."""
-    data = _demosaic_impl(buf.data[..., 0], cfa_name=cfa.name,
-                          height=buf.height, width=buf.width)
+    """CFA single-plane -> 4-channel RGBE at full resolution (planar)."""
+    data = _demosaic_impl_planar(buf.data[0], cfa_name=cfa.name,
+                                 height=buf.height, width=buf.width)
     return OpBuffer(buf.width, buf.height, 4, buf.monochrome, data)

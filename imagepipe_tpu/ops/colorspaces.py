@@ -46,12 +46,16 @@ def _is_normal(v: float) -> bool:
 
 @jax.jit
 def _to_lab_kernel(data, mul, cmatrix):
-    return cc.camera_to_lab(mul, cmatrix, data)
+    # data: planar [4, H, W] -> [3, H, W]
+    L, A, B = cc.camera_to_lab_planar(mul, cmatrix, [data[c] for c in range(4)])
+    return jnp.stack([L, A, B], axis=0)
 
 
 @jax.jit
 def _from_lab_kernel(data, rgbmatrix):
-    return cc.lab_to_rgb(rgbmatrix, data)
+    # data: planar [3, H, W] -> [3, H, W]
+    r, g, b = cc.lab_to_rgb_planar(rgbmatrix, (data[0], data[1], data[2]))
+    return jnp.stack([r, g, b], axis=0)
 
 
 class OpToLab(ImageOp):

@@ -53,5 +53,5 @@ class OpBaseCurve(ImageOp):
         scale = math.pow(2.0, self.exposure)
         final_points = [(x, y * scale) for (x, y) in self.points]
         func = SplineFunc(final_points)
-        data = buf.data.at[..., 0].set(func.interpolate(buf.data[..., 0]))
+        data = buf.data.at[0].set(func.interpolate(buf.data[0]))
         return buf.with_data(data)

@@ -25,38 +25,36 @@ __all__ = ["OpGoFloat"]
 
 @partial(jax.jit, static_argnames=("mode",))
 def _normalize(data, mins, ranges, *, mode):
-    """data: [h,w] or [h,w,3] f32 raw counts -> normalized per gofloat.rs.
+    """data: [h,w] or [h,w,3] f32 raw counts -> normalized planar [C,h,w].
 
     mode: 'mono' (1ch -> 4ch replicated), 'rgb' (3ch -> 4ch), 'cfa' (1ch).
     Note the reference clamps to <= 1.0 but NOT >= 0.0, and the cfa/mono
     paths use only channel 0's levels (gofloat.rs:101-107,125-127).
     """
     if mode == "rgb":
-        v = jnp.minimum((data - mins[:3]) / ranges[:3], 1.0)
-        e = jnp.zeros(v.shape[:-1] + (1,), jnp.float32)
-        return jnp.concatenate([v, e], axis=-1)
+        chans = [jnp.minimum((data[..., c] - mins[c]) / ranges[c], 1.0)
+                 for c in range(3)]
+        return jnp.stack(chans + [jnp.zeros_like(chans[0])], axis=0)
     v = jnp.minimum((data - mins[0]) / ranges[0], 1.0)
     if mode == "mono":
         z = jnp.zeros_like(v)
-        return jnp.stack([v, v, v, z], axis=-1)
-    return v[..., None]  # cfa
+        return jnp.stack([v, v, v, z], axis=0)
+    return v[None]  # cfa
 
 
 @jax.jit
 def _ingest_raster8(rgb):
-    """8-bit raster: sRGB gamma expansion (gofloat.rs:178-187)."""
-    v = expand_srgb_gamma(input8bit(rgb))
-    e = jnp.zeros(v.shape[:-1] + (1,), jnp.float32)
-    return jnp.concatenate([v, e], axis=-1)
+    """8-bit raster: sRGB gamma expansion (gofloat.rs:178-187). -> [4,h,w]."""
+    chans = [expand_srgb_gamma(input8bit(rgb[..., c])) for c in range(3)]
+    return jnp.stack(chans + [jnp.zeros_like(chans[0])], axis=0)
 
 
 @jax.jit
 def _ingest_raster16(rgb):
     """16-bit raster: straight /65535, no gamma removal (gofloat.rs:188-197,
-    reproduced as-is for parity)."""
-    v = input16bit(rgb)
-    e = jnp.zeros(v.shape[:-1] + (1,), jnp.float32)
-    return jnp.concatenate([v, e], axis=-1)
+    reproduced as-is for parity). -> [4,h,w]."""
+    chans = [input16bit(rgb[..., c]) for c in range(3)]
+    return jnp.stack(chans + [jnp.zeros_like(chans[0])], axis=0)
 
 
 class OpGoFloat(ImageOp):

@@ -174,7 +174,7 @@ class OpRotateCrop(ImageOp):
         bottomleft = self._rotate_point_reverse(
             x, _f32(_f32(y) + fnheight - _f32(1.0)), fnwidth, fnheight, swidth, sheight)
 
-        data = scaling.transform_buffer(
+        data = scaling.transform_buffer_planar(
             buf.data, buf.width, buf.height, topleft, topright, bottomleft,
             nwidth, nheight, buf.colors)
         return OpBuffer(nwidth, nheight, buf.colors, buf.monochrome, data)

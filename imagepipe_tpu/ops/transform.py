@@ -43,13 +43,13 @@ def rotate_buffer(buf: OpBuffer, orientation: Orientation) -> OpBuffer:
         return buf
 
     transpose, flip_x, flip_y = orientation.to_flips()
-    data = buf.data
+    data = buf.data  # planar [3, H, W]
     if flip_x:
-        data = data[:, ::-1, :]
+        data = data[:, :, ::-1]
     if flip_y:
-        data = data[::-1, :, :]
+        data = data[:, ::-1, :]
     if transpose:
-        data = data.transpose(1, 0, 2)
+        data = data.transpose(0, 2, 1)
         return OpBuffer(buf.height, buf.width, 3, buf.monochrome, data)
     return OpBuffer(buf.width, buf.height, 3, buf.monochrome, data)
 

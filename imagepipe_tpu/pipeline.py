@@ -288,7 +288,7 @@ class Pipeline:
             self.globals.settings.linear = False
             buffer = self.run(cache)
             with _timing("  8 bit conversion"):
-                data = np.asarray(output8bit(buffer.data))
+                data = np.moveaxis(np.asarray(output8bit(buffer.data)), 0, -1)
             return SRGBImage(buffer.width, buffer.height, data)
 
     def output_16bit(self, cache: Optional[MultiCache] = None) -> SRGBImage16:
@@ -314,5 +314,5 @@ class Pipeline:
             self.globals.settings.linear = True
             buffer = self.run(cache)
             with _timing("  16 bit conversion"):
-                data = np.asarray(output16bit(buffer.data))
+                data = np.moveaxis(np.asarray(output16bit(buffer.data)), 0, -1)
             return SRGBImage16(buffer.width, buffer.height, data)

@@ -385,19 +385,53 @@ def _scale_down(src, width, height, nwidth, nheight, components, cfa=None,
         nwidth, nheight, components, cfa, out_dtype)
 
 
+def transform_buffer_planar(src_chw, width, height, topleft, topright,
+                            bottomleft, nwidth, nheight, components, cfa=None):
+    """Planar ([C,H,W] in/out) resampler entry: aligned geometry uses the
+    planar MXU core directly; rotated geometry round-trips through the
+    HWC gather fallback."""
+    aligned = (int(topright[1]) == int(topleft[1])
+               and int(bottomleft[0]) == int(topleft[0])
+               and nwidth > 1 and nheight > 1)
+    if aligned:
+        if cfa is not None:
+            cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
+            cfa_key = cfa.name
+        else:
+            cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
+            cfa_key = None
+        return _transform_aligned_impl(
+            src_chw, cfa_tile,
+            width=int(width), height=int(height),
+            topleft=(int(topleft[0]), int(topleft[1])),
+            topright=(int(topright[0]), int(topright[1])),
+            bottomleft=(int(bottomleft[0]), int(bottomleft[1])),
+            nwidth=int(nwidth), nheight=int(nheight),
+            components=int(components), cfa_key=cfa_key,
+            out_dtype=jnp.float32, planar=True)
+    out_hwc = transform_buffer(
+        jnp.moveaxis(src_chw, 0, -1), width, height, topleft, topright,
+        bottomleft, nwidth, nheight, components, cfa)
+    return jnp.moveaxis(out_hwc, -1, 0)
+
+
 def scaled_demosaic(cfa, buf: OpBuffer, nwidth: int, nheight: int) -> OpBuffer:
     """Demosaic fused with downscale in one pass (scaling.rs:132-145): each
     output pixel averages the CFA-aware source window -- the key trick that
     avoids materializing full-res RGB for thumbnail renders (HBM budget)."""
     assert buf.colors == 1
-    data = _scale_down(buf.data, buf.width, buf.height, nwidth, nheight, 4, cfa)
+    data = transform_buffer_planar(
+        buf.data, buf.width, buf.height, (0, 0), (buf.width - 1, 0),
+        (0, buf.height - 1), nwidth, nheight, 4, cfa)
     return OpBuffer(nwidth, nheight, 4, buf.monochrome, data)
 
 
 def scale_down_opbuf(buf: OpBuffer, nwidth: int, nheight: int) -> OpBuffer:
     """Plain 4-channel downscale (scaling.rs:147-160)."""
     assert buf.colors == 4
-    data = _scale_down(buf.data, buf.width, buf.height, nwidth, nheight, 4)
+    data = transform_buffer_planar(
+        buf.data, buf.width, buf.height, (0, 0), (buf.width - 1, 0),
+        (0, buf.height - 1), nwidth, nheight, 4)
     return OpBuffer(nwidth, nheight, 4, buf.monochrome, data)
 
 

@@ -31,8 +31,8 @@ def test_demosaic_full_bayer_matches_oracle():
         cfa = CFA(name)
         h, w = 22, 30
         plane = rng.random((h, w), dtype=np.float32)
-        buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[..., None]))
-        got = np.asarray(demosaic_full(cfa, buf).data)
+        buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[None]))
+        got = demosaic_full(cfa, buf).to_hwc()
         want = oracle.demosaic_full(cfa, plane, w, h)
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
@@ -42,8 +42,8 @@ def test_demosaic_full_xtrans_matches_oracle():
     cfa = CFA(XTRANS)
     h, w = 24, 36
     plane = rng.random((h, w), dtype=np.float32)
-    buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[..., None]))
-    got = np.asarray(demosaic_full(cfa, buf).data)
+    buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[None]))
+    got = demosaic_full(cfa, buf).to_hwc()
     want = oracle.demosaic_full(cfa, plane, w, h)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
@@ -53,8 +53,8 @@ def test_demosaic_constant_plane_is_constant():
     CFA contains (interpolation must not invent structure)."""
     cfa = CFA("RGGB")
     h = w = 16
-    buf = OpBuffer(w, h, 1, False, jnp.full((h, w, 1), 0.5, jnp.float32))
-    out = np.asarray(demosaic_full(cfa, buf).data)
+    buf = OpBuffer(w, h, 1, False, jnp.full((1, h, w), 0.5, jnp.float32))
+    out = demosaic_full(cfa, buf).to_hwc()
     for c in range(3):
         np.testing.assert_allclose(out[..., c], 0.5, atol=1e-7)
     np.testing.assert_allclose(out[..., 3], 0.0, atol=0)  # no E plane in RGGB

@@ -12,7 +12,7 @@ from imagepipe_tpu.pipeline import PipelineGlobals
 
 def _setup():
     data = np.arange(100 * 100 * 3, dtype=np.float32).reshape(100, 100, 3)
-    buf = OpBuffer(100, 100, 3, False, jnp.asarray(data))
+    buf = OpBuffer.from_hwc(data)
     return buf, OpRotateCrop.empty(), PipelineGlobals.mock(100, 100), data
 
 

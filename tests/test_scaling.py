@@ -33,14 +33,14 @@ def test_scaling_noop_identity():
 
 def _rand_buf(rng, w, h, c):
     data = rng.random((h, w, c), dtype=np.float32)
-    return OpBuffer(w, h, c, False, jnp.asarray(data)), data
+    return OpBuffer.from_hwc(data), data
 
 
 def test_scale_down_matches_oracle():
     rng = np.random.default_rng(42)
     for (w, h, nw, nh) in [(64, 48, 31, 23), (64, 48, 64, 48), (33, 57, 8, 14), (40, 40, 39, 40)]:
         buf, data = _rand_buf(rng, w, h, 4)
-        got = np.asarray(scaling.scale_down_opbuf(buf, nw, nh).data)
+        got = scaling.scale_down_opbuf(buf, nw, nh).to_hwc()
         want = oracle.transform_buffer(
             data.ravel(), w, h, (0, 0), (w - 1, 0), (0, h - 1), nw, nh, 4
         ).reshape(nh, nw, 4)
@@ -53,8 +53,8 @@ def test_scaled_demosaic_matches_oracle():
         cfa = CFA(cfa_name)
         w, h, nw, nh = 48, 36, 12, 9
         plane = rng.random((h, w), dtype=np.float32)
-        buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[..., None]))
-        got = np.asarray(scaling.scaled_demosaic(cfa, buf, nw, nh).data)
+        buf = OpBuffer(w, h, 1, False, jnp.asarray(plane[None]))
+        got = scaling.scaled_demosaic(cfa, buf, nw, nh).to_hwc()
         want = oracle.transform_buffer(
             plane.ravel(), w, h, (0, 0), (w - 1, 0), (0, h - 1), nw, nh, 4, cfa
         ).reshape(nh, nw, 4)
@@ -70,7 +70,7 @@ def test_affine_transform_matches_oracle():
     topleft, topright, bottomleft = (5, 2), (44, 12), (-3, 33)
     nw, nh = 37, 29
     got = np.asarray(scaling.transform_buffer(
-        buf.data, w, h, topleft, topright, bottomleft, nw, nh, 3))
+        jnp.asarray(data), w, h, topleft, topright, bottomleft, nw, nh, 3))
     want = oracle.transform_buffer(
         data.ravel(), w, h, topleft, topright, bottomleft, nw, nh, 3
     ).reshape(nh, nw, 3)

@@ -171,7 +171,10 @@ def main():
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
 
-    baseline = measure_baseline()
+    # Denominator: the RECORDED single-core number (stable across rounds);
+    # the freshly measured value goes in extra (host-load dependent).
+    baseline = BASELINE_MP_S_FALLBACK
+    measured_baseline = measure_baseline()
     result = {
         "metric": "Megapixels/sec/chip RAW->sRGB (24MP Bayer); p50 per-image develop latency",
         "value": round(mp_per_s, 1),
@@ -182,6 +185,7 @@ def main():
             "batch": batch,
             "device": str(jax.devices()[0]),
             "baseline_mp_s": baseline,
+            "baseline_mp_s_remeasured": measured_baseline,
         },
     }
     print(json.dumps(result))

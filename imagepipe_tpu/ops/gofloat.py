@@ -43,17 +43,18 @@ def _normalize(data, mins, ranges, *, mode):
 
 
 @jax.jit
-def _ingest_raster8(rgb):
-    """8-bit raster: sRGB gamma expansion (gofloat.rs:178-187). -> [4,h,w]."""
-    chans = [expand_srgb_gamma(input8bit(rgb[..., c])) for c in range(3)]
+def _ingest_raster8(rgb_planar):
+    """8-bit raster: sRGB gamma expansion (gofloat.rs:178-187).
+    rgb_planar: [3,h,w] u8 -> [4,h,w] f32."""
+    chans = [expand_srgb_gamma(input8bit(rgb_planar[c])) for c in range(3)]
     return jnp.stack(chans + [jnp.zeros_like(chans[0])], axis=0)
 
 
 @jax.jit
-def _ingest_raster16(rgb):
+def _ingest_raster16(rgb_planar):
     """16-bit raster: straight /65535, no gamma removal (gofloat.rs:188-197,
-    reproduced as-is for parity). -> [4,h,w]."""
-    chans = [input16bit(rgb[..., c]) for c in range(3)]
+    reproduced as-is for parity). rgb_planar: [3,h,w] u16 -> [4,h,w] f32."""
+    chans = [input16bit(rgb_planar[c]) for c in range(3)]
     return jnp.stack(chans + [jnp.zeros_like(chans[0])], axis=0)
 
 
@@ -150,10 +151,7 @@ class OpGoFloat(ImageOp):
     def _run_other(self, raster) -> OpBuffer:
         owidth, oheight = raster.width, raster.height
         x, y, width, height = self._size_image(owidth, oheight)
-        if raster.bits_per_channel() == 8:
-            rgb = raster.to_rgb8()[y:y + height, x:x + width, :]
-            out = _ingest_raster8(jnp.asarray(rgb))
-        else:
-            rgb = raster.to_rgb16()[y:y + height, x:x + width, :]
-            out = _ingest_raster16(jnp.asarray(rgb))
+        bits = raster.bits_per_channel()
+        planes = raster.staged_planes(bits)[:, y:y + height, x:x + width]
+        out = _ingest_raster8(planes) if bits == 8 else _ingest_raster16(planes)
         return OpBuffer(width, height, 4, False, out)

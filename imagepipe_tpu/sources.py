@@ -61,6 +61,21 @@ class RasterImage:
             return (a >> 8).astype(np.uint8)
         return np.asarray(self._payload.convert("RGB"))
 
+    def staged_planes(self, bits: int):
+        """Device-resident planar [3,H,W] u8/u16 copy, uploaded once.
+        Planar because a device-side [H,W,3] would be lane-padded 3->128 by
+        the TPU tiled layout; and memoized because re-uploading tens of MB
+        per develop dominates interactive re-renders."""
+        import jax.numpy as jnp
+
+        key = f"_device_planes_{bits}"
+        dev = getattr(self, key, None)
+        if dev is None:
+            arr = self.to_rgb8() if bits == 8 else self.to_rgb16()
+            dev = jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, -1, 0)))
+            setattr(self, key, dev)
+        return dev
+
     def to_rgb16(self) -> np.ndarray:
         """[H,W,3] uint16; 8-bit widens via v*257 (image crate semantics)."""
         if isinstance(self._payload, np.ndarray):

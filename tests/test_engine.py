@@ -173,3 +173,18 @@ def test_graft_entry_points():
     out = jax.jit(fn)(*args)
     assert out.shape == (3, 512, 768) and out.dtype == np.uint8
     ge.dryrun_multichip(8)
+
+
+def test_batch_engine_thumbnails():
+    """Batched maxsize-constrained develop (the 1k-shard thumbnail config)."""
+    raws = [synthetic_bayer(192, 128, seed=20 + s) for s in range(5)]
+    eng = BatchEngine(max_batch=4, maxwidth=64, maxheight=64)
+    outs = eng.develop_sources([ImageSource.from_raw(r) for r in raws])
+    assert all(o.shape == (42, 64, 3) for o in outs)
+    # matches single-image pipeline output within the fusion contract
+    sp = Pipeline.new_from_source(ImageSource.from_raw(raws[2]))
+    sp.globals.settings.maxwidth = 64
+    sp.globals.settings.maxheight = 64
+    single = sp.output_8bit(None)
+    diff = single.data.astype(int) - outs[2].astype(int)
+    assert np.abs(diff).max() <= 1

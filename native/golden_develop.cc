@@ -8,7 +8,8 @@
 // independent native implementation).
 //
 // Usage: golden_develop <in.bin> <out.bin>
-//   in.bin:  magic "IPGD", u32 width, height; char cfa[4] (e.g. "RGGB");
+//   in.bin:  magic "IPGD", u32 width, height; u32 cfa_h, cfa_w;
+//            char cfa[cfa_h*cfa_w] pattern letters (RGBE);
 //            f32 black, range; f32 mul[4]; f32 cmatrix[3][4] row-major;
 //            u32 n_knots; f32 xs[16], ys[16], c1[16], c2[16], c3[16];
 //            u16 data[width*height]
@@ -75,15 +76,18 @@ int main(int argc, char** argv) {
   FILE* f = std::fopen(argv[1], "rb");
   if (!f) return 2;
   char magic[4];
-  uint32_t W = 0, H = 0;
-  char cfa[5] = {0};
+  uint32_t W = 0, H = 0, cfa_h = 0, cfa_w = 0;
+  char cfa[145] = {0};
   float black, range, mul[4], cmatrix[3][4];
   uint32_t n_knots;
   float xs[16], ys[16], c1s[16], c2s[16], c3s[16];
   if (std::fread(magic, 1, 4, f) != 4 || std::memcmp(magic, "IPGD", 4)) return 3;
   std::fread(&W, 4, 1, f);
   std::fread(&H, 4, 1, f);
-  std::fread(cfa, 1, 4, f);
+  std::fread(&cfa_h, 4, 1, f);
+  std::fread(&cfa_w, 4, 1, f);
+  if (cfa_h * cfa_w > 144) return 3;
+  std::fread(cfa, 1, cfa_h * cfa_w, f);
   std::fread(&black, 4, 1, f);
   std::fread(&range, 4, 1, f);
   std::fread(mul, 4, 4, f);
@@ -101,21 +105,22 @@ int main(int argc, char** argv) {
   LAB_LUT.init(13, xyz_lab_f);
   GAMMA_LUT.init(13, srgb_apply_f);
 
-  // CFA pattern from the 4 letters (2x2).
+  // CFA pattern (any period up to 12x12; expanded to the 48x48 lookup).
   auto color_of = [](char ch) { return ch == 'R' ? 0 : ch == 'G' ? 1 : ch == 'B' ? 2 : 3; };
-  uint8_t cfa_pat[2][2] = {
-      {(uint8_t)color_of(cfa[0]), (uint8_t)color_of(cfa[1])},
-      {(uint8_t)color_of(cfa[2]), (uint8_t)color_of(cfa[3])}};
+  uint8_t cfa_pat[12][12];
+  for (uint32_t r = 0; r < cfa_h; r++)
+    for (uint32_t c = 0; c < cfa_w; c++)
+      cfa_pat[r][c] = (uint8_t)color_of(cfa[r * cfa_w + c]);
+  auto color_at = [&](int r, int c) { return cfa_pat[r % cfa_h][c % cfa_w]; };
 
   static const int offs[9][2] = {{-1, -1}, {-1, 0}, {-1, 1}, {0, -1}, {0, 0},
                                  {0, 1},   {1, -1}, {1, 0},  {1, 1}};
   static uint8_t lookups[48][48][9];
   for (int r = 0; r < 48; r++)
     for (int c = 0; c < 48; c++) {
-      int pix = cfa_pat[r % 2][c % 2];
+      int pix = color_at(r, c);
       for (int i = 0; i < 9; i++) {
-        int rr = (r + 48 + offs[i][0]) % 2, cc = (c + 48 + offs[i][1]) % 2;
-        int oc = cfa_pat[rr][cc];
+        int oc = color_at(r + 48 + offs[i][0], c + 48 + offs[i][1]);
         lookups[r][c][i] = (oc != pix || (offs[i][0] == 0 && offs[i][1] == 0)) ? oc : 4;
       }
     }

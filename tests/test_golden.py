@@ -13,16 +13,14 @@ import pytest
 
 from imagepipe_tpu import ImageSource, Pipeline
 from imagepipe_tpu.ops.colorspaces import normalize_wbs
-from imagepipe_tpu.raw import synthetic_bayer
+from imagepipe_tpu.raw import synthetic_bayer, synthetic_xtrans
 from imagepipe_tpu.spline import SplineFunc
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN = os.path.join(REPO, "native", "build", "golden_develop")
 
 
-@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="native golden not built")
-def test_pipeline_matches_independent_native_golden(tmp_path):
-    raw = synthetic_bayer(320, 200, seed=13)
+def _run_golden(tmp_path, raw):
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
 
     # Pack the exact parameters the pipeline will use.
@@ -39,7 +37,8 @@ def test_pipeline_matches_independent_native_golden(tmp_path):
 
     blob = b"IPGD"
     blob += struct.pack("<II", raw.width, raw.height)
-    blob += raw.cfa.name.encode()[:4]
+    blob += struct.pack("<II", raw.cfa.height, raw.cfa.width)
+    blob += raw.cfa.name.encode()
     blob += struct.pack("<ff", float(raw.blacklevels[0]),
                         float(raw.whitelevels[0] - raw.blacklevels[0]))
     blob += struct.pack("<4f", *[float(v) for v in mul])
@@ -62,3 +61,13 @@ def test_pipeline_matches_independent_native_golden(tmp_path):
     # The vast majority must agree exactly (independent libm/XLA rounding
     # only flips values at quantization edges).
     assert (diff != 0).mean() < 0.01
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="native golden not built")
+def test_pipeline_matches_independent_native_golden(tmp_path):
+    _run_golden(tmp_path, synthetic_bayer(320, 200, seed=13))
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="native golden not built")
+def test_pipeline_matches_golden_xtrans(tmp_path):
+    _run_golden(tmp_path, synthetic_xtrans(312, 204, seed=14))

@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from . import color as cc
-from .buffer import OpBuffer
+
 from .kernels.demosaic_full import stencil_demosaic_planes
-from .raw import CFA, RawImage
+from .raw import CFA
 from .spline import SplineFunc
 
 __all__ = ["DevelopPlan", "make_develop_plan", "develop_batch_fn"]

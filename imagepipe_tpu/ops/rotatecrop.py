@@ -10,7 +10,6 @@ arithmetic so forward(reverse(s)) == s property sweeps agree exactly.
 from __future__ import annotations
 
 import logging
-import math
 
 import numpy as np
 

@@ -144,9 +144,15 @@ def main():
         # remote-TPU platform; a scalar device->host fetch is.
         return int(np.asarray(jnp.sum(x[..., 0].astype(jnp.int32))))
 
-    # Warmup/compile.
-    out = step()
-    sync(out)
+    # Warmup/compile (one retry: the remote compile service occasionally
+    # returns a transient HTTP 500).
+    try:
+        out = step()
+        sync(out)
+    except Exception:
+        time.sleep(15)
+        out = step()
+        sync(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -171,3 +171,17 @@ def test_exif_orientation_applied():
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
     out = p.output_8bit(None)
     assert (out.width, out.height) == (60, 100)
+
+
+def test_profiling_helpers():
+    from imagepipe_tpu import profiling
+    import jax.numpy as jnp
+
+    def f(x):
+        return x * 2.0
+
+    out, secs = profiling.timed_sync(f, jnp.ones((64, 64)), iters=2)
+    assert secs >= 0.0
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(out), 2.0)

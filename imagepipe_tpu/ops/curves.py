@@ -8,6 +8,7 @@ Exposure scales each control point's y by 2^exposure before fitting.
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +20,31 @@ from ..sources import ImageSource
 from ..spline import SplineFunc
 
 __all__ = ["OpBaseCurve"]
+
+
+@partial(jax.jit, static_argnames=("n_knots",))
+def _curve_kernel(data, xs, ys, c1, c2, c3, *, n_knots):
+    """Spline on the L plane with TRACED coefficient arrays: interactive
+    exposure/curve edits must not retrace (baked-constant coefficients would
+    trigger a multi-second remote recompile per slider step)."""
+    v = data[0]
+    n_int = n_knots - 1
+    idx = jnp.zeros(v.shape, jnp.int32)
+    for j in range(1, n_knots):
+        idx = idx + (v >= xs[j]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, n_int - 1)
+
+    def sel(tab):
+        acc = jnp.broadcast_to(tab[0], v.shape)
+        for j in range(1, n_int):
+            acc = jnp.where(idx == j, tab[j], acc)
+        return acc
+
+    d = v - sel(xs)
+    y = sel(ys) + sel(c1) * d + sel(c2) * d * d + sel(c3) * d * d * d
+    y = jnp.where(v >= xs[n_knots - 1], ys[n_knots - 1], y)
+    y = jnp.where(v <= xs[0], ys[0], y)
+    return data.at[0].set(y)
 
 
 class OpBaseCurve(ImageOp):
@@ -53,5 +79,8 @@ class OpBaseCurve(ImageOp):
         scale = math.pow(2.0, self.exposure)
         final_points = [(x, y * scale) for (x, y) in self.points]
         func = SplineFunc(final_points)
-        data = buf.data.at[0].set(func.interpolate(buf.data[0]))
+        data = _curve_kernel(
+            buf.data, jnp.asarray(func.xs), jnp.asarray(func.ys),
+            jnp.asarray(func.c1s), jnp.asarray(func.c2s), jnp.asarray(func.c3s),
+            n_knots=len(func.xs))
         return buf.with_data(data)

@@ -218,7 +218,13 @@ class Pipeline:
             self.globals.settings.demosaic_height = height
 
             # Phase C: chained hashing + deepest cache hit (latest wins).
+            # The chain is salted with the image content hash so a shared
+            # multi-image cache cannot collide (see sources.image_content_hash;
+            # the reference hashes only settings+ops, pipeline.rs:341-352).
+            from .sources import image_content_hash
+
             hasher = BufHasher()
+            hasher.write(image_content_hash(self.globals.image))
             self.globals.settings.hash(hasher)
             ophashes = []
             startpos = 0

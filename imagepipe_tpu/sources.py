@@ -14,6 +14,33 @@ from .raw import RawImage
 __all__ = ["ImageSource", "RasterImage", "staged_raw_plane"]
 
 
+def image_content_hash(image: "ImageSource") -> bytes:
+    """32-byte content hash of the source pixels, memoized on the payload.
+
+    The reference's cache chain hashes only settings + op parameters
+    (pipeline.rs:341-352), so two same-camera images with identical settings
+    would collide in a shared cache; salting the chain with the image
+    identity makes a multi-image cache (service.py) sound."""
+    import hashlib
+
+    payload = image.raw if image.is_raw else image.other
+    h = getattr(payload, "_content_hash", None)
+    if h is None:
+        hasher = hashlib.blake2b(digest_size=32)
+        if image.is_raw:
+            hasher.update(np.ascontiguousarray(payload.data))
+        elif isinstance(payload._payload, np.ndarray):
+            hasher.update(np.ascontiguousarray(payload._payload))
+        else:
+            hasher.update(payload.to_rgb8().tobytes())
+        h = hasher.digest()
+        try:
+            payload._content_hash = h
+        except AttributeError:
+            pass
+    return h
+
+
 def staged_raw_plane(raw: RawImage):
     """Device-resident copy of the sensor data, uploaded once per RawImage.
     Host->device transfer of a 24MP u16 plane is ~50MB; re-uploading per

@@ -138,29 +138,76 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) + (x0 - HALO_X)
     valid = ((rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)).astype(f)
 
-    if bayer:
-        colors = _color_at_2x2(CFA(cfa_name), rows & 1, cols & 1)
-    else:
-        colors = cmap_ref[...].astype(jnp.int32)
-
     def sl(a, dy, dx):
         return a[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
 
-    c0 = sl(colors, 0, 0)
-    sums = [jnp.zeros((tile_h, TILE_W), f) for _ in range(4)]
-    counts = [jnp.zeros((tile_h, TILE_W), f) for _ in range(4)]
-    for (dy, dx) in _OFFSETS:
-        val = sl(v, dy, dx)
-        vld = sl(valid, dy, dx)
-        ci = sl(colors, dy, dx)
-        center = dy == 0 and dx == 0
-        # Reference discard rule (demosaic.rs:87).
-        keep = vld if center else jnp.where(ci != c0, vld, 0.0)
-        for c in range(4):
-            sel = jnp.where(ci == c, keep, 0.0)
-            sums[c] = sums[c] + val * sel
-            counts[c] = counts[c] + sel
-    rgbe = [jnp.where(counts[c] > 0.0, sums[c] / counts[c], 0.0) for c in range(4)]
+    pat = CFA(cfa_name).pattern if cfa_name else None
+    bayer_fast = (bayer and pat is not None
+                  and sorted(int(c) for c in pat.ravel()) == [0, 1, 1, 2])
+    if bayer_fast:
+        # Closed-form Bayer demosaic (same neighbor sets as the reference's
+        # 3x3 lookup, demosaic.rs:67-119; accumulation order differs, which
+        # only moves f32 ULPs -- within the 1 LSB contract). ~5x fewer VPU
+        # passes than the generic mask loop.
+        vv = v * valid  # invalid neighbors contribute 0 to sums and counts
+        c_ctr = sl(v, 0, 0)
+        e_sum = sl(vv, -1, 0) + sl(vv, 1, 0) + sl(vv, 0, -1) + sl(vv, 0, 1)
+        e_cnt = sl(valid, -1, 0) + sl(valid, 1, 0) + sl(valid, 0, -1) + sl(valid, 0, 1)
+        h_sum = sl(vv, 0, -1) + sl(vv, 0, 1)
+        h_cnt = sl(valid, 0, -1) + sl(valid, 0, 1)
+        v_sum = sl(vv, -1, 0) + sl(vv, 1, 0)
+        v_cnt = sl(valid, -1, 0) + sl(valid, 1, 0)
+        d_sum = sl(vv, -1, -1) + sl(vv, -1, 1) + sl(vv, 1, -1) + sl(vv, 1, 1)
+        d_cnt = sl(valid, -1, -1) + sl(valid, -1, 1) + sl(valid, 1, -1) + sl(valid, 1, 1)
+
+        def avg(s, c):
+            return jnp.where(c > 0.0, s / c, 0.0)
+
+        # Phase masks from parities of the OUTPUT coordinates.
+        pr = sl(rows, 0, 0) & 1
+        pc = sl(cols, 0, 0) & 1
+        p = [[int(pat[0, 0]), int(pat[0, 1])], [int(pat[1, 0]), int(pat[1, 1])]]
+
+        def phase_is(color):
+            top = jnp.where(pc == 0, p[0][0] == color, p[0][1] == color)
+            bot = jnp.where(pc == 0, p[1][0] == color, p[1][1] == color)
+            return jnp.where(pr == 0, top, bot).astype(jnp.bool_)
+
+        is_r = phase_is(0)
+        is_b = phase_is(2)
+        is_g = ~(is_r | is_b)
+        # G rows containing R have R as the horizontal neighbor of G.
+        r_row_top = 0 in p[0]
+        g_sees_r_horiz = jnp.where((pr == 0) == r_row_top, True, False)
+
+        r_at_g = jnp.where(g_sees_r_horiz, avg(h_sum, h_cnt), avg(v_sum, v_cnt))
+        b_at_g = jnp.where(g_sees_r_horiz, avg(v_sum, v_cnt), avg(h_sum, h_cnt))
+        rgbe = [
+            jnp.where(is_r, c_ctr, jnp.where(is_g, r_at_g, avg(d_sum, d_cnt))),
+            jnp.where(is_g, c_ctr, avg(e_sum, e_cnt)),
+            jnp.where(is_b, c_ctr, jnp.where(is_g, b_at_g, avg(d_sum, d_cnt))),
+            jnp.zeros((tile_h, TILE_W), f),
+        ]
+    else:
+        if bayer:
+            colors = _color_at_2x2(CFA(cfa_name), rows & 1, cols & 1)
+        else:
+            colors = cmap_ref[...].astype(jnp.int32)
+        c0 = sl(colors, 0, 0)
+        sums = [jnp.zeros((tile_h, TILE_W), f) for _ in range(4)]
+        counts = [jnp.zeros((tile_h, TILE_W), f) for _ in range(4)]
+        for (dy, dx) in _OFFSETS:
+            val = sl(v, dy, dx)
+            vld = sl(valid, dy, dx)
+            ci = sl(colors, dy, dx)
+            center = dy == 0 and dx == 0
+            # Reference discard rule (demosaic.rs:87).
+            keep = vld if center else jnp.where(ci != c0, vld, 0.0)
+            for c in range(4):
+                sel = jnp.where(ci == c, keep, 0.0)
+                sums[c] = sums[c] + val * sel
+                counts[c] = counts[c] + sel
+        rgbe = [jnp.where(counts[c] > 0.0, sums[c] / counts[c], 0.0) for c in range(4)]
 
     # WB multipliers + 3x4 camera matrix (clip to 1.0 first).
     wb = [jnp.minimum(rgbe[c] * scal_ref[1, c], 1.0) for c in range(4)]

@@ -169,16 +169,22 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
         p = [[int(pat[0, 0]), int(pat[0, 1])], [int(pat[1, 0]), int(pat[1, 1])]]
 
         def phase_is(color):
-            top = jnp.where(pc == 0, p[0][0] == color, p[0][1] == color)
-            bot = jnp.where(pc == 0, p[1][0] == color, p[1][1] == color)
-            return jnp.where(pr == 0, top, bot).astype(jnp.bool_)
+            # OR of the static (row-parity, col-parity) cells holding `color`
+            # (no scalar-bool selects: Mosaic cannot truncate i8 vectors to i1).
+            acc = None
+            for a in (0, 1):
+                for b in (0, 1):
+                    if p[a][b] == color:
+                        term = (pr == a) & (pc == b)
+                        acc = term if acc is None else (acc | term)
+            return acc if acc is not None else (pr < 0)
 
         is_r = phase_is(0)
         is_b = phase_is(2)
         is_g = ~(is_r | is_b)
         # G rows containing R have R as the horizontal neighbor of G.
         r_row_top = 0 in p[0]
-        g_sees_r_horiz = jnp.where((pr == 0) == r_row_top, True, False)
+        g_sees_r_horiz = (pr == 0) if r_row_top else (pr == 1)
 
         r_at_g = jnp.where(g_sees_r_horiz, avg(h_sum, h_cnt), avg(v_sum, v_cnt))
         b_at_g = jnp.where(g_sees_r_horiz, avg(v_sum, v_cnt), avg(h_sum, h_cnt))

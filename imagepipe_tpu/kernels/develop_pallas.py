@@ -163,35 +163,40 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
         def avg(s, c):
             return jnp.where(c > 0.0, s / c, 0.0)
 
-        # Phase masks from parities of the OUTPUT coordinates.
-        pr = sl(rows, 0, 0) & 1
-        pc = sl(cols, 0, 0) & 1
+        # Phase masks as f32 products of parity indicators (pure arithmetic:
+        # Mosaic's i1 vector handling is fragile).
+        pr0 = ((sl(rows, 0, 0) & 1) == 0).astype(f)
+        pc0 = ((sl(cols, 0, 0) & 1) == 0).astype(f)
+        pr1 = 1.0 - pr0
+        pc1 = 1.0 - pc0
+        cell = {(0, 0): pr0 * pc0, (0, 1): pr0 * pc1,
+                (1, 0): pr1 * pc0, (1, 1): pr1 * pc1}
         p = [[int(pat[0, 0]), int(pat[0, 1])], [int(pat[1, 0]), int(pat[1, 1])]]
 
         def phase_is(color):
-            # OR of the static (row-parity, col-parity) cells holding `color`
-            # (no scalar-bool selects: Mosaic cannot truncate i8 vectors to i1).
-            acc = None
+            acc = jnp.zeros((tile_h, TILE_W), f)
             for a in (0, 1):
                 for b in (0, 1):
                     if p[a][b] == color:
-                        term = (pr == a) & (pc == b)
-                        acc = term if acc is None else (acc | term)
-            return acc if acc is not None else (pr < 0)
+                        acc = acc + cell[(a, b)]
+            return acc
 
         is_r = phase_is(0)
         is_b = phase_is(2)
-        is_g = ~(is_r | is_b)
+        is_g = 1.0 - is_r - is_b
         # G rows containing R have R as the horizontal neighbor of G.
         r_row_top = 0 in p[0]
-        g_sees_r_horiz = (pr == 0) if r_row_top else (pr == 1)
+        g_h = pr0 if r_row_top else pr1   # 1.0 where G sees R horizontally
 
-        r_at_g = jnp.where(g_sees_r_horiz, avg(h_sum, h_cnt), avg(v_sum, v_cnt))
-        b_at_g = jnp.where(g_sees_r_horiz, avg(v_sum, v_cnt), avg(h_sum, h_cnt))
+        h_avg = avg(h_sum, h_cnt)
+        v_avg = avg(v_sum, v_cnt)
+        d_avg = avg(d_sum, d_cnt)
+        r_at_g = g_h * h_avg + (1.0 - g_h) * v_avg
+        b_at_g = g_h * v_avg + (1.0 - g_h) * h_avg
         rgbe = [
-            jnp.where(is_r, c_ctr, jnp.where(is_g, r_at_g, avg(d_sum, d_cnt))),
-            jnp.where(is_g, c_ctr, avg(e_sum, e_cnt)),
-            jnp.where(is_b, c_ctr, jnp.where(is_g, b_at_g, avg(d_sum, d_cnt))),
+            is_r * c_ctr + is_g * r_at_g + is_b * d_avg,
+            is_g * c_ctr + (is_r + is_b) * avg(e_sum, e_cnt),
+            is_b * c_ctr + is_g * b_at_g + is_r * d_avg,
             jnp.zeros((tile_h, TILE_W), f),
         ]
     else:

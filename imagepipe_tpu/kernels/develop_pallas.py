@@ -45,6 +45,11 @@ _XW, _YW, _ZW = np.float32(0.95047), np.float32(1.0), np.float32(1.08883)
 HALO = 8
 HALO_X = 128
 
+# Closed-form Bayer demosaic inside the kernel: ~5x fewer VPU passes, but it
+# currently crashes the Mosaic compiler (see note in _develop_kernel); flip
+# on for interpret-mode validation / future compiler versions.
+BAYER_CLOSED_FORM = False
+
 
 def _tile_w_for(cfa_w: int) -> int:
     """Tile width: multiple of 128 lanes and the CFA period width. 384 keeps
@@ -142,7 +147,11 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
         return a[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
 
     pat = CFA(cfa_name).pattern if cfa_name else None
-    bayer_fast = (bayer and pat is not None
+    # The closed-form path validates in interpret mode but crashes the Mosaic
+    # compiler on v5e ("array.h:480 Check failed: limits[i] <= dim(i)", with
+    # both i1 and pure-f32 mask formulations) -- compiled mode uses the
+    # generic mask loop until that is resolved.
+    bayer_fast = (BAYER_CLOSED_FORM and bayer and pat is not None
                   and sorted(int(c) for c in pat.ravel()) == [0, 1, 1, 2])
     if bayer_fast:
         # Closed-form Bayer demosaic (same neighbor sets as the reference's

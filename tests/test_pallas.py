@@ -45,3 +45,23 @@ def test_pallas_unsupported_plans():
     p.globals.settings.maxwidth = 32  # resize -> scaled demosaic path
     plan = make_develop_plan(p, out_bits=8)
     assert not pallas_supported(plan)
+
+
+def test_pallas_closed_form_bayer_interpret():
+    """The closed-form Bayer path (compiled mode gated off pending a Mosaic
+    fix) must match the fused engine in interpret mode."""
+    from imagepipe_tpu.kernels import develop_pallas as dp
+
+    raw = synthetic_bayer(168, 112)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    plan = make_develop_plan(p, out_bits=8, numerics="direct")
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    old = dp.BAYER_CLOSED_FORM
+    try:
+        dp.BAYER_CLOSED_FORM = True
+        dp._develop_pallas_jit.clear_cache()
+        got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    finally:
+        dp.BAYER_CLOSED_FORM = old
+        dp._develop_pallas_jit.clear_cache()
+    assert np.abs(want - got).max() <= 1

@@ -185,3 +185,45 @@ def test_profiling_helpers():
     import numpy as np
 
     np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_float_raw_data():
+    """RawImageData::Float equivalent: f32 sensor payloads develop through
+    the same levels math (gofloat.rs:132-167)."""
+    from imagepipe_tpu.raw import CFA, Orientation, RawImage
+
+    h, w = 48, 64
+    rng = np.random.default_rng(0)
+    data = rng.uniform(0.0, 1.0, (h, w)).astype(np.float32)
+    raw = RawImage(
+        width=w, height=h, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(0,) * 4, whitelevels=(1,) * 4,
+        wb_coeffs=(2.0, 1.0, 1.5, float("nan")),
+        xyz_to_cam=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32),
+        orientation=Orientation.Normal, cfa=CFA("RGGB"), data=data)
+    out = Pipeline.new_from_source(ImageSource.from_raw(raw)).output_8bit(None)
+    assert (out.width, out.height) == (w, h)
+    assert out.data.std() > 0
+
+
+def test_cpp3_rgb_raw():
+    """cpp=3 linear-RGB RAW (gofloat.rs:110-121): demosaic passes through."""
+    from imagepipe_tpu.raw import CFA, Orientation, RawImage
+
+    h, w = 40, 56
+    rng = np.random.default_rng(1)
+    data = rng.integers(100, 16000, (h, w, 3)).astype(np.uint16)
+    raw = RawImage(
+        width=w, height=h, cpp=3, crops=(0, 0, 0, 0),
+        blacklevels=(100,) * 4, whitelevels=(16383,) * 4,
+        wb_coeffs=(1.0, 1.0, 1.0, 0.0),
+        xyz_to_cam=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32),
+        orientation=Orientation.Normal, cfa=CFA(""), data=data)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    out = p.output_8bit(None)
+    assert (out.width, out.height) == (w, h)
+    # fused path agrees with staged
+    p2 = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p2.globals.settings.use_fastpath = False
+    staged = p2.output_8bit(None)
+    assert np.abs(out.data.astype(int) - staged.data.astype(int)).max() <= 1

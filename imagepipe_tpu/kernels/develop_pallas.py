@@ -206,7 +206,7 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
             is_r * c_ctr + is_g * r_at_g + is_b * d_avg,
             is_g * c_ctr + (is_r + is_b) * avg(e_sum, e_cnt),
             is_b * c_ctr + is_g * b_at_g + is_r * d_avg,
-            jnp.zeros((tile_h, TILE_W), f),
+            c_ctr * 0.0,  # derived zero (a splat constant upset Mosaic)
         ]
     else:
         if bayer:

@@ -147,3 +147,91 @@ def test_dng_lossless_jpeg_roundtrip(tmp_path):
     back2 = read_dng(path2)
     np.testing.assert_array_equal(np.asarray(back2.data), np.asarray(big.data))
     assert os.path.getsize(path2) < big.data.nbytes
+
+
+def test_dng_tiled_layout(tmp_path):
+    """Tiled DNG reading (the common layout for compressed camera DNGs):
+    hand-assemble a 2x2-tile file and check reassembly + LJ92 tiles."""
+    import struct
+    from imagepipe_tpu import lj92
+
+    h, w, tl, tw = 20, 24, 12, 16  # tiles: 2 rows x 2 cols, padded
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 65535, (h, w), np.uint16)
+
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((tl, tw), np.uint16)
+            ys, xs = ty * tl, tx * tw
+            sub = img[ys:min(h, ys + tl), xs:min(w, xs + tw)]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            tiles.append(lj92.encode(tile, ncomp=1, precision=16))
+
+    # Minimal TIFF: header + IFD + tile data.
+    entries = []
+
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [16]); add(259, 3, [7])
+    add(262, 3, [32803]); add(277, 3, [1])
+    add(322, 4, [tw]); add(323, 4, [tl])
+    add(33421, 3, [2, 2]); add(33422, 1, [0, 1, 1, 2])
+    add(324, 4, [0, 0, 0, 0])  # patched
+    add(325, 4, [len(t) for t in tiles])
+    entries.sort(key=lambda e: e[0])
+
+    def pack_vals(typ, vals):
+        fmt = {3: "H", 4: "I", 1: "B"}[typ]
+        pre = "<" if typ != 1 else ""
+        return struct.pack(f"{pre}{len(vals)}{fmt}", *vals)
+
+    n = len(entries)
+    ifd_off = 8
+    ext_off = ifd_off + 2 + n * 12 + 4
+    ext = bytearray()
+    packed = []
+    for tag, typ, vals in entries:
+        b = pack_vals(typ, vals)
+        if len(b) <= 4:
+            packed.append((tag, typ, len(vals), b.ljust(4, b"\0"), None))
+        else:
+            packed.append((tag, typ, len(vals), None, ext_off + len(ext)))
+            ext += b
+    data_off = ext_off + len(ext)
+    offs = []
+    pos = data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n)
+    for tag, typ, count, inline, off in packed:
+        if tag == 324:
+            b = struct.pack("<4I", *offs)
+            # 4 offsets > 4 bytes: point into ext
+            out += struct.pack("<HHII", tag, typ, count, ext_off + len(ext))
+            ext += b
+            continue
+        if inline is not None:
+            out += struct.pack("<HHI", tag, typ, count) + inline
+        else:
+            out += struct.pack("<HHII", tag, typ, count, off)
+    out += struct.pack("<I", 0)
+    # ext grew after data_off was computed; rebuild data offsets accordingly
+    data_off2 = ifd_off + 2 + n * 12 + 4 + len(ext)
+    delta = data_off2 - data_off
+    if delta:
+        b = struct.pack("<4I", *[o + delta for o in offs])
+        ext[-16:] = b
+    out += ext
+    for t in tiles:
+        out += t
+    path = tmp_path / "tiled.dng"
+    path.write_bytes(bytes(out))
+
+    back = read_dng(str(path))
+    np.testing.assert_array_equal(np.asarray(back.data), img)
+    assert back.cfa.name == "RGGB"

@@ -235,3 +235,16 @@ def test_dng_tiled_layout(tmp_path):
     back = read_dng(str(path))
     np.testing.assert_array_equal(np.asarray(back.data), img)
     assert back.cfa.name == "RGGB"
+
+
+def test_dng_xtrans_roundtrip(tmp_path):
+    """6x6 CFA (X-Trans) DNG round-trip: 36-char CFAPattern tag."""
+    from imagepipe_tpu.raw import synthetic_xtrans
+
+    raw = synthetic_xtrans(72, 48, seed=30)
+    path = str(tmp_path / "xt.dng")
+    write_dng(path, raw, compression=1)
+    back = read_dng(path)
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(raw.data))
+    assert back.cfa.name == raw.cfa.name
+    assert (back.cfa.height, back.cfa.width) == (6, 6)

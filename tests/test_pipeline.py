@@ -227,3 +227,14 @@ def test_cpp3_rgb_raw():
     p2.globals.settings.use_fastpath = False
     staged = p2.output_8bit(None)
     assert np.abs(out.data.astype(int) - staged.data.astype(int)).max() <= 1
+
+
+def test_single_op_to_settings_yaml():
+    """ImageOp.to_settings parity (pipeline.rs:85-87): per-op YAML."""
+    import yaml
+
+    raw = synthetic_bayer(64, 48)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    doc = yaml.safe_load(p.ops.basecurve.to_settings())
+    assert doc["exposure"] == 0.0
+    assert doc["points"] == [[0.5, 0.6]]

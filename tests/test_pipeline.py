@@ -238,3 +238,27 @@ def test_single_op_to_settings_yaml():
     doc = yaml.safe_load(p.ops.basecurve.to_settings())
     assert doc["exposure"] == 0.0
     assert doc["points"] == [[0.5, 0.6]]
+
+
+def test_cache_eviction_under_pressure():
+    """Byte-budgeted LRU: small cache evicts oldest stages but keeps working."""
+    raw = synthetic_bayer(120, 80)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    # Budget for only ~3 full-size f32 stages.
+    cache = Pipeline.new_cache(3 * 120 * 80 * 4 * 4)
+    a = p.output_8bit(cache)
+    assert cache.total_bytes <= cache.max_bytes or len(cache) == 1
+    b = p.output_8bit(cache)  # still correct with partial cache
+    np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_rotatecrop_rotation_through_pipeline():
+    """Free rotation through the whole pipeline (size from the 45-degree
+    bounding box, rotatecrop.rs:111-163)."""
+    raw = synthetic_bayer(100, 100)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.ops.rotatecrop.rotation = 0.5
+    out = p.output_8bit(None)
+    assert (out.width, out.height) == (141, 141)
+    # Rotated corners are outside the source -> zero (black) after develop.
+    assert out.data[0, 0].sum() <= out.data[70, 70].sum()

@@ -248,3 +248,46 @@ def test_dng_xtrans_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back.data), np.asarray(raw.data))
     assert back.cfa.name == raw.cfa.name
     assert (back.cfa.height, back.cfa.width) == (6, 6)
+
+
+def test_dng_12bit_packed(tmp_path):
+    """12-bit packed (TIFF FillOrder=1) DNG strips through the native
+    unpacker -- the most common in-camera bit depth."""
+    import struct
+
+    h, w = 8, 16
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 4096, (h, w), np.uint16)
+    payload = bytes(_pack_12be(img.ravel()))
+
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [12]), (259, 3, [1]),
+        (262, 3, [32803]), (273, 4, [0]), (277, 3, [1]), (278, 4, [h]),
+        (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+        (50717, 3, [4095]),
+    ]
+    entries.sort(key=lambda e: e[0])
+
+    def pack_vals(typ, vals):
+        fmt = {3: "H", 4: "I", 1: "B"}[typ]
+        return struct.pack(f"<{len(vals)}{fmt}", *vals)
+
+    n = len(entries)
+    data_off = 8 + 2 + n * 12 + 4
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", n)
+    for tag, typ, vals in entries:
+        b = pack_vals(typ, vals)
+        if tag == 273:
+            b = struct.pack("<I", data_off)
+        assert len(b) <= 4
+        out += struct.pack("<HHI", tag, typ, len(vals)) + b.ljust(4, b"\0")
+    out += struct.pack("<I", 0)
+    out += payload
+    path = tmp_path / "p12.dng"
+    path.write_bytes(bytes(out))
+
+    back = read_dng(str(path))
+    np.testing.assert_array_equal(np.asarray(back.data), img)
+    assert back.whitelevels[0] == 4095

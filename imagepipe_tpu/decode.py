@@ -80,6 +80,8 @@ def _decode_pgm16(path: str) -> Optional[RawImage]:
         vals = []
         while len(vals) < 3:
             line = f.readline()
+            if not line:
+                raise ValueError("truncated PGM header")
             if line.startswith(b"#"):
                 continue
             vals.extend(int(t) for t in line.split())

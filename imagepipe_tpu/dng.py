@@ -227,7 +227,10 @@ def read_dng(path: str) -> RawImage:
         ph, pw = get(e, T_CFA_REPEAT, [2, 2])
         pat = get(e, T_CFA_PATTERN, [0, 1, 1, 2])
         letters = "RGBE"
-        cfa = CFA("".join(letters[v] for v in pat[: ph * pw]))
+        # Honor CFARepeatPatternDim: e.g. a 16-entry pattern may be 2x8 or
+        # 4x4, not the 8x2 the length-based fallback would assume.
+        cfa = CFA("".join(letters[v] for v in pat[: ph * pw]),
+                  height=int(ph), width=int(pw))
     else:
         cfa = CFA("")
 

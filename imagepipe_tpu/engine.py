@@ -144,8 +144,9 @@ def make_develop_plan(pipeline, out_bits: int = 8, numerics: str = "auto") -> De
         if mode != "cfa":
             dem_path = "plaindown" if scale > 1.0 else "full"
         else:
-            minscale = {2: 2.0, 6: 3.0, 8: 2.0, 12: 12.0}.get(
-                (cfa.width if cfa is not None else 2), 2.0)
+            from .ops.demosaic import minscale_for
+
+            minscale = minscale_for(cfa.width if cfa is not None else 2)
             if scale <= 1.0:
                 dem_path = "full"
             elif scale >= minscale:
@@ -171,28 +172,11 @@ def make_develop_plan(pipeline, out_bits: int = 8, numerics: str = "auto") -> De
 
 
 def _spline_eval(params, n_knots, v):
-    """Gather-free spline evaluation over traced coefficient arrays; interval
-    selection unrolls over the static knot count (matches
-    SplineFunc.interpolate)."""
-    xs, ys = params["spline_xs"], params["spline_ys"]
-    c1, c2, c3 = params["spline_c1"], params["spline_c2"], params["spline_c3"]
-    n_int = n_knots - 1
-    idx = jnp.zeros(v.shape, jnp.int32)
-    for j in range(1, n_knots):
-        idx = idx + (v >= xs[j]).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, n_int - 1)
+    from .spline import eval_spline_arrays
 
-    def sel(tab):
-        acc = jnp.broadcast_to(tab[0], v.shape)
-        for j in range(1, n_int):
-            acc = jnp.where(idx == j, tab[j], acc)
-        return acc
-
-    d = v - sel(xs)
-    y = sel(ys) + sel(c1) * d + sel(c2) * d * d + sel(c3) * d * d * d
-    y = jnp.where(v >= xs[n_knots - 1], ys[n_knots - 1], y)
-    y = jnp.where(v <= xs[0], ys[0], y)
-    return y
+    return eval_spline_arrays(
+        params["spline_xs"], params["spline_ys"], params["spline_c1"],
+        params["spline_c2"], params["spline_c3"], n_knots, v)
 
 
 def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
@@ -318,6 +302,36 @@ def _develop_batch_jit(planes, params, *, cfa_name, height, width, crop_x,
         return jax.vmap(lambda p: _develop_one(p, params, **kw))(planes)
 
 
+@partial(jax.jit, static_argnames=_STATIC_NAMES)
+def _develop_batch_perimage_jit(planes, batched_params, *, cfa_name, height,
+                                width, crop_x, crop_y, mode, out_bits, linear,
+                                apply_curve, n_knots, orientation_flips,
+                                numerics, dem_path="full", dem_w=0, dem_h=0):
+    """Batched develop with PER-IMAGE calibration: every leaf of
+    batched_params carries a leading batch dim (WB multipliers, levels,
+    camera matrix, spline coefficients differ per shot)."""
+    kw = _statics_kw(cfa_name, height, width, crop_x, crop_y, mode, out_bits,
+                     linear, apply_curve, n_knots, orientation_flips,
+                     numerics, dem_path, dem_w, dem_h)
+    with cc.numerics_mode(numerics):
+        return jax.vmap(lambda p, prm: _develop_one(p, prm, **kw))(
+            planes, batched_params)
+
+
+def stack_params(param_dicts):
+    """Stack a list of per-image param dicts into one batched pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *param_dicts)
+
+
+def normalize_plane(plan: DevelopPlan, plane):
+    """Reshape a flat [H, W*3] cpp=3 sensor payload to [H, W, 3] (the layout
+    RawImage permits); cfa/mono planes pass through."""
+    plane = jnp.asarray(plane)
+    if plan.mode == "rgb" and plane.ndim == 2:
+        return plane.reshape(plane.shape[0], -1, 3)
+    return plane
+
+
 def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
     """Develop one image through the fused chain. plane: device or numpy
     array of raw counts.
@@ -329,7 +343,7 @@ def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
     the orientation permutation commutes with quantization so it applies
     after concatenation. None = auto (1 band per ~24MP).
     """
-    plane = jnp.asarray(plane)
+    plane = normalize_plane(plan, plane)
     if bands is None:
         bands = max(1, (plan.height * plan.width) // (24_000_000 + 1) + 1) \
             if plan.height * plan.width > 30_000_000 else 1
@@ -378,6 +392,9 @@ def develop_batch_fn(plan: DevelopPlan):
     params = plan.params
 
     def fn(planes):
+        planes = jnp.asarray(planes)
+        if statics["mode"] == "rgb" and planes.ndim == 3:
+            planes = planes.reshape(planes.shape[0], planes.shape[1], -1, 3)
         return _develop_batch_jit(planes, params, **statics)
 
     return fn

@@ -172,7 +172,11 @@ def _decode_python(data: bytes) -> np.ndarray:
                         raise ValueError("bad huffman code")
                 return tbl[(l, code)]
 
+            fresh = True  # T.81: prediction resets at scan start AND after
+            # every restart marker (the interval's first line predicts like
+            # the first scan line).
             for y in range(height):
+                first_line = fresh
                 for x in range(width):
                     for c in range(ncomp):
                         ssss = huff_decode(huffs[comp_table[c]])
@@ -181,11 +185,11 @@ def _decode_python(data: bytes) -> np.ndarray:
                         else:
                             diff = _extend(br.get_bits(ssss), ssss)
                         idx = x * ncomp + c
-                        if y == 0 and x == 0:
+                        if first_line and x == 0:
                             pred = default
                         elif x == 0:
                             pred = int(out[y - 1, idx])
-                        elif y == 0:
+                        elif first_line:
                             pred = int(out[y, idx - ncomp])
                         else:
                             ra = int(out[y, idx - ncomp])
@@ -196,8 +200,10 @@ def _decode_python(data: bytes) -> np.ndarray:
                                     6: rb + ((ra - rc_) >> 1),
                                     7: (ra + rb) >> 1}[predictor]
                         out[y, idx] = (pred + diff) & 0xFFFF
+                fresh = False
                 if restart and (y + 1) % restart == 0 and y + 1 < height:
                     br.reset_to_marker()
+                    fresh = True
             if pt:
                 out <<= pt
             return out
@@ -262,8 +268,10 @@ class _BitWriter:
             self.n = 0
 
 
-def encode(img: np.ndarray, ncomp: int = 1, precision: int = 16) -> bytes:
-    """[height, width*ncomp] u16 -> LJ92 stream (predictor 1)."""
+def encode(img: np.ndarray, ncomp: int = 1, precision: int = 16,
+           restart_rows: int = 0) -> bytes:
+    """[height, width*ncomp] u16 -> LJ92 stream (predictor 1).
+    restart_rows > 0 emits DRI + RSTn every restart_rows lines."""
     img = np.asarray(img, np.uint16)
     height, wtot = img.shape
     assert wtot % ncomp == 0
@@ -280,6 +288,8 @@ def encode(img: np.ndarray, ncomp: int = 1, precision: int = 16) -> bytes:
     # DHT (table 0)
     dht = bytearray([0x00]) + bytes(counts) + bytes(vals)
     out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    if restart_rows:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_rows.to_bytes(2, "big")
     # SOS: predictor 1, pt 0
     sos = bytearray([ncomp])
     for c in range(ncomp):
@@ -290,16 +300,17 @@ def encode(img: np.ndarray, ncomp: int = 1, precision: int = 16) -> bytes:
     bw = _BitWriter()
     default = 1 << (precision - 1)
     img_i = img.astype(np.int64)
+    rst = 0
+    fresh = True
     for y in range(height):
+        first_line = fresh
         for x in range(width):
             for c in range(ncomp):
                 idx = x * ncomp + c
-                if y == 0 and x == 0:
+                if first_line and x == 0:
                     pred = default
                 elif x == 0:
                     pred = int(img_i[y - 1, idx])
-                elif y == 0:
-                    pred = int(img_i[y, idx - ncomp])
                 else:
                     pred = int(img_i[y, idx - ncomp])  # predictor 1 = Ra
                 diff = (int(img_i[y, idx]) - pred)
@@ -318,6 +329,14 @@ def encode(img: np.ndarray, ncomp: int = 1, precision: int = 16) -> bytes:
                 elif ssss > 0:
                     v = diff if diff >= 0 else diff + (1 << ssss) - 1
                     bw.put(v, ssss)
+        fresh = False
+        if restart_rows and (y + 1) % restart_rows == 0 and y + 1 < height:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            bw = _BitWriter()
+            fresh = True
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -27,24 +27,9 @@ def _curve_kernel(data, xs, ys, c1, c2, c3, *, n_knots):
     """Spline on the L plane with TRACED coefficient arrays: interactive
     exposure/curve edits must not retrace (baked-constant coefficients would
     trigger a multi-second remote recompile per slider step)."""
-    v = data[0]
-    n_int = n_knots - 1
-    idx = jnp.zeros(v.shape, jnp.int32)
-    for j in range(1, n_knots):
-        idx = idx + (v >= xs[j]).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, n_int - 1)
+    from ..spline import eval_spline_arrays
 
-    def sel(tab):
-        acc = jnp.broadcast_to(tab[0], v.shape)
-        for j in range(1, n_int):
-            acc = jnp.where(idx == j, tab[j], acc)
-        return acc
-
-    d = v - sel(xs)
-    y = sel(ys) + sel(c1) * d + sel(c2) * d * d + sel(c3) * d * d * d
-    y = jnp.where(v >= xs[n_knots - 1], ys[n_knots - 1], y)
-    y = jnp.where(v <= xs[0], ys[0], y)
-    return data.at[0].set(y)
+    return data.at[0].set(eval_spline_arrays(xs, ys, c1, c2, c3, n_knots, data[0]))
 
 
 class OpBaseCurve(ImageOp):

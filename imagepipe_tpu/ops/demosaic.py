@@ -19,6 +19,12 @@ from ..kernels.demosaic_full import demosaic_full
 __all__ = ["OpDemosaic"]
 
 
+def minscale_for(cfa_width: int) -> float:
+    """Minimum downscale at which every output pixel covers all CFA colors
+    (demosaic.rs:33-39); shared by the staged op and the fused planner."""
+    return {2: 2.0, 6: 3.0, 8: 2.0, 12: 12.0}.get(cfa_width, 2.0)
+
+
 class OpDemosaic(ImageOp):
     NAME = "demosaic"
 
@@ -43,9 +49,7 @@ class OpDemosaic(ImageOp):
         scale = scaling.calculate_scale(buf.width, buf.height, nwidth, nheight)
 
         cfa = CFA(self.cfa)
-        # Minimum scale at which every output pixel covers all colors
-        # (demosaic.rs:33-39).
-        minscale = {2: 2.0, 6: 3.0, 8: 2.0, 12: 12.0}.get(cfa.width, 2.0)
+        minscale = minscale_for(cfa.width)
 
         if scale <= 1.0 and buf.colors == 4:
             return buf

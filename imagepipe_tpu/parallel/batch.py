@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine import make_develop_plan, _develop_batch_jit
+from ..engine import (make_develop_plan, _develop_batch_jit,
+                      _develop_batch_perimage_jit, normalize_plane, stack_params)
 from ..pipeline import Pipeline
 from ..sources import ImageSource
 
@@ -89,13 +90,22 @@ class BatchEngine:
             plan = entries[0][2]
             for start in range(0, len(entries), self.max_batch):
                 chunk = entries[start:start + self.max_batch]
-                planes = np.stack([np.asarray(src.raw.data) for _, src, _ in chunk])
+                # Per-image calibration: params (WB, levels, matrices,
+                # curves) batch alongside the planes -- images bucket by
+                # STATICS only, so their params may differ.
+                planes = np.stack([
+                    np.asarray(normalize_plane(p_, src.raw.data))
+                    for _, src, p_ in chunk])
+                param_dicts = [p_.params for _, _, p_ in chunk]
                 b = planes.shape[0]
                 pad = (-b) % nbatch_devices
                 if pad:
-                    planes = planes[np.arange(b + pad) % b]
+                    sel = np.arange(b + pad) % b
+                    planes = planes[sel]
+                    param_dicts = [param_dicts[i] for i in sel]
                 dev = shard_batch(self.mesh, jnp.asarray(planes))
-                out = _develop_batch_jit(dev, plan.params, **plan.statics())
+                out = _develop_batch_perimage_jit(
+                    dev, stack_params(param_dicts), **plan.statics())
                 from ..engine import planar_to_hwc
 
                 out_np = planar_to_hwc(out)[:b]

@@ -40,7 +40,8 @@ class CFA:
     `shift(x, y)` re-anchors the pattern after cropping.
     """
 
-    def __init__(self, patname: str):
+    def __init__(self, patname: str, height: int | None = None,
+                 width: int | None = None):
         self.name = patname
         n = len(patname)
         if n == 0:
@@ -48,7 +49,11 @@ class CFA:
             self.height = 0
             self.pattern = np.zeros((0, 0), dtype=np.uint8)
             return
-        if n == 4:
+        if height is not None and width is not None:
+            if height * width != n:
+                raise ValueError(f"CFA dims {height}x{width} != pattern length {n}")
+            w, h = width, height
+        elif n == 4:
             w, h = 2, 2
         elif n == 16:
             w, h = 8, 2  # Canon Pro70-style 8x2 (demosaic.rs:36)

@@ -86,6 +86,10 @@ class RasterImage:
                 return a
             # 16 -> 8 narrowing keeps the high byte (image crate semantics).
             return (a >> 8).astype(np.uint8)
+        if self.bits_per_channel() == 16:
+            # PIL convert('RGB') on 16-bit modes CLIPS to 0..255; narrow by
+            # the high byte like the image crate instead.
+            return (self.to_rgb16() >> 8).astype(np.uint8)
         return np.asarray(self._payload.convert("RGB"))
 
     def staged_planes(self, bits: int):

@@ -12,7 +12,32 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["SplineFunc"]
+__all__ = ["SplineFunc", "eval_spline_arrays"]
+
+
+def eval_spline_arrays(xs, ys, c1, c2, c3, n_knots: int, v):
+    """Gather-free monotone-spline evaluation over TRACED coefficient arrays
+    with a static knot count (interval selection unrolls into compare-
+    selects). Shared by the staged curves op and the fused engine so their
+    numerics cannot drift; matches SplineFunc.interpolate and the reference's
+    exact-knot/clamp semantics (curves.rs:126-157)."""
+    n_int = n_knots - 1
+    idx = jnp.zeros(v.shape, jnp.int32)
+    for j in range(1, n_knots):
+        idx = idx + (v >= xs[j]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, n_int - 1)
+
+    def sel(tab):
+        acc = jnp.broadcast_to(tab[0], v.shape)
+        for j in range(1, n_int):
+            acc = jnp.where(idx == j, tab[j], acc)
+        return acc
+
+    d = v - sel(xs)
+    y = sel(ys) + sel(c1) * d + sel(c2) * d * d + sel(c3) * d * d * d
+    y = jnp.where(v >= xs[n_knots - 1], ys[n_knots - 1], y)
+    y = jnp.where(v <= xs[0], ys[0], y)
+    return y
 
 _f32 = np.float32
 

@@ -182,11 +182,14 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
       BitReader br(p, end);
       int default_val = 1 << (precision - pt - 1);
       int64_t row_stride = (int64_t)width * ncomp;
-      int mcu_count = 0;
 
+      // T.81: prediction resets at scan start AND after every restart
+      // marker -- the interval's first line predicts like the first line.
+      bool fresh = true;
       for (int y = 0; y < height; y++) {
         uint16_t* row = out + (int64_t)y * row_stride;
         const uint16_t* prev = row - row_stride;
+        bool first_line = fresh;
         for (int x = 0; x < width; x++) {
           for (int c = 0; c < ncomp; c++) {
             int ssss = huffs[comp_table[c]].decode(br);
@@ -196,9 +199,9 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
             int64_t idx = (int64_t)x * ncomp + c;
             int pred;
             bool row_start = (x == 0);
-            if (y == 0 && row_start) pred = default_val;
-            else if (row_start) pred = prev[idx];          // first col: Rb
-            else if (y == 0) pred = row[idx - ncomp];      // first row: Ra
+            if (first_line && row_start) pred = default_val;
+            else if (row_start) pred = prev[idx];           // first col: Rb
+            else if (first_line) pred = row[idx - ncomp];   // first line: Ra
             else {
               int ra = row[idx - ncomp];
               int rb = prev[idx];
@@ -216,12 +219,11 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
             }
             row[idx] = (uint16_t)((pred + diff) & 0xFFFF);
           }
-          if (restart_interval) {
-            if (++mcu_count == restart_interval * width) { /* per-MCU-row semantics vary */ }
-          }
         }
+        fresh = false;
         if (restart_interval && ((y + 1) % restart_interval) == 0 && y + 1 < height) {
           br.reset_to_marker();
+          fresh = true;
         }
       }
       if (pt) {

@@ -291,3 +291,54 @@ def test_dng_12bit_packed(tmp_path):
     back = read_dng(str(path))
     np.testing.assert_array_equal(np.asarray(back.data), img)
     assert back.whitelevels[0] == 4095
+
+
+def test_pil_16bit_to_rgb8_narrows(tmp_path):
+    """PIL 16-bit payloads must narrow by >>8, not clip at 255 (regression:
+    convert('RGB') clipped everything to white)."""
+    from PIL import Image
+    from imagepipe_tpu.sources import RasterImage
+
+    arr = (np.arange(20 * 30, dtype=np.uint32).reshape(20, 30) * 97 % 65535)
+    img = Image.fromarray(arr.astype(np.uint16), mode="I;16")
+    r = RasterImage(img)
+    got = r.to_rgb8()
+    want = (arr >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(got[..., 0], want)
+
+
+def test_pgm_truncated_header_raises(tmp_path):
+    """Truncated PGM header must raise, not hang (regression: EOF loop)."""
+    from imagepipe_tpu.decode import _decode_pgm16
+
+    path = tmp_path / "trunc.pgm"
+    path.write_bytes(b"P5\n")
+    with pytest.raises(ValueError):
+        _decode_pgm16(str(path))
+
+
+def test_lj92_restart_interval_roundtrip():
+    """DRI/RSTn streams: prediction must reset per interval (T.81)."""
+    from imagepipe_tpu import lj92
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 65536, (23, 17), np.uint16)
+    stream = lj92.encode(img, ncomp=1, precision=16, restart_rows=5)
+    assert b"\xff\xdd" in stream  # DRI present
+    np.testing.assert_array_equal(lj92._decode_python(stream), img)
+    if native.have_native():
+        np.testing.assert_array_equal(lj92._decode_native(stream), img)
+
+
+def test_cfa_explicit_dims():
+    """CFARepeatPatternDim must override length-based inference."""
+    name = "RGGB" * 4  # 16 entries
+    c_2x8 = CFA(name, height=2, width=8)
+    c_4x4 = CFA(name, height=4, width=4)
+    default = CFA(name)
+    assert (c_2x8.height, c_2x8.width) == (2, 8)
+    assert (c_4x4.height, c_4x4.width) == (4, 4)
+    assert (default.height, default.width) == (2, 8)
+    assert c_4x4.color_at(2, 0) == 0  # row 2 of 4x4 starts with R
+    with pytest.raises(ValueError):
+        CFA(name, height=3, width=4)

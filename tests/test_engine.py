@@ -188,3 +188,41 @@ def test_batch_engine_thumbnails():
     single = sp.output_8bit(None)
     diff = single.data.astype(int) - outs[2].astype(int)
     assert np.abs(diff).max() <= 1
+
+
+def test_batch_engine_per_image_calibration():
+    """Same-shape images with DIFFERENT white balance must each develop with
+    their own calibration (regression: bucketing used the first image's
+    params for the whole batch)."""
+    raws = [synthetic_bayer(96, 64, seed=40), synthetic_bayer(96, 64, seed=40)]
+    raws[1].wb_coeffs = (1.0, 1.0, 3.0, float("nan"))  # strong blue cast
+    sources = [ImageSource.from_raw(r) for r in raws]
+    outs = BatchEngine(max_batch=4).develop_sources(sources)
+    assert not np.array_equal(outs[0], outs[1])
+    for raw, out in zip(raws, outs):
+        p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+        single = p.output_8bit(None)
+        diff = single.data.astype(int) - out.astype(int)
+        assert np.abs(diff).max() <= 1
+
+
+def test_fused_cpp3_flat_layout():
+    """cpp=3 RAW stored flat [H, W*3] (layout RawImage permits) through the
+    fused path (regression: ndim-based dispatch misread it as 2-D CFA)."""
+    from imagepipe_tpu.raw import CFA, Orientation, RawImage
+
+    h, w = 32, 48
+    rng = np.random.default_rng(41)
+    flat = rng.integers(100, 16000, (h, w * 3)).astype(np.uint16)
+    raw = RawImage(
+        width=w, height=h, cpp=3, crops=(0, 0, 0, 0),
+        blacklevels=(100,) * 4, whitelevels=(16383,) * 4,
+        wb_coeffs=(1.0, 1.0, 1.0, 0.0),
+        xyz_to_cam=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32),
+        orientation=Orientation.Normal, cfa=CFA(""), data=flat)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    fused = p.output_8bit(None)
+    p2 = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p2.globals.settings.use_fastpath = False
+    staged = p2.output_8bit(None)
+    assert np.abs(fused.data.astype(int) - staged.data.astype(int)).max() <= 1

@@ -1,0 +1,71 @@
+"""Per-camera calibration registry: model -> xyz_to_cam color matrix.
+
+Vendor RAW containers (NEF/CR2/ARW) do not embed a colorimetric matrix the
+way DNG does (ColorMatrix1); converters ship per-model tables instead (the
+reference gets them from rawloader's camera database; dcraw's adobe_coeff is
+the common ancestor, storing D65 XYZ->camera coefficients scaled by 10000).
+
+This is the framework's starter table covering common benchmark bodies,
+using the same x10000 integer convention so entries can be cross-checked /
+extended straight from public coefficient dumps. `register_camera` lets
+applications add bodies at runtime; unknown models fall back to the sRGB
+matrix with a warning (image still develops, colors uncalibrated).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+__all__ = ["xyz_to_cam_for", "register_camera", "known_cameras"]
+
+log = logging.getLogger(__name__)
+
+# model (uppercased, as written in the TIFF Model tag) -> 9 ints x10000,
+# row-major XYZ->cam. Starter set; extend via register_camera().
+_TABLE: dict[str, tuple[int, ...]] = {
+    "NIKON D850": (10405, -3755, -1270, -5461, 13787, 1793, -1040, 2015, 7037),
+    "NIKON D750": (9020, -2890, -715, -4535, 12436, 2348, -934, 1919, 7086),
+    "NIKON D7200": (8322, -3112, -1047, -6367, 14342, 2179, -988, 1638, 6394),
+    "NIKON Z 7": (10405, -3755, -1270, -5461, 13787, 1793, -1040, 2015, 7037),
+    "CANON EOS 5D MARK III": (6722, -635, -963, -4287, 12460, 2028, -908, 2162, 5668),
+    "CANON EOS 5D MARK IV": (6446, -366, -864, -4436, 12204, 2513, -952, 2496, 6348),
+    "CANON EOS 80D": (7457, -671, -937, -4849, 12495, 2643, -1213, 2354, 5492),
+    "CANON EOS R5": (9766, -2953, -1254, -4276, 12116, 2433, -437, 1336, 5131),
+    "ILCE-7M3": (7374, -2389, -551, -5435, 13162, 2519, -1006, 1795, 6552),
+    "ILCE-7RM3": (6640, -1847, -503, -5238, 13010, 2474, -993, 1673, 6527),
+    "ILCE-7RM4": (7662, -2686, -660, -5240, 12965, 2530, -796, 1508, 6167),
+    "DSC-RX100M7": (6679, -1825, -745, -5047, 13256, 1953, -1580, 2422, 5183),
+}
+
+
+def register_camera(model: str, coeffs) -> None:
+    """Register/override a body: 9 XYZ->cam coefficients (x10000 ints or
+    floats in natural units)."""
+    coeffs = list(coeffs)
+    assert len(coeffs) == 9
+    if all(abs(c) <= 3 for c in coeffs):  # natural units -> x10000
+        coeffs = [int(round(c * 10000)) for c in coeffs]
+    _TABLE[model.strip().upper()] = tuple(int(c) for c in coeffs)
+
+
+def known_cameras() -> list[str]:
+    return sorted(_TABLE)
+
+
+def xyz_to_cam_for(make: str, model: str) -> np.ndarray:
+    """[4,3] f32 xyz_to_cam for a body; sRGB identity fallback (with a
+    warning) so unknown cameras still develop."""
+    key = (model or "").strip().upper()
+    entry = _TABLE.get(key)
+    if entry is None:
+        # Some vendors prefix the make in the model tag or vice versa.
+        longkey = f"{(make or '').strip().upper()} {key}".strip()
+        entry = _TABLE.get(longkey)
+    if entry is None:
+        log.warning("no color matrix for %r %r; using sRGB fallback", make, model)
+        m = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    else:
+        m = np.asarray(entry, np.float32).reshape(3, 3) / np.float32(10000.0)
+    return np.concatenate([m, np.zeros((1, 3), np.float32)], axis=0)

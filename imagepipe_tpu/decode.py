@@ -112,19 +112,49 @@ def _decode_dng(path: str) -> Optional[RawImage]:
     return read_dng(path)
 
 
-_RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng])
+def _decode_nef(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith((".nef", ".nrw")):
+        return None
+    from .vendor import read_nef
+
+    return read_nef(path)
+
+
+def _decode_cr2(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".cr2"):
+        return None
+    from .vendor import read_cr2
+
+    return read_cr2(path)
+
+
+def _decode_arw(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith((".arw", ".sr2")):
+        return None
+    from .vendor import read_arw
+
+    return read_arw(path)
+
+
+_RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
+                      _decode_nef, _decode_cr2, _decode_arw])
 
 
 def decode_file(path) -> ImageSource:
     """RAW decoders in registration order, then PIL raster fallback
-    (matches pipeline.rs:262-272 behavior)."""
+    (matches pipeline.rs:262-272 behavior). Decoder failures are isolated
+    (a broken decoder never takes down the chain) but collected, so when
+    nothing can decode the file the error names WHY each candidate passed
+    (e.g. 'NEF lossless-compressed (34713) not yet supported')."""
     path = os.fspath(path)
+    failures: list[str] = []
     for dec in _RAW_DECODERS:
         try:
             raw = dec(path)
         except FileNotFoundError:
             raise
-        except Exception:
+        except Exception as e:
+            failures.append(f"{getattr(dec, '__name__', dec)}: {e}")
             raw = None
         if raw is not None:
             return ImageSource.from_raw(raw)
@@ -137,4 +167,7 @@ def decode_file(path) -> ImageSource:
     except FileNotFoundError:
         raise
     except Exception as e:
-        raise ValueError(f"imagepipe: Don't know how to decode image {path!r}") from e
+        detail = ("; ".join(failures)) if failures else ""
+        raise ValueError(
+            f"imagepipe: Don't know how to decode image {path!r}"
+            + (f" ({detail})" if detail else "")) from e

@@ -1,0 +1,349 @@
+"""Vendor camera RAW readers: NEF (Nikon), CR2 (Canon), ARW (Sony).
+
+The reference develops these through the rawloader crate (hundreds of
+bodies; /root/reference/src/pipeline.rs:264). All three are TIFF-EP
+containers, so they share tiff.py's hardened walker and differ only in
+where the sensor plane, levels, white balance, and CFA live:
+
+  NEF: raw SubIFD (CFA photometric), 12/14-bit big-endian packed or 16-bit;
+       WB from the Nikon maker note (embedded TIFF, tag 0x000C rationals).
+  CR2: raw IFD with Compression=6 (ITU-T81 lossless JPEG, our lj92 codec)
+       cut into vertical slices (tag 0xC640); WB from the Canon maker note
+       ColorData block (tag 0x4001); crops/black from SensorInfo (0x00E0).
+  ARW: raw SubIFD, 16-bit little-endian, 12-bit packed, or lossless JPEG;
+       WB/black/white from Sony calibration tags (0x7313/0x7310/0x787F).
+
+Supported compressions are the losslessly-decodable ones this framework's
+codecs cover; vendor-proprietary entropy codecs (NEF 34713 "lossless
+compressed", ARW2 32767 cRAW) raise a clear ValueError naming the gap.
+Colorimetric matrices come from the per-model registry (cameras.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import native
+from .cameras import xyz_to_cam_for
+from .raw import CFA, Orientation, RawImage
+from .tiff import TiffFile, Ifd
+
+__all__ = ["read_nef", "read_cr2", "read_arw"]
+
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_MAKE = 271
+T_MODEL = 272
+T_STRIP_OFFSETS = 273
+T_ORIENTATION = 274
+T_ROWS_PER_STRIP = 278
+T_STRIP_BYTECOUNTS = 279
+T_CFA_REPEAT = 33421
+T_CFA_PATTERN = 33422
+
+_EXIF_TO_ORIENTATION = {
+    1: Orientation.Normal, 2: Orientation.HorizontalFlip,
+    3: Orientation.Rotate180, 4: Orientation.VerticalFlip,
+    5: Orientation.Transpose, 6: Orientation.Rotate90,
+    7: Orientation.Transverse, 8: Orientation.Rotate270,
+}
+
+_CFA_LETTERS = "RGBE"
+
+
+def _cfa_from_ifd(ifd: Ifd) -> CFA:
+    if ifd.get1(T_PHOTOMETRIC) != 32803:
+        return CFA("")
+    ph, pw = ifd.get(T_CFA_REPEAT, [2, 2])
+    pat = ifd.get(T_CFA_PATTERN, [0, 1, 1, 2])
+    return CFA("".join(_CFA_LETTERS[v] for v in pat[: ph * pw]),
+               height=int(ph), width=int(pw))
+
+
+def _raw_cfa_ifd(tf: TiffFile) -> Ifd:
+    """The IFD holding the mosaic plane (CFA photometric, largest)."""
+    cands = [e for e in tf.ifds if e.get1(T_PHOTOMETRIC) == 32803]
+    if not cands:
+        raise ValueError("no CFA raw IFD in container")
+    return max(cands, key=lambda e: (e.get1(T_WIDTH, 0) or 0) * (e.get1(T_LENGTH, 0) or 0))
+
+
+def _read_strips(tf: TiffFile, ifd: Ifd, height: int, width: int,
+                 bits: int, packing: str) -> np.ndarray:
+    offsets = ifd.get(T_STRIP_OFFSETS)
+    counts = ifd.get(T_STRIP_BYTECOUNTS)
+    if not offsets or not counts:
+        raise ValueError("raw IFD missing strip layout")
+    rows_per_strip = ifd.get1(T_ROWS_PER_STRIP, height)
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, height - si * rows_per_strip)
+        if nrows <= 0:
+            break
+        npix = nrows * width
+        tf._check(off, cnt, "strip data")
+        chunk = np.frombuffer(tf.buf, np.uint8, cnt, off)
+        if bits == 16:
+            need = npix * 2
+            if cnt < need:
+                raise ValueError("truncated 16-bit strip")
+            if packing == "le":
+                vals = np.frombuffer(chunk[:need].tobytes(), "<u2").astype(np.uint16)
+            else:
+                vals = native.swap_16be(chunk, npix)
+        elif bits == 12:
+            vals = (native.unpack_12le(chunk, npix) if packing == "le"
+                    else native.unpack_12be(chunk, npix))
+        elif bits == 14:
+            if packing == "le":
+                raise ValueError("14-bit little-endian packing unsupported")
+            vals = native.unpack_14be(chunk, npix)
+        else:
+            raise ValueError(f"unsupported BitsPerSample {bits}")
+        rows.append(vals.reshape(nrows, width))
+    data = np.concatenate(rows, axis=0)
+    if data.shape != (height, width):
+        raise ValueError(f"strip payload {data.shape} != {(height, width)}")
+    return data
+
+
+def _orientation(tf: TiffFile) -> Orientation:
+    return _EXIF_TO_ORIENTATION.get(tf.find1(T_ORIENTATION, 1), Orientation.Normal)
+
+
+def _make_model(tf: TiffFile) -> tuple[str, str]:
+    return tf.find1(T_MAKE, "") or "", tf.find1(T_MODEL, "") or ""
+
+
+# ---------------------------------------------------------------------------
+# NEF (Nikon)
+# ---------------------------------------------------------------------------
+
+
+def _nikon_makernote_tiff(tf: TiffFile):
+    """Nikon maker notes embed a full TIFF stream at offset 10
+    ("Nikon\\0" + version, then II/MM header; offsets relative to it)."""
+    blob = tf.makernote()
+    if blob is None or not blob.startswith(b"Nikon\0"):
+        return None
+    try:
+        return TiffFile(blob, base=10)
+    except ValueError:
+        return None
+
+
+def read_nef(path: str) -> RawImage:
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf)
+    make, model = _make_model(tf)
+    if "NIKON" not in make.upper():
+        raise ValueError("not a Nikon NEF")
+
+    ifd = _raw_cfa_ifd(tf)
+    width = ifd.get1(T_WIDTH)
+    height = ifd.get1(T_LENGTH)
+    bits = ifd.get1(T_BITS, 14)
+    compression = ifd.get1(T_COMPRESSION, 1)
+    if compression == 34713:
+        raise ValueError("NEF lossless-compressed (34713) not yet supported; "
+                         "convert to DNG or use uncompressed/packed NEF")
+    if compression != 1:
+        raise ValueError(f"unsupported NEF compression {compression}")
+    # Nikon packs 12/14-bit big-endian regardless of container endianness.
+    packing = "be" if bits in (12, 14) or tf.endian == ">" else "le"
+    data = _read_strips(tf, ifd, height, width, bits, packing)
+
+    wb = (float("nan"),) * 4
+    black = 0
+    mn = _nikon_makernote_tiff(tf)
+    if mn is not None:
+        # 0x000C WB RB levels: rationals ordered R, B, G1, G2.
+        rb = mn.find(0x000C)
+        if rb and len(rb) >= 4 and all(v > 0 for v in rb[:2]):
+            wb = (float(rb[0]), float(rb[2]), float(rb[1]), float("nan"))
+        bl = mn.find(0x003D)  # per-channel black level (newer bodies)
+        if bl:
+            black = int(round(sum(bl[:4]) / len(bl[:4])))
+
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=((1 << bits) - 1,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
+        make=make, model=model)
+
+
+# ---------------------------------------------------------------------------
+# CR2 (Canon)
+# ---------------------------------------------------------------------------
+
+# Canon ColorData (maker tag 0x4001) -> u16 index of WB_RGGBLevelsAsShot,
+# keyed by the block's element count (the public ColorData version map).
+_CANON_WB_INDEX = {
+    582: 25,     # ColorData1: 20D, 350D
+    653: 24,     # ColorData2: 1DmkII, 1DSmkII
+    796: 63,     # ColorData3: 1DmkIIN, 30D, 400D
+    674: 63, 692: 63, 702: 63, 1227: 63, 1250: 63,   # ColorData4
+    1251: 63, 1337: 63, 1338: 63, 1346: 63,
+    5120: 71,    # ColorData5 (PowerShot)
+    1273: 63, 1275: 63,                              # ColorData6: 600D, 1200D
+    1312: 63, 1313: 63, 1316: 63, 1506: 63,          # ColorData7: 5DmkIII..
+    1560: 63, 1592: 63, 1353: 63, 1602: 63,          # ColorData8
+    1820: 71, 1824: 71, 1816: 71,                    # ColorData9: R/R5/R6
+    2024: 85, 3656: 85,                              # ColorData10
+    3973: 105, 3778: 105,                            # ColorData11
+}
+
+
+def _canon_makernote_ifd(tf: TiffFile):
+    """Canon maker notes are a bare IFD whose offsets are relative to the
+    MAIN file, so parse it in place."""
+    for ifd in tf.ifds:
+        if 37500 in ifd.entries:
+            typ, count, off = ifd.entries[37500]
+            try:
+                entries, _ = tf._read_ifd(off - tf.base)
+                return Ifd(tf, entries, off)
+            except ValueError:
+                return None
+    return None
+
+
+def _unslice_cr2(flat: np.ndarray, height: int, slices) -> np.ndarray:
+    """Reassemble the sensor frame from Canon's vertical slices: the LJ92
+    stream fills slice 0's rows first, then slice 1, ... (tag 0xC640 =
+    [n, w1, w2]: n slices of width w1 plus one of width w2)."""
+    n, w1, w2 = int(slices[0]), int(slices[1]), int(slices[2])
+    width = n * w1 + w2
+    if flat.size != height * width:
+        raise ValueError(f"CR2 slice layout mismatch: {flat.size} values vs "
+                         f"{height}x{width}")
+    out = np.empty((height, width), np.uint16)
+    pos = 0
+    for j in range(n + 1):
+        w = w1 if j < n else w2
+        if w == 0:
+            continue
+        out[:, j * w1: j * w1 + w] = flat[pos: pos + w * height].reshape(height, w)
+        pos += w * height
+    return out
+
+
+def read_cr2(path: str) -> RawImage:
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 12 or buf[8:10] != b"CR":
+        raise ValueError("not a CR2 (missing CR header)")
+    tf = TiffFile(buf)
+    make, model = _make_model(tf)
+
+    # The RAW IFD is the one holding the lossless-JPEG strip (Compression 6).
+    raw_ifds = [e for e in tf.ifds
+                if e.get1(T_COMPRESSION) == 6 and T_STRIP_OFFSETS in e]
+    if not raw_ifds:
+        raise ValueError("no lossless-JPEG raw IFD in CR2")
+    ifd = raw_ifds[-1]
+    (off,) = ifd.get(T_STRIP_OFFSETS)[:1]
+    (cnt,) = ifd.get(T_STRIP_BYTECOUNTS, [len(buf) - off])[:1]
+    tf._check(off, cnt, "CR2 raw strip")
+
+    from .lj92 import decode as lj92_decode
+
+    decoded = lj92_decode(bytes(buf[off:off + cnt]))  # [h, w*ncomp]
+    height = decoded.shape[0]
+    slices = ifd.get(0xC640)
+    if slices and len(slices) >= 3 and slices[0] > 0:
+        data = _unslice_cr2(decoded.ravel(), height, slices)
+    else:
+        data = decoded
+    width = data.shape[1]
+
+    wb = (float("nan"),) * 4
+    crops = (0, 0, 0, 0)
+    black = 0
+    mn = _canon_makernote_ifd(tf)
+    if mn is not None:
+        cd = mn.get(0x4001)
+        if cd:
+            idx = _CANON_WB_INDEX.get(len(cd))
+            if idx is not None and idx + 4 <= len(cd):
+                r, g1, g2, b = (float(v) for v in cd[idx: idx + 4])
+                if r > 0 and g1 > 0:
+                    wb = (r, g1, b, float("nan"))
+        si = mn.get(0x00E0)  # SensorInfo
+        if si and len(si) >= 9:
+            left, top, right, bottom = si[5], si[6], si[7], si[8]
+            if 0 <= left < right <= width and 0 <= top < bottom <= height:
+                crops = (top, width - 1 - right, height - 1 - bottom, left)
+                if left >= 4:
+                    # Black from the masked border (the reference chain's
+                    # rawloader does the same for Canon).
+                    black = int(round(float(np.mean(data[top:bottom, : left - 2]))))
+
+    bits = 14 if int(data.max()) > 4095 else 12  # SOF precision is authoritative
+    return RawImage(
+        width=width, height=height, cpp=1, crops=crops,
+        blacklevels=(black,) * 4, whitelevels=((1 << bits) - 1,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=CFA("RGGB"), data=data,
+        make=make, model=model)
+
+
+# ---------------------------------------------------------------------------
+# ARW (Sony)
+# ---------------------------------------------------------------------------
+
+
+def read_arw(path: str) -> RawImage:
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf)
+    make, model = _make_model(tf)
+    if "SONY" not in make.upper():
+        raise ValueError("not a Sony ARW")
+
+    ifd = _raw_cfa_ifd(tf)
+    width = ifd.get1(T_WIDTH)
+    height = ifd.get1(T_LENGTH)
+    bits = ifd.get1(T_BITS, 16)
+    compression = ifd.get1(T_COMPRESSION, 1)
+    if compression == 32767:
+        raise ValueError("Sony ARW2 compressed (32767) not yet supported; "
+                         "shoot uncompressed/lossless or convert to DNG")
+    if compression == 7:
+        from .lj92 import decode as lj92_decode
+
+        (off,) = ifd.get(T_STRIP_OFFSETS)[:1]
+        (cnt,) = ifd.get(T_STRIP_BYTECOUNTS)[:1]
+        tf._check(off, cnt, "ARW raw strip")
+        data = lj92_decode(bytes(buf[off:off + cnt]))
+        if data.shape[1] != width:
+            data = data.reshape(height, width)
+    elif compression == 1:
+        data = _read_strips(tf, ifd, height, width, bits,
+                            "le" if tf.endian == "<" else "be")
+    else:
+        raise ValueError(f"unsupported ARW compression {compression}")
+
+    # Sony calibration tags (searched across the IFD tree).
+    wb = (float("nan"),) * 4
+    rggb = tf.find(0x7313)
+    if rggb and len(rggb) >= 4 and rggb[0] > 0:
+        wb = (float(rggb[0]), float(rggb[1]), float(rggb[3]), float("nan"))
+    bl = tf.find(0x7310)
+    black = int(round(sum(bl[:4]) / len(bl[:4]))) if bl else 0
+    wl = tf.find(0x787F)
+    white = int(wl[0]) if wl else (1 << bits) - 1
+
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
+        make=make, model=model)

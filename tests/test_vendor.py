@@ -1,0 +1,279 @@
+"""Vendor RAW readers (NEF/CR2/ARW) against synthesized byte-accurate
+containers (tiffgen.py): payload equality, calibration tag mapping, camera
+matrix lookup, end-to-end develop parity with the same data fed directly."""
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu import ImageSource, Pipeline
+from imagepipe_tpu.cameras import xyz_to_cam_for
+from imagepipe_tpu.decode import decode_file
+from imagepipe_tpu.raw import CFA, Orientation, RawImage
+
+from tiffgen import TiffBuilder, pack_12le, pack_14be
+
+
+def _sensor(h, w, seed=0, bits=14):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << bits, (h, w), dtype=np.uint16)
+
+
+def _expected_raw(data, wb, black, white, model, make, cfa="RGGB",
+                  crops=(0, 0, 0, 0)):
+    return RawImage(
+        width=data.shape[1], height=data.shape[0], cpp=1, crops=crops,
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=Orientation.Normal, cfa=CFA(cfa), data=data,
+        make=make, model=model)
+
+
+def _assert_develops_identically(got: RawImage, want: RawImage):
+    po = Pipeline.new_from_source(ImageSource.from_raw(got)).output_8bit(None)
+    pw = Pipeline.new_from_source(ImageSource.from_raw(want)).output_8bit(None)
+    np.testing.assert_array_equal(po.data, pw.data)
+
+
+# ---------------------------------------------------------------------------
+# NEF
+# ---------------------------------------------------------------------------
+
+
+def make_nef(data, model="NIKON D850", wb_r=2.0, wb_b=1.5, black=150) -> bytes:
+    h, w = data.shape
+    b = TiffBuilder(">")  # NEFs are big-endian containers
+    strip = b.add_blob(pack_14be(data))
+
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [14]), (259, 3, [1]),
+        (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(pack_14be(data))]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+
+    # Nikon maker note: "Nikon\0" + version + embedded little-endian TIFF.
+    note = TiffBuilder("<")
+    note.add_ifd([
+        (0x000C, 5, [(int(wb_r * 10000), 10000), (int(wb_b * 10000), 10000),
+                     (10000, 10000), (10000, 10000)]),   # R, B, G1, G2
+        (0x003D, 3, [black] * 4),
+    ])
+    note_blob = b"Nikon\0" + b"\x02\x11\x00\x00" + note.bytes()
+
+    exif_ifd = b.add_ifd([(37500, 7, note_blob)], chain=False)
+
+    b.add_ifd([
+        (271, 2, "NIKON CORPORATION"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]), (34665, 4, [exif_ifd]),
+    ])
+    return b.bytes()
+
+
+def test_nef_decode(tmp_path):
+    data = _sensor(48, 64, seed=1)
+    path = str(tmp_path / "shot.nef")
+    with open(path, "wb") as f:
+        f.write(make_nef(data))
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert (raw.width, raw.height) == (64, 48)
+    assert raw.cfa.name == "RGGB"
+    assert raw.make == "NIKON CORPORATION" and raw.model == "NIKON D850"
+    assert raw.wb_coeffs[:3] == (pytest.approx(2.0), pytest.approx(1.0),
+                                 pytest.approx(1.5))
+    assert raw.blacklevels == (150,) * 4
+    assert raw.whitelevels[0] == (1 << 14) - 1
+    np.testing.assert_allclose(raw.xyz_to_cam,
+                               xyz_to_cam_for("NIKON CORPORATION", "NIKON D850"))
+    want = _expected_raw(data, (2.0, 1.0, 1.5, float("nan")), 150,
+                         (1 << 14) - 1, "NIKON D850", "NIKON CORPORATION")
+    _assert_develops_identically(raw, want)
+
+
+def test_nef_compressed_rejected(tmp_path):
+    data = _sensor(8, 16, seed=2)
+    b = TiffBuilder(">")
+    strip = b.add_blob(pack_14be(data))
+    raw_ifd = b.add_ifd([
+        (256, 4, [16]), (257, 4, [8]), (258, 3, [14]), (259, 3, [34713]),
+        (262, 3, [32803]), (273, 4, [strip]), (279, 4, [len(pack_14be(data))]),
+    ], chain=False)
+    b.add_ifd([(271, 2, "NIKON CORPORATION"), (272, 2, "NIKON D6"),
+               (330, 4, [raw_ifd])])
+    path = str(tmp_path / "c.nef")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    from imagepipe_tpu.vendor import read_nef
+
+    with pytest.raises(ValueError, match="34713"):
+        read_nef(path)
+    # decode_file surfaces the reason instead of a bare unknown-format error.
+    with pytest.raises(ValueError, match="34713"):
+        decode_file(path)
+
+
+# ---------------------------------------------------------------------------
+# CR2
+# ---------------------------------------------------------------------------
+
+
+def make_cr2(data, model="Canon EOS 5D Mark III", wb=(2000, 1024, 1024, 1500),
+             sensor_info=None, n_slices=1, w1=None) -> bytes:
+    """Lossless-JPEG CR2 with vertical slices (tag 0xC640)."""
+    from imagepipe_tpu.lj92 import encode as lj92_encode
+
+    h, w = data.shape
+    if w1 is None:
+        w1 = w // (n_slices + 1)
+    w2 = w - n_slices * w1
+    parts = [data[:, j * w1:(j + 1) * w1].ravel() for j in range(n_slices)]
+    parts.append(data[:, n_slices * w1:].ravel())
+    flat = np.concatenate(parts).reshape(h, w)
+    payload = lj92_encode(flat, ncomp=2, precision=14)
+
+    b = TiffBuilder("<", header_extra=b"CR\x02\x00")
+    strip = b.add_blob(payload)
+
+    # Canon maker note: bare IFD with main-file-relative offsets.
+    colordata = [0] * 1312
+    colordata[63:67] = list(wb)
+    note_entries = [(0x4001, 3, colordata)]
+    if sensor_info is not None:
+        note_entries.append((0x00E0, 3, sensor_info))
+    note_ifd = b.add_ifd(note_entries, chain=False)
+    exif_ifd = b.add_ifd([(37500, 7, ("ptr", 256, note_ifd))], chain=False)
+
+    b.add_ifd([
+        (271, 2, "Canon"), (272, 2, model), (274, 3, [1]),
+        (34665, 4, [exif_ifd]),
+    ])
+    b.add_ifd([
+        (259, 3, [6]), (273, 4, [strip]), (279, 4, [len(payload)]),
+        (0xC640, 3, [n_slices, w1, w2]),
+    ])
+    return b.bytes()
+
+
+def test_cr2_decode_sliced(tmp_path):
+    data = _sensor(32, 96, seed=3)
+    path = str(tmp_path / "shot.cr2")
+    with open(path, "wb") as f:
+        f.write(make_cr2(data, n_slices=2, w1=32))
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.cfa.name == "RGGB"
+    assert raw.model == "Canon EOS 5D Mark III"
+    assert raw.wb_coeffs[:3] == (pytest.approx(2000.0), pytest.approx(1024.0),
+                                 pytest.approx(1500.0))
+    np.testing.assert_allclose(
+        raw.xyz_to_cam, xyz_to_cam_for("Canon", "Canon EOS 5D Mark III"))
+    want = _expected_raw(data, (2000.0, 1024.0, 1500.0, float("nan")), 0,
+                         (1 << 14) - 1, "Canon EOS 5D Mark III", "Canon")
+    _assert_develops_identically(raw, want)
+
+
+def test_cr2_sensor_info_crops_and_black(tmp_path):
+    # Masked border: left 8 columns dark (black level ~160).
+    rng = np.random.default_rng(4)
+    data = _sensor(40, 64, seed=4)
+    data[:, :8] = rng.integers(150, 170, (40, 8), dtype=np.uint16)
+    # SensorInfo: [_, w, h, _, _, left, top, right, bottom]
+    si = [1, 64, 40, 0, 0, 8, 4, 63, 39]
+    path = str(tmp_path / "border.cr2")
+    with open(path, "wb") as f:
+        f.write(make_cr2(data, sensor_info=si))
+    raw = decode_file(path).raw
+    assert raw.crops == (4, 0, 0, 8)  # (top, right, bottom, left)
+    assert 150 <= raw.blacklevels[0] <= 170
+
+
+# ---------------------------------------------------------------------------
+# ARW
+# ---------------------------------------------------------------------------
+
+
+def make_arw(data, model="ILCE-7RM3", bits=16, wb=(2100, 1024, 1024, 1600),
+             black=512, white=16300) -> bytes:
+    h, w = data.shape
+    b = TiffBuilder("<")
+    if bits == 16:
+        payload = data.astype("<u2").tobytes()
+    else:
+        payload = pack_12le(data)
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]), (259, 3, [1]),
+        (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.add_ifd([
+        (271, 2, "SONY"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]),
+        (0x7313, 3, list(wb)), (0x7310, 3, [black] * 4), (0x787F, 3, [white]),
+    ])
+    return b.bytes()
+
+
+@pytest.mark.parametrize("bits", [16, 12])
+def test_arw_decode(tmp_path, bits):
+    data = _sensor(32, 48, seed=5, bits=min(bits, 12))
+    path = str(tmp_path / f"shot{bits}.arw")
+    with open(path, "wb") as f:
+        f.write(make_arw(data, bits=bits))
+    raw = decode_file(path).raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.model == "ILCE-7RM3"
+    assert raw.wb_coeffs[:3] == (pytest.approx(2100.0), pytest.approx(1024.0),
+                                 pytest.approx(1600.0))
+    assert raw.blacklevels == (512,) * 4
+    assert raw.whitelevels[0] == 16300
+    np.testing.assert_allclose(raw.xyz_to_cam, xyz_to_cam_for("SONY", "ILCE-7RM3"))
+    want = _expected_raw(data, (2100.0, 1024.0, 1600.0, float("nan")), 512,
+                         16300, "ILCE-7RM3", "SONY")
+    _assert_develops_identically(raw, want)
+
+
+def test_arw2_compressed_rejected(tmp_path):
+    data = _sensor(8, 16, seed=6)
+    b = TiffBuilder("<")
+    strip = b.add_blob(data.tobytes())
+    raw_ifd = b.add_ifd([
+        (256, 4, [16]), (257, 4, [8]), (258, 3, [8]), (259, 3, [32767]),
+        (262, 3, [32803]), (273, 4, [strip]), (279, 4, [data.nbytes]),
+    ], chain=False)
+    b.add_ifd([(271, 2, "SONY"), (272, 2, "ILCE-7M3"), (330, 4, [raw_ifd])])
+    path = str(tmp_path / "c.arw")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    from imagepipe_tpu.vendor import read_arw
+
+    with pytest.raises(ValueError, match="32767"):
+        read_arw(path)
+
+
+def test_unknown_camera_falls_back_to_srgb(tmp_path):
+    data = _sensor(16, 32, seed=7)
+    path = str(tmp_path / "new.arw")
+    with open(path, "wb") as f:
+        f.write(make_arw(data, model="ILCE-99 FUTURE"))
+    raw = decode_file(path).raw
+    np.testing.assert_allclose(raw.xyz_to_cam[:3], np.eye(3, dtype=np.float32))
+    # Still develops.
+    Pipeline.new_from_source(ImageSource.from_raw(raw)).output_8bit(None)
+
+
+def test_vendor_truncated_files_raise(tmp_path):
+    """Truncated vendor containers fail with ValueError, never hang/crash."""
+    data = _sensor(16, 32, seed=8)
+    for name, blob in (("t.nef", make_nef(data)),
+                       ("t.cr2", make_cr2(data)),
+                       ("t.arw", make_arw(data))):
+        for cut in (10, 60, len(blob) // 2):
+            path = str(tmp_path / f"{cut}_{name}")
+            with open(path, "wb") as f:
+                f.write(blob[:cut])
+            with pytest.raises(ValueError):
+                decode_file(path)

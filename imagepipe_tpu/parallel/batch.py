@@ -13,15 +13,17 @@ jax.sharding.Mesh:
     GSPMD inserts automatically. Used for images too large for one chip's
     HBM (the 61MP config), analogous to sequence/context parallelism.
 
-Host decode runs in a background thread pool, double-buffering the next
-batch's H2D transfer against the current batch's compute (the pipeline-
-parallelism analogue, SURVEY.md section 2.5).
+Decode/compute overlap (the pipeline-parallelism analogue, SURVEY.md
+section 2.5): develop_files streams decodes through a host thread pool and
+dispatches each shape bucket to the device as soon as it fills, while the
+pool keeps decoding the remaining files. Device dispatch is asynchronous
+(JAX), and host-side result fetches are deferred until every batch is in
+flight, so H2D transfer + develop of batch N overlap the decode of N+1.
 """
 
 from __future__ import annotations
 
 import concurrent.futures as cf
-import math
 from collections import defaultdict
 
 import numpy as np
@@ -29,8 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine import (make_develop_plan, _develop_batch_jit,
-                      _develop_batch_perimage_jit, normalize_plane, stack_params)
+from ..engine import (make_develop_plan, _develop_batch_perimage_jit,
+                      normalize_plane, planar_to_hwc, stack_params)
 from ..pipeline import Pipeline
 from ..sources import ImageSource
 
@@ -65,6 +67,13 @@ class BatchEngine:
         self.decode_workers = decode_workers
         self.maxwidth = maxwidth
         self.maxheight = maxheight
+        # Test/observability hook: when set to a list, (event, payload)
+        # tuples are appended for every decode completion and batch dispatch.
+        self._events: list | None = None
+
+    def _note(self, event: str, payload) -> None:
+        if self._events is not None:
+            self._events.append((event, payload))
 
     def _plan_for(self, source: ImageSource):
         pipe = Pipeline.new_from_source(source)
@@ -73,6 +82,37 @@ class BatchEngine:
         if self.out_bits == 16:
             pipe.globals.settings.linear = True
         return make_develop_plan(pipe, out_bits=self.out_bits)
+
+    def _dispatch_chunk(self, chunk):
+        """Stack one shape bucket's chunk, pad to the mesh's batch multiple,
+        and dispatch the batched develop. Returns the DEVICE output (async:
+        no host sync -- callers fetch later so compute overlaps host work)."""
+        plan = chunk[0][2]
+        # Per-image calibration: params (WB, levels, matrices, curves) batch
+        # alongside the planes -- images bucket by STATICS only, so their
+        # params may differ.
+        planes = np.stack([
+            np.asarray(normalize_plane(p_, src.raw.data))
+            for _, src, p_ in chunk])
+        param_dicts = [p_.params for _, _, p_ in chunk]
+        b = planes.shape[0]
+        pad = (-b) % self.mesh.shape["batch"]
+        if pad:
+            sel = np.arange(b + pad) % b
+            planes = planes[sel]
+            param_dicts = [param_dicts[i] for i in sel]
+        dev = shard_batch(self.mesh, jnp.asarray(planes))
+        out = _develop_batch_perimage_jit(
+            dev, stack_params(param_dicts), **plan.statics())
+        self._note("dispatch", len(chunk))
+        return out
+
+    def _collect(self, inflight, results):
+        """Fetch device outputs to host and scatter into input order."""
+        for chunk, out in inflight:
+            out_np = planar_to_hwc(out)[:len(chunk)]
+            for (idx, _, _), img in zip(chunk, out_np):
+                results[idx] = img
 
     def develop_sources(self, sources: list[ImageSource]):
         """Develop a list of RAW sources; returns numpy outputs in input
@@ -85,38 +125,39 @@ class BatchEngine:
             key = tuple(sorted(plan.statics().items()))
             buckets[key].append((idx, src, plan))
 
-        nbatch_devices = self.mesh.shape["batch"]
+        inflight = []
         for _, entries in buckets.items():
-            plan = entries[0][2]
             for start in range(0, len(entries), self.max_batch):
-                chunk = entries[start:start + self.max_batch]
-                # Per-image calibration: params (WB, levels, matrices,
-                # curves) batch alongside the planes -- images bucket by
-                # STATICS only, so their params may differ.
-                planes = np.stack([
-                    np.asarray(normalize_plane(p_, src.raw.data))
-                    for _, src, p_ in chunk])
-                param_dicts = [p_.params for _, _, p_ in chunk]
-                b = planes.shape[0]
-                pad = (-b) % nbatch_devices
-                if pad:
-                    sel = np.arange(b + pad) % b
-                    planes = planes[sel]
-                    param_dicts = [param_dicts[i] for i in sel]
-                dev = shard_batch(self.mesh, jnp.asarray(planes))
-                out = _develop_batch_perimage_jit(
-                    dev, stack_params(param_dicts), **plan.statics())
-                from ..engine import planar_to_hwc
-
-                out_np = planar_to_hwc(out)[:b]
-                for (idx, _, _), img in zip(chunk, out_np):
-                    results[idx] = img
+                inflight.append((entries[start:start + self.max_batch],
+                                 self._dispatch_chunk(entries[start:start + self.max_batch])))
+        self._collect(inflight, results)
         return results
 
     def develop_files(self, paths: list[str]):
-        """decode (host thread pool, overlapped) -> batched develop."""
+        """Streaming decode -> batched develop with decode/compute overlap:
+        every shape bucket is dispatched to the device the moment it reaches
+        max_batch, while the thread pool keeps decoding the remaining files;
+        leftover partial buckets go out after the last decode. Host fetches
+        of finished batches are deferred to the end (device dispatch is
+        async), so develop of batch N runs under the decode of batch N+1."""
         from ..decode import decode_file
 
+        results: list = [None] * len(paths)
+        buckets: dict = defaultdict(list)
+        inflight = []
         with cf.ThreadPoolExecutor(self.decode_workers) as pool:
-            sources = list(pool.map(decode_file, paths))
-        return self.develop_sources(sources)
+            futs = {pool.submit(decode_file, p): i for i, p in enumerate(paths)}
+            for fut in cf.as_completed(futs):
+                idx = futs[fut]
+                src = fut.result()
+                self._note("decoded", idx)
+                plan = self._plan_for(src)
+                key = tuple(sorted(plan.statics().items()))
+                buckets[key].append((idx, src, plan))
+                if len(buckets[key]) >= self.max_batch:
+                    inflight.append((buckets[key], self._dispatch_chunk(buckets[key])))
+                    del buckets[key]
+            for chunk in buckets.values():
+                inflight.append((chunk, self._dispatch_chunk(chunk)))
+        self._collect(inflight, results)
+        return results

@@ -92,9 +92,10 @@ def test_batch_engine_sharded_develop():
         np.testing.assert_array_equal(out, single)
 
 
-def test_spatial_sharding_identical_bits():
+def test_spatial_sharding_within_1lsb():
     """sp-sharded (width across chips): GSPMD halo exchange for the demosaic
-    stencil must not change any bit."""
+    stencil; held to the cross-path <=1 LSB contract (partitioning moves FMA
+    placement, so bit-equality is NOT guaranteed or asserted)."""
     raw = synthetic_bayer(256, 64)
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
     plan = make_develop_plan(p, out_bits=8)
@@ -126,6 +127,40 @@ def test_batch_engine_files(tmp_path):
     assert len(outs) == 3
     assert all(o.shape == (64, 96, 3) for o in outs)
     assert not np.array_equal(outs[0], outs[1])
+
+
+def test_batch_engine_decode_compute_overlap(tmp_path):
+    """develop_files must STREAM: full shape buckets are dispatched to the
+    device while later files are still decoding (the PP analogue), rather
+    than completing all decodes before any develop."""
+    from imagepipe_tpu.decode import save_synraw
+
+    paths = []
+    for s in range(6):
+        raw = synthetic_bayer(96, 64, seed=50 + s)
+        path = str(tmp_path / f"r{s}.synraw.npz")
+        save_synraw(path, raw)
+        paths.append(path)
+    eng = BatchEngine(max_batch=2, decode_workers=2)
+    eng._events = []
+    outs = eng.develop_files(paths)
+
+    kinds = [k for k, _ in eng._events]
+    assert kinds.count("decoded") == 6
+    assert kinds.count("dispatch") == 3  # 6 files / max_batch 2
+    first_dispatch = kinds.index("dispatch")
+    last_decode = len(kinds) - 1 - kinds[::-1].index("decoded")
+    assert first_dispatch < last_decode, (
+        f"no overlap: first dispatch at {first_dispatch}, "
+        f"last decode at {last_decode}: {kinds}")
+
+    # Results must still be in input order and correct.
+    for path, out in zip(paths, outs):
+        raw = synthetic_bayer(96, 64, seed=50 + int(path[-12]))
+        p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+        plan = make_develop_plan(p)
+        single = planar_to_hwc(develop_fused(plan, raw.data))
+        np.testing.assert_array_equal(out, single)
 
 
 def test_banded_develop_bit_identical():

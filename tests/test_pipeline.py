@@ -240,16 +240,69 @@ def test_single_op_to_settings_yaml():
     assert doc["points"] == [[0.5, 0.6]]
 
 
+def test_cache_eviction_exact_semantics():
+    """MultiCache LRU semantics, asserted exactly: eviction order, byte
+    accounting after forced eviction, and the over-budget-singleton rule
+    (the newest entry is always retained, even alone over budget)."""
+    from imagepipe_tpu.cache import MultiCache
+
+    c = MultiCache(100)
+    c.put(b"a", "A", 40)
+    c.put(b"b", "B", 40)
+    assert (len(c), c.total_bytes) == (2, 80)
+    c.put(b"c", "C", 40)  # 120 > 100: evicts oldest ("a") exactly
+    assert (len(c), c.total_bytes) == (2, 80)
+    assert c.get(b"a") is None and c.get(b"b") == "B" and c.get(b"c") == "C"
+    # get() refreshes recency: "c" was touched last above, so inserting "d"
+    # evicts "b" (now the least recently used).
+    c.put(b"d", "D", 40)
+    assert (len(c), c.total_bytes) == (2, 80)
+    assert c.get(b"b") is None and c.get(b"c") == "C"
+    # Over-budget singleton: a put larger than the whole budget evicts
+    # everything else but is itself retained.
+    c.put(b"e", "E", 150)
+    assert (len(c), c.total_bytes) == (1, 150)
+    assert c.get(b"e") == "E"
+    # Next normal put brings the cache back under budget.
+    c.put(b"f", "F", 30)
+    assert (len(c), c.total_bytes) == (1, 30)
+    assert c.get(b"e") is None and c.get(b"f") == "F"
+    # Re-putting an existing key replaces its weight (no double counting).
+    c.put(b"f", "F2", 50)
+    assert (len(c), c.total_bytes) == (1, 50)
+
+
 def test_cache_eviction_under_pressure():
-    """Byte-budgeted LRU: small cache evicts oldest stages but keeps working."""
+    """Byte-budgeted LRU through the pipeline: a small cache evicts oldest
+    stages but re-renders stay correct."""
     raw = synthetic_bayer(120, 80)
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
     # Budget for only ~3 full-size f32 stages.
     cache = Pipeline.new_cache(3 * 120 * 80 * 4 * 4)
     a = p.output_8bit(cache)
-    assert cache.total_bytes <= cache.max_bytes or len(cache) == 1
+    assert len(cache) >= 1
+    assert cache.total_bytes <= cache.max_bytes  # multi-entry => under budget
     b = p.output_8bit(cache)  # still correct with partial cache
     np.testing.assert_array_equal(a.data, b.data)
+
+
+def test_cache_smaller_than_one_stage_recompute():
+    """A cache too small for even one stage keeps exactly the newest stage
+    (over-budget singleton) and never corrupts results."""
+    raw = synthetic_bayer(120, 80)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    cache = Pipeline.new_cache(16)  # smaller than any stage buffer
+    a = p.output_8bit(cache)
+    assert len(cache) == 1  # only the newest stage survives
+    b = p.output_8bit(cache)
+    np.testing.assert_array_equal(a.data, b.data)
+    # Edit an op: full recompute through the tiny cache, still correct.
+    p.ops.basecurve.exposure = 0.25
+    c1 = p.output_8bit(cache)
+    p2 = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p2.ops.basecurve.exposure = 0.25
+    c2 = p2.output_8bit(None)
+    np.testing.assert_array_equal(c1.data, c2.data)
 
 
 def test_rotatecrop_rotation_through_pipeline():

@@ -66,3 +66,61 @@ def test_service_two_sessions_share_cache():
     oy = svc.render("y")
     assert not np.array_equal(ox.data, oy.data)
     assert len(svc.cache) == 16  # 8 stages per image
+
+
+def test_service_per_session_byte_accounting():
+    """Owner-tagged cache accounting: per-session byte totals sum to the
+    cache total and go to zero as a session's entries are evicted."""
+    svc = RenderService(cache_bytes=500 << 20)
+    raws = [synthetic_bayer(96, 64, seed=s) for s in (5, 6)]
+    sx = svc.open_source("x", ImageSource.from_raw(raws[0]))
+    sy = svc.open_source("y", ImageSource.from_raw(raws[1]))
+    svc.render("x")
+    assert sx.cache_bytes() > 0 and sy.cache_bytes() == 0
+    svc.render("y")
+    assert sy.cache_bytes() > 0
+    assert sx.cache_bytes() + sy.cache_bytes() == svc.cache.total_bytes
+    # Shrink the budget and force new puts: eviction must keep the per-owner
+    # accounting consistent (sum of owners == total).
+    before_x = sx.cache_bytes()
+    svc.cache.max_bytes = sy.cache_bytes() // 2
+    svc.edit("y", {"basecurve": {"exposure": 0.3}})  # dirty suffix -> puts
+    assert sx.cache_bytes() + sy.cache_bytes() == svc.cache.total_bytes
+    assert sx.cache_bytes() < before_x  # x's older stages were evicted
+
+
+def test_service_concurrent_sessions_threads():
+    """Concurrent edit/render across different sessions from threads must be
+    safe (shared locked cache) and every result must match the same edits
+    applied serially."""
+    import threading
+
+    svc = RenderService(cache_bytes=500 << 20)
+    raws = {f"s{i}": synthetic_bayer(96, 64, seed=10 + i) for i in range(4)}
+    for key, raw in raws.items():
+        svc.open_source(key, ImageSource.from_raw(raw))
+
+    results = {}
+    errors = []
+
+    def worker(key, expo):
+        try:
+            svc.render(key)
+            out = svc.edit(key, {"basecurve": {"exposure": expo}})
+            results[key] = out.data
+        except Exception as e:  # pragma: no cover
+            errors.append((key, e))
+
+    threads = [threading.Thread(target=worker, args=(k, 0.1 * i))
+               for i, k in enumerate(raws)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    for i, (key, raw) in enumerate(raws.items()):
+        ssvc = RenderService(cache_bytes=100 << 20)
+        ssvc.open_source("one", ImageSource.from_raw(raw))
+        want = ssvc.edit("one", {"basecurve": {"exposure": 0.1 * i}})
+        np.testing.assert_array_equal(results[key], want.data)

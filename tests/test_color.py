@@ -57,10 +57,11 @@ def test_roundtrip_16bit_gamma():
 
 
 def _grid_u8(step=1):
+    # 0..=255 inclusive: 255 is the clip boundary and must be swept.
     r, g, b = np.meshgrid(
-        np.arange(0, 255, step, dtype=np.int64),
-        np.arange(0, 255, step, dtype=np.int64),
-        np.arange(0, 255, step, dtype=np.int64),
+        np.arange(0, 256, step, dtype=np.int64),
+        np.arange(0, 256, step, dtype=np.int64),
+        np.arange(0, 256, step, dtype=np.int64),
         indexing="ij",
     )
     return r.ravel(), g.ravel(), b.ravel()
@@ -93,8 +94,8 @@ def _lab_rgb_roundtrip(r, g, b, gamma=False):
 
 
 def test_roundtrip_8bit_lab_rgb():
-    # color_conversions.rs:442-463, all 256^3 in the reference; strided here,
-    # full sweep in the slow marker test below.
+    # color_conversions.rs:442-463 quick strided variant; the exhaustive
+    # 256^3 sweep runs in test_roundtrip_8bit_lab_rgb_full below.
     r, g, b = _grid_u8(step=3)
     out = _lab_rgb_roundtrip(r, g, b)
     np.testing.assert_array_equal(out[..., 0], r)
@@ -109,6 +110,21 @@ def test_roundtrip_8bit_lab_rgb_gamma():
     np.testing.assert_array_equal(out[..., 0], r)
     np.testing.assert_array_equal(out[..., 1], g)
     np.testing.assert_array_equal(out[..., 2], b)
+
+
+def test_roundtrip_8bit_lab_rgb_full():
+    # The reference's exhaustive sweep (color_conversions.rs:443-463): ALL
+    # 256^3 RGB8 values through camera_to_lab -> lab_to_rgb must be bit-exact.
+    # Chunked to bound peak memory (each chunk is ~2M pixels x 4ch f32).
+    v = np.arange(256 ** 3, dtype=np.int64)
+    r_all, g_all, b_all = (v >> 16) & 255, (v >> 8) & 255, v & 255
+    for lo in range(0, 256 ** 3, 1 << 21):
+        hi = lo + (1 << 21)
+        r, g, b = r_all[lo:hi], g_all[lo:hi], b_all[lo:hi]
+        out = _lab_rgb_roundtrip(r, g, b)
+        np.testing.assert_array_equal(out[..., 0], r)
+        np.testing.assert_array_equal(out[..., 1], g)
+        np.testing.assert_array_equal(out[..., 2], b)
 
 
 def _grid_u16():

@@ -26,21 +26,34 @@ def test_roundtrip_8bit_slowpath():
     _roundtrip_8bit(False)
 
 
+def _u16_prime_blocks():
+    """The reference's full prime-strided walk of the 16-bit space
+    (roundtrip_test.rs:37-76): lexicographic (r,g,b) triples with strides
+    89/97/101, emitted as 4096x4096 blocks (the last block zero-padded)."""
+    r = np.arange(0, 65536, 89, dtype=np.uint16)
+    g = np.arange(0, 65536, 97, dtype=np.uint16)
+    b = np.arange(0, 65536, 101, dtype=np.uint16)
+    total = len(r) * len(g) * len(b)
+    n = 4096 * 4096
+    for lo in range(0, total, n):
+        i = np.arange(lo, min(lo + n, total), dtype=np.int64)
+        block = np.stack([r[i // (len(g) * len(b))],
+                          g[(i // len(b)) % len(g)],
+                          b[i % len(b)]], axis=-1)
+        if len(block) < n:
+            block = np.concatenate(
+                [block, np.zeros((n - len(block), 3), np.uint16)])
+        yield block.reshape(4096, 4096, 3)
+
+
 def _roundtrip_16bit(fast: bool):
-    # Prime-strided block of u16 combos (roundtrip_test.rs:37-76), one
-    # 1024x1024 block rather than the full multi-gigabyte sweep.
-    r = np.arange(0, 65535, 89, dtype=np.uint16)
-    g = np.arange(0, 65535, 97, dtype=np.uint16)
-    b = np.arange(0, 65535, 101, dtype=np.uint16)
-    n = 1024 * 1024
-    rr = np.resize(np.repeat(r, len(g))[:n], n)
-    gg = np.resize(np.tile(g, len(r))[:n], n)
-    bb = np.resize(b, n)
-    img = np.stack([rr, gg, bb], axis=-1).reshape(1024, 1024, 3)
-    p = Pipeline.new_from_source(ImageSource.from_raster(img))
-    p.globals.settings.use_fastpath = fast
-    out = p.output_16bit(None)
-    np.testing.assert_array_equal(out.data, img)
+    # Full multi-block sweep as in roundtrip_test.rs:37-84: ~323M prime-
+    # strided u16 combos in 4096x4096 blocks, each through the whole pipeline.
+    for img in _u16_prime_blocks():
+        p = Pipeline.new_from_source(ImageSource.from_raster(img))
+        p.globals.settings.use_fastpath = fast
+        out = p.output_16bit(None)
+        np.testing.assert_array_equal(out.data, img)
 
 
 def test_roundtrip_16bit_fastpath():

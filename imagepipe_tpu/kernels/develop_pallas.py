@@ -173,9 +173,15 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
             return jnp.where(c > 0.0, s / c, 0.0)
 
         # Phase masks as f32 products of parity indicators (pure arithmetic:
-        # Mosaic's i1 vector handling is fragile).
-        pr0 = ((sl(rows, 0, 0) & 1) == 0).astype(f)
-        pc0 = ((sl(cols, 0, 0) & 1) == 0).astype(f)
+        # Mosaic's i1 vector handling is fragile). Built from fresh
+        # output-tile-shaped iotas, NOT by slicing rows/cols: those are
+        # single-axis broadcasted iotas that Mosaic keeps in a replicated
+        # layout, and extract_strided_slice on a replicated vector crashes
+        # ApplyVectorLayout ("array.h:480 Check failed: limits[i] <= dim(i)").
+        orows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0) + y0
+        ocols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1) + x0
+        pr0 = ((orows & 1) == 0).astype(f)
+        pc0 = ((ocols & 1) == 0).astype(f)
         pr1 = 1.0 - pr0
         pc1 = 1.0 - pc0
         cell = {(0, 0): pr0 * pc0, (0, 1): pr0 * pc1,
@@ -345,27 +351,45 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
     return jnp.stack([r, g, b], axis=0)
 
 
-def develop_pallas(plan, plane, interpret: bool = False):
+def _tiles_for(plan):
+    cfa = CFA(plan.cfa_name)
+    return _tile_h_for(cfa.height, plan.out_bits), _tile_w_for(cfa.width)
+
+
+def stage_plane_pallas(plan, plane):
+    """Stage one sensor plane for the megakernel: crop + halo-pad on the
+    HOST (numpy; overlaps decode in the batch pipeline) and upload the
+    padded plane once. Device-side pad/slice ops each cost a full dispatch
+    through the remote runtime and an unfused full-frame copy -- staging
+    keeps the develop itself a single kernel launch."""
+    import numpy as _np
+
+    h, w = plan.height, plan.width
+    tile_h, tile_w = _tiles_for(plan)
+    grid_rows = -(-h // tile_h)
+    grid_cols = -(-w // tile_w)
+    plane = _np.asarray(plane)
+    plane = plane[plan.crop_y:plan.crop_y + h, plan.crop_x:plan.crop_x + w]
+    pad_bottom = grid_rows * tile_h + HALO - h
+    pad_right = grid_cols * tile_w + HALO_X - w
+    padded = _np.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
+    return jnp.asarray(padded)
+
+
+def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
     """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
-    raw counts (full sensor; plan's crop applied here). Returns planar
-    [3, H, W] quantized."""
+    raw counts (full sensor; plan's crop applied at staging), or the output
+    of stage_plane_pallas when staged=True. Returns planar [3, H, W]
+    quantized."""
     assert pallas_supported(plan), "unsupported plan for the pallas executor"
     import numpy as _np
 
     h, w = plan.height, plan.width
     cfa = CFA(plan.cfa_name)
     bayer = cfa.width == 2 and cfa.height == 2
-    tile_h = _tile_h_for(cfa.height, plan.out_bits)
-    tile_w = _tile_w_for(cfa.width)
-    grid_rows = -(-h // tile_h)
-    grid_cols = -(-w // tile_w)
+    tile_h, tile_w = _tiles_for(plan)
 
-    plane = jnp.asarray(plane)
-    plane = jax.lax.slice(plane, (plan.crop_y, plan.crop_x),
-                          (plan.crop_y + h, plan.crop_x + w))
-    pad_bottom = grid_rows * tile_h + HALO - h
-    pad_right = grid_cols * tile_w + HALO_X - w
-    plane_padded = jnp.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
+    plane = plane if staged else stage_plane_pallas(plan, plane)
 
     p = plan.params
     scal = _np.zeros((8, 16), _np.float32)
@@ -387,7 +411,7 @@ def develop_pallas(plan, plane, interpret: bool = False):
     cmap = _cmap_strip(cfa, tile_h, tile_w)
 
     return _develop_pallas_jit(
-        plane_padded, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
+        plane, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
         cfa_name=plan.cfa_name, height=h, width=w, tile_h=tile_h,
         tile_w=tile_w, apply_curve=plan.apply_curve, n_knots=n_knots,
         linear=plan.linear, out_bits=plan.out_bits, bayer=bayer,

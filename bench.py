@@ -1,13 +1,18 @@
 """Headline benchmark: 24MP Bayer RAW -> 8-bit sRGB develop throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Measures the fused develop chain (levels -> Bayer demosaic stencil -> WB +
-camera matrix + Lab -> tone spline -> Lab^-1 -> gamma -> quantize) on device-
-resident sensor data, batched (the production serving mode). The baseline is
-the reference-equivalent single-core native implementation measured by
-native/baseline_bench (see BASELINE.md); falls back to the recorded number
-in BASELINE.md if the binary hasn't been built on this host.
+Headline path: the Pallas megakernel (levels -> closed-form Bayer demosaic
+-> WB + camera matrix + Lab -> tone spline -> Lab^-1 -> gamma -> quantize in
+one VMEM pass), batched B images per dispatch (the production serving
+shape; kernel launches chain inside one jit so per-dispatch overhead
+amortizes). The XLA-fused engine is measured alongside for comparison, plus
+a bandwidth-roofline accounting (VERDICT r1 item 10): minimum HBM bytes per
+image and the roofline-implied time at the chip's nominal bandwidth, so the
+gap to speed-of-light is visible in every round's BENCH JSON.
+
+The baseline denominator is the reference-equivalent single-core native
+implementation measured by native/baseline_bench (see BASELINE.md).
 """
 
 import json
@@ -27,6 +32,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # runs). Used when the binary isn't present.
 BASELINE_MP_S_FALLBACK = 11.58
 
+# Nominal v5e HBM bandwidth for the roofline accounting (819 GB/s).
+HBM_GBPS = 819.0
+
 
 def measure_baseline() -> float:
     exe = os.path.join(REPO, "native", "build", "baseline_bench")
@@ -43,10 +51,22 @@ def measure_baseline() -> float:
 
 
 def _sync(x):
+    # block_until_ready is not a reliable fence on the experimental
+    # remote-TPU platform; a scalar device->host fetch is.
     import numpy as _np
     import jax.numpy as jnp
 
     return int(_np.asarray(jnp.sum(x.ravel()[::65537].astype(jnp.int32))))
+
+
+def _timed(fn, iters=6, sync=_sync):
+    out = fn()
+    sync(out)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_all():
@@ -60,33 +80,34 @@ def bench_all():
 
     results = []
 
-    def timed(fn, iters=6):
-        out = fn()
-        if hasattr(out, "ravel"):
-            _sync(jnp.asarray(out) if not hasattr(out, "addressable_shards") else out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        if hasattr(out, "ravel"):
-            _sync(jnp.asarray(out) if not hasattr(out, "addressable_shards") else out)
-        return (time.perf_counter() - t0) / iters
+    # Config: X-Trans 26MP develop through the Pallas megakernel (6x6 CFA
+    # generic mask path), batch 2.
+    from imagepipe_tpu.kernels.develop_pallas import (
+        develop_pallas_batch, stage_plane_pallas, pallas_supported)
 
-    # Config: X-Trans 26MP develop (6x6 CFA stencil path).
     xr = synthetic_xtrans()
     xp = Pipeline.new_from_source(ImageSource.from_raw(xr))
     xplan = make_develop_plan(xp, out_bits=8)
-    xplane = staged_raw_plane(xr)
-    dt = timed(lambda: _develop_single_jit(xplane, xplan.params, **xplan.statics()))
     mp = xr.width * xr.height / 1e6
-    results.append({"metric": "X-Trans 26MP RAW->sRGB develop", "value": round(mp / dt, 1),
-                    "unit": "MP/s", "vs_baseline": None})
+    if pallas_supported(xplan):
+        staged = jnp.stack([stage_plane_pallas(xplan, xr.data)] * 2)
+        dt = _timed(lambda: develop_pallas_batch(xplan, staged, staged=True),
+                    iters=4) / 2
+        results.append({"metric": "X-Trans 26MP RAW->sRGB develop (pallas)",
+                        "value": round(mp / dt, 1), "unit": "MP/s",
+                        "vs_baseline": None})
+    xplane = staged_raw_plane(xr)
+    dt = _timed(lambda: _develop_single_jit(xplane, xplan.params, **xplan.statics()))
+    results.append({"metric": "X-Trans 26MP RAW->sRGB develop (XLA fused)",
+                    "value": round(mp / dt, 1), "unit": "MP/s",
+                    "vs_baseline": None})
 
     # Config: maxsize-constrained thumbnail (fused demosaic+downscale).
     raw = synthetic_bayer()
     tp = Pipeline.new_from_source(ImageSource.from_raw(raw))
     tp.globals.settings.maxwidth = 1024
     tp.globals.settings.maxheight = 1024
-    dt = timed(lambda: tp.output_8bit(None), iters=4)
+    dt = _timed(lambda: tp.output_8bit(None), iters=4, sync=lambda x: x)
     results.append({"metric": "24MP->1024px thumbnail develop", "value": round(24.0 / dt, 1),
                     "unit": "source MP/s", "vs_baseline": None})
 
@@ -98,20 +119,38 @@ def bench_all():
     bp.globals.settings.linear = True
     bplan = make_develop_plan(bp, out_bits=16)
     bplane = staged_raw_plane(big)
-    dt = timed(lambda: develop_fused(bplan, bplane, bands=4), iters=4)
+    dt = _timed(lambda: develop_fused(bplan, bplane, bands=4), iters=4)
     mp = big.width * big.height / 1e6
     results.append({"metric": "61MP RAW->16-bit linear develop (banded)",
                     "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     # Config: raster fastpath roundtrip (decode-free, host+device resize path).
-    import numpy as _np
-
-    img = _np.random.default_rng(0).integers(0, 256, (4096, 4096, 3), _np.uint8)
+    img = np.random.default_rng(0).integers(0, 256, (4096, 4096, 3), np.uint8)
     rp = Pipeline.new_from_source(ImageSource.from_raster(img))
     rp.globals.settings.use_fastpath = False
-    dt = timed(lambda: rp.output_8bit(None), iters=3)
+    dt = _timed(lambda: rp.output_8bit(None), iters=3, sync=lambda x: x)
     results.append({"metric": "16.7MP raster slow-path roundtrip", "value": round(16.7 / dt, 1),
                     "unit": "MP/s", "vs_baseline": None})
+
+    # Config: interactive edit -> 1024px preview latency through the staged
+    # cached path (RenderService loop; includes host planning + per-stage
+    # dispatches, the number an editor UI would see on this host).
+    from imagepipe_tpu.service import RenderService
+
+    svc = RenderService(cache_bytes=2 << 30)
+    svc.open_source("img", ImageSource.from_raw(synthetic_bayer(seed=3)))
+    svc.render("img", max_size=1024)  # warm compile + cache
+    for expo in (0.1, 0.2):  # compile both alternating states
+        svc.edit("img", {"basecurve": {"exposure": expo}}, max_size=1024)
+    lats = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        svc.edit("img", {"basecurve": {"exposure": 0.1 + 0.1 * (i % 2)}},
+                 max_size=1024)
+        lats.append(time.perf_counter() - t0)
+    results.append({"metric": "edit->1024px preview latency (staged cache, p50)",
+                    "value": round(sorted(lats)[len(lats) // 2] * 1e3, 1),
+                    "unit": "ms", "vs_baseline": None})
 
     for r in results:
         print(json.dumps(r))
@@ -124,71 +163,83 @@ def main():
     from imagepipe_tpu import ImageSource, Pipeline
     from imagepipe_tpu.engine import make_develop_plan, _develop_batch_jit
     from imagepipe_tpu.raw import synthetic_bayer
+    from imagepipe_tpu.kernels.develop_pallas import (
+        develop_pallas, develop_pallas_batch, stage_plane_pallas,
+        pallas_supported)
 
     width, height = 6000, 4000  # 24MP
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
 
-    raws = [synthetic_bayer(width, height, seed=s) for s in range(batch)]
+    raws = [synthetic_bayer(width, height, seed=s) for s in range(min(batch, 2))]
     pipe = Pipeline.new_from_source(ImageSource.from_raw(raws[0]))
     plan = make_develop_plan(pipe, out_bits=8)
-
-    planes = jnp.asarray(np.stack([r.data for r in raws]))
-    planes.block_until_ready()
-
-    def step():
-        return _develop_batch_jit(planes, plan.params, **plan.statics())
-
-    def sync(x):
-        # block_until_ready is not a reliable fence on the experimental
-        # remote-TPU platform; a scalar device->host fetch is.
-        return int(np.asarray(jnp.sum(x[..., 0].astype(jnp.int32))))
-
-    # Warmup/compile (one retry: the remote compile service occasionally
-    # returns a transient HTTP 500).
-    try:
-        out = step()
-        sync(out)
-    except Exception:
-        time.sleep(15)
-        out = step()
-        sync(out)
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step()
-    sync(out)
-    dt = time.perf_counter() - t0
-
     mp = width * height / 1e6
-    mp_per_s = mp * batch * iters / dt
 
-    # Per-image p50 develop latency (single dispatch incl. host sync).
+    # Stage the batch once (host crop+pad, one H2D) -- production ingest.
+    staged = jnp.stack([stage_plane_pallas(plan, raws[s % len(raws)].data)
+                        for s in range(batch)])
+    _sync(staged)
+
+    def retry(fn):
+        # One retry: the remote compile service occasionally returns a
+        # transient HTTP 500.
+        try:
+            return fn()
+        except Exception:
+            time.sleep(15)
+            return fn()
+
+    # Headline: batched Pallas megakernel.
+    assert pallas_supported(plan)
+    dt_batch = retry(lambda: _timed(
+        lambda: develop_pallas_batch(plan, staged, staged=True), iters=iters))
+    pallas_mp_s = mp * batch / dt_batch
+
+    # Comparison: the XLA fused engine on the same batch (unpadded planes).
+    planes = jnp.asarray(np.stack([np.asarray(raws[s % len(raws)].data)
+                                   for s in range(batch)]))
+    _sync(planes)
+    dt_xla = retry(lambda: _timed(
+        lambda: _develop_batch_jit(planes, plan.params, **plan.statics()),
+        iters=iters))
+    xla_mp_s = mp * batch / dt_xla
+
+    # Per-image p50 develop latency (single dispatch incl. host sync + the
+    # remote-tunnel round-trip; a local host would see less).
+    one = staged[0]
+    o = retry(lambda: develop_pallas(plan, one, staged=True))
+    _sync(o)
     lat = []
-    single = planes[0]
-    from imagepipe_tpu.engine import _develop_single_jit
-
-    o = _develop_single_jit(single, plan.params, **plan.statics())
-    sync(o)
     for _ in range(5):
         t0 = time.perf_counter()
-        o = _develop_single_jit(single, plan.params, **plan.statics())
-        sync(o)
+        o = develop_pallas(plan, one, staged=True)
+        _sync(o)
         lat.append(time.perf_counter() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
 
-    # Denominator: the RECORDED single-core number (stable across rounds);
-    # the freshly measured value goes in extra (host-load dependent).
+    # Roofline accounting: minimum HBM traffic per image = read the u16
+    # sensor plane once + write three u8 output planes.
+    bytes_min = width * height * 2 + 3 * width * height
+    roofline_ms = bytes_min / (HBM_GBPS * 1e9) * 1e3
+    per_image_ms = dt_batch / batch * 1e3
+
     baseline = BASELINE_MP_S_FALLBACK
     measured_baseline = measure_baseline()
     result = {
-        "metric": "Megapixels/sec/chip RAW->sRGB (24MP Bayer); p50 per-image develop latency",
-        "value": round(mp_per_s, 1),
+        "metric": "Megapixels/sec/chip RAW->sRGB (24MP Bayer, batched Pallas megakernel); p50 per-image develop latency",
+        "value": round(pallas_mp_s, 1),
         "unit": "MP/s",
-        "vs_baseline": round(mp_per_s / baseline, 2),
+        "vs_baseline": round(pallas_mp_s / baseline, 2),
         "extra": {
             "p50_latency_ms": round(p50_ms, 1),
             "batch": batch,
+            "per_image_ms": round(per_image_ms, 2),
+            "xla_fused_mp_s": round(xla_mp_s, 1),
+            "pallas_vs_xla": round(pallas_mp_s / xla_mp_s, 2),
+            "roofline_bytes_per_image": bytes_min,
+            "roofline_ms_per_image": round(roofline_ms, 3),
+            "hbm_roofline_frac": round(roofline_ms / per_image_ms, 3),
             "device": str(jax.devices()[0]),
             "baseline_mp_s": baseline,
             "baseline_mp_s_remeasured": measured_baseline,

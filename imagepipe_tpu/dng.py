@@ -7,11 +7,15 @@ solid uncompressed-DNG path plus the pluggable decoder registry
 (decode.register_raw_decoder) covers real camera files; 12/14-bit packed
 bitstreams unpack through the native host library (native/host_pack.cc).
 
-Reader surface: strip-based, Compression=1, BitsPerSample 8/12/14/16,
-CFA (PhotometricInterpretation 32803) or linear gray; pulls the DNG
-calibration tags the pipeline needs (ColorMatrix1 == xyz_to_cam,
-AsShotNeutral -> wb_coeffs, BlackLevel/WhiteLevel, ActiveArea/DefaultCrop,
-Orientation, CFAPattern).
+Reader surface: strips or tiles, Compression 1 (uncompressed) or 7
+(lossless JPEG), BitsPerSample 8/12/14/16 integer plus 32-bit float
+payloads (SampleFormat 3), CFA (PhotometricInterpretation 32803) or linear
+gray; pulls the DNG calibration tags the pipeline needs (ColorMatrix1 ==
+xyz_to_cam, AsShotNeutral -> wb_coeffs, BlackLevel/BlackLevelRepeatDim/
+WhiteLevel, LinearizationTable, ActiveArea/DefaultCrop, Orientation,
+CFAPattern). Anything else is rejected with a ValueError naming the gap;
+the IFD walk itself is bounds-checked and loop-guarded (tiff.py), so
+malformed files error cleanly instead of crashing or hanging.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ import struct
 import numpy as np
 
 from .raw import CFA, Orientation, RawImage
+from .tiff import TiffFile
 from . import native
 
 __all__ = ["read_dng", "write_dng"]
@@ -37,14 +42,16 @@ T_ORIENTATION = 274
 T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_BYTECOUNTS = 279
-T_SUBIFDS = 330
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
 T_TILE_BYTECOUNTS = 325
+T_SAMPLE_FORMAT = 339
 T_CFA_REPEAT = 33421
 T_CFA_PATTERN = 33422
 T_DNG_VERSION = 50706
+T_LINEARIZATION = 50712
+T_BLACK_LEVEL_REPEAT = 50713
 T_COLOR_MATRIX_1 = 50721
 T_AS_SHOT_NEUTRAL = 50728
 T_BLACK_LEVEL = 50714
@@ -52,8 +59,6 @@ T_WHITE_LEVEL = 50717
 T_DEFAULT_CROP_ORIGIN = 50719
 T_DEFAULT_CROP_SIZE = 50720
 T_ACTIVE_AREA = 50829
-
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 
 _EXIF_TO_ORIENTATION = {
     1: Orientation.Normal, 2: Orientation.HorizontalFlip,
@@ -64,83 +69,16 @@ _EXIF_TO_ORIENTATION = {
 _ORIENTATION_TO_EXIF = {v: k for k, v in _EXIF_TO_ORIENTATION.items()}
 
 
-def _read_ifd(buf, offset, endian):
-    n = struct.unpack_from(endian + "H", buf, offset)[0]
-    entries = {}
-    for i in range(n):
-        tag, typ, count = struct.unpack_from(endian + "HHI", buf, offset + 2 + i * 12)
-        val_off = offset + 2 + i * 12 + 8
-        size = _TYPE_SIZES.get(typ, 1) * count
-        if size > 4:
-            (data_off,) = struct.unpack_from(endian + "I", buf, val_off)
-        else:
-            data_off = val_off
-        entries[tag] = (typ, count, data_off)
-    (next_off,) = struct.unpack_from(endian + "I", buf, offset + 2 + n * 12)
-    return entries, next_off
-
-
-def _values(buf, endian, entry):
-    typ, count, off = entry
-    if typ in (3,):
-        return list(struct.unpack_from(endian + f"{count}H", buf, off))
-    if typ in (4,):
-        return list(struct.unpack_from(endian + f"{count}I", buf, off))
-    if typ in (1, 7):
-        return list(struct.unpack_from(f"{count}B", buf, off))
-    if typ == 5:  # RATIONAL
-        raw = struct.unpack_from(endian + f"{2 * count}I", buf, off)
-        return [raw[2 * i] / raw[2 * i + 1] if raw[2 * i + 1] else 0.0 for i in range(count)]
-    if typ == 10:  # SRATIONAL
-        raw = struct.unpack_from(endian + f"{2 * count}i", buf, off)
-        return [raw[2 * i] / raw[2 * i + 1] if raw[2 * i + 1] else 0.0 for i in range(count)]
-    if typ == 11:
-        return list(struct.unpack_from(endian + f"{count}f", buf, off))
-    if typ == 12:
-        return list(struct.unpack_from(endian + f"{count}d", buf, off))
-    if typ == 2:
-        return [buf[off:off + count].split(b"\0")[0].decode("ascii", "replace")]
-    raise ValueError(f"unhandled TIFF type {typ}")
-
-
-def _collect_ifds(buf, endian, first):
-    """All IFDs: main chain plus SubIFD trees."""
-    out = []
-    stack = [first]
-    seen = set()
-    while stack:
-        off = stack.pop()
-        if off in (0,) or off in seen or off >= len(buf):
-            continue
-        seen.add(off)
-        entries, nxt = _read_ifd(buf, off, endian)
-        out.append(entries)
-        if nxt:
-            stack.append(nxt)
-        if T_SUBIFDS in entries:
-            stack.extend(_values(buf, endian, entries[T_SUBIFDS]))
-    return out
-
-
 def read_dng(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
-    if buf[:2] == b"II":
-        endian = "<"
-    elif buf[:2] == b"MM":
-        endian = ">"
-    else:
-        raise ValueError("not a TIFF")
-    magic, first = struct.unpack_from(endian + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError("not a TIFF")
-
-    ifds = _collect_ifds(buf, endian, first)
+    tf = TiffFile(buf)
+    endian = tf.endian
+    ifds = tf.ifds
 
     def get(e, tag, default=None):
-        if tag not in e:
-            return default
-        return _values(buf, endian, e[tag])
+        v = e.get(tag)
+        return v if v is not None else default
 
     # Pick the RAW IFD: CFA photometric preferred, else largest main image.
     raw_ifd = None
@@ -167,9 +105,23 @@ def read_dng(path: str) -> RawImage:
     spp = get(e, T_SAMPLES_PER_PIXEL, [1])[0]
     if spp != 1:
         raise ValueError("only 1 sample/pixel CFA or gray DNGs supported")
+    sample_format = get(e, T_SAMPLE_FORMAT, [1])[0]
+    is_float = sample_format == 3
+    if sample_format not in (1, 3):
+        raise ValueError(f"unsupported DNG SampleFormat {sample_format}")
+    if is_float and (compression != 1 or bits != 32):
+        raise ValueError("float DNG supported only uncompressed at 32-bit "
+                         f"(got compression {compression}, {bits}-bit)")
 
     def decode_uncompressed(chunk, npix):
+        if is_float:
+            fmt = "<f4" if endian == "<" else ">f4"
+            if chunk.size < npix * 4:
+                raise ValueError("truncated float DNG strip/tile")
+            return np.frombuffer(chunk[: npix * 4].tobytes(), fmt).astype(np.float32)
         if bits == 16:
+            if chunk.size < npix * 2:
+                raise ValueError("truncated 16-bit DNG strip/tile")
             if endian == "<":
                 return np.frombuffer(chunk[: npix * 2].tobytes(), "<u2").astype(np.uint16)
             return native.swap_16be(chunk, npix)
@@ -178,9 +130,12 @@ def read_dng(path: str) -> RawImage:
         elif bits == 14:
             return native.unpack_14be(chunk, npix)
         elif bits == 8:
+            if chunk.size < npix:
+                raise ValueError("truncated 8-bit DNG strip/tile")
             return chunk[:npix].astype(np.uint16)
         raise ValueError(f"unsupported BitsPerSample {bits}")
 
+    payload_dtype = np.float32 if is_float else np.uint16
     if T_TILE_OFFSETS in e:
         # Tiled layout (the common shape for Compression=7 DNGs).
         tw = get(e, T_TILE_WIDTH)[0]
@@ -189,8 +144,9 @@ def read_dng(path: str) -> RawImage:
         counts = get(e, T_TILE_BYTECOUNTS)
         tiles_x = -(-width // tw)
         tiles_y = -(-height // tl)
-        data = np.zeros((tiles_y * tl, tiles_x * tw), np.uint16)
+        data = np.zeros((tiles_y * tl, tiles_x * tw), payload_dtype)
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            tf._check(off, cnt, "tile data")
             chunk = np.frombuffer(buf, np.uint8, cnt, off)
             if compression == 7:
                 from .lj92 import decode as lj92_decode
@@ -210,6 +166,7 @@ def read_dng(path: str) -> RawImage:
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, height - si * rows_per_strip)
             npix = nrows * width
+            tf._check(off, cnt, "strip data")
             chunk = np.frombuffer(buf, np.uint8, cnt, off)
             if compression == 7:
                 from .lj92 import decode as lj92_decode
@@ -219,7 +176,17 @@ def read_dng(path: str) -> RawImage:
                 vals = decode_uncompressed(chunk, npix).reshape(nrows, width)
             rows.append(vals)
         data = np.concatenate(rows, axis=0)
-    assert data.shape == (height, width)
+    if data.shape != (height, width):
+        raise ValueError(f"DNG payload {data.shape} != {(height, width)}")
+
+    # LinearizationTable (DNG 1.0, tag 50712): u16 LUT applied to the raw
+    # counts before level subtraction (rawloader applies it the same way).
+    lintable = get(e, T_LINEARIZATION)
+    if lintable is not None:
+        if is_float:
+            raise ValueError("LinearizationTable on a float DNG is invalid")
+        lut = np.asarray(lintable, np.uint16)
+        data = lut[np.minimum(data.astype(np.int64), len(lut) - 1)]
 
     # CFA pattern.
     pm = get(e, T_PHOTOMETRIC, [1])[0]
@@ -234,9 +201,25 @@ def read_dng(path: str) -> RawImage:
     else:
         cfa = CFA("")
 
-    # Levels.
-    white = int(get(e, T_WHITE_LEVEL, [(1 << bits) - 1])[0])
+    # Levels. BlackLevelRepeatDim (50713) gives the black pattern shape; the
+    # pipeline's level model is per-CFA-cell (4 channels), so 1x1 broadcasts
+    # and 2x2 maps row-major -- anything else is rejected explicitly rather
+    # than silently mis-mapped.
+    if is_float:
+        white = int(get(e, T_WHITE_LEVEL, [1])[0])
+    else:
+        white = int(get(e, T_WHITE_LEVEL, [(1 << bits) - 1])[0])
     blacks = get(e, T_BLACK_LEVEL, [0])
+    repeat = get(e, T_BLACK_LEVEL_REPEAT, None)
+    if repeat is not None:
+        rr, rc = int(repeat[0]), int(repeat[1])
+        if (rr, rc) not in ((1, 1), (2, 2)) or rr * rc != len(blacks):
+            raise ValueError(
+                f"unsupported BlackLevelRepeatDim {rr}x{rc} with "
+                f"{len(blacks)} BlackLevel entries (1x1 and 2x2 supported)")
+    elif len(blacks) not in (1, 4):
+        raise ValueError(f"BlackLevel with {len(blacks)} entries needs "
+                         "BlackLevelRepeatDim")
     if len(blacks) == 1:
         blacks = blacks * 4
     blacks = [int(round(b)) for b in blacks[:4]]

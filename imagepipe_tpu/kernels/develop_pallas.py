@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..raw import CFA
 
-__all__ = ["develop_pallas", "pallas_supported"]
+__all__ = ["develop_pallas", "develop_pallas_batch", "stage_plane_pallas",
+           "pallas_supported", "plan_tables"]
 
 _OFFSETS = [(-1, -1), (-1, 0), (-1, 1),
             (0, -1), (0, 0), (0, 1),
@@ -45,10 +46,11 @@ _XW, _YW, _ZW = np.float32(0.95047), np.float32(1.0), np.float32(1.08883)
 HALO = 8
 HALO_X = 128
 
-# Closed-form Bayer demosaic inside the kernel: ~5x fewer VPU passes, but it
-# currently crashes the Mosaic compiler (see note in _develop_kernel); flip
-# on for interpret-mode validation / future compiler versions.
-BAYER_CLOSED_FORM = False
+# Closed-form Bayer demosaic inside the kernel (~5x fewer VPU passes than
+# the generic mask loop). Default ON: the historical Mosaic crash
+# ("array.h:480 limits[i] <= dim(i)") was slicing replicated-layout iotas,
+# fixed by building phase masks from output-tile-shaped iotas.
+BAYER_CLOSED_FORM = True
 
 
 def _tile_w_for(cfa_w: int) -> int:
@@ -147,10 +149,6 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
         return a[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
 
     pat = CFA(cfa_name).pattern if cfa_name else None
-    # The closed-form path validates in interpret mode but crashes the Mosaic
-    # compiler on v5e ("array.h:480 Check failed: limits[i] <= dim(i)", with
-    # both i1 and pure-f32 mask formulations) -- compiled mode uses the
-    # generic mask loop until that is resolved.
     bayer_fast = (BAYER_CLOSED_FORM and bayer and pat is not None
                   and sorted(int(c) for c in pat.ravel()) == [0, 1, 1, 2])
     if bayer_fast:
@@ -356,41 +354,35 @@ def _tiles_for(plan):
     return _tile_h_for(cfa.height, plan.out_bits), _tile_w_for(cfa.width)
 
 
+def stage_plane_np(plan, plane) -> np.ndarray:
+    """Host-side staging: crop + halo-pad one sensor plane (numpy)."""
+    h, w = plan.height, plan.width
+    tile_h, tile_w = _tiles_for(plan)
+    grid_rows = -(-h // tile_h)
+    grid_cols = -(-w // tile_w)
+    plane = np.asarray(plane)
+    plane = plane[plan.crop_y:plan.crop_y + h, plan.crop_x:plan.crop_x + w]
+    pad_bottom = grid_rows * tile_h + HALO - h
+    pad_right = grid_cols * tile_w + HALO_X - w
+    return np.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
+
+
 def stage_plane_pallas(plan, plane):
     """Stage one sensor plane for the megakernel: crop + halo-pad on the
     HOST (numpy; overlaps decode in the batch pipeline) and upload the
     padded plane once. Device-side pad/slice ops each cost a full dispatch
     through the remote runtime and an unfused full-frame copy -- staging
     keeps the develop itself a single kernel launch."""
+    return jnp.asarray(stage_plane_np(plan, plane))
+
+
+def plan_tables(plan):
+    """(cmap, scal, spline, statics) for the kernel: calibration packed into
+    SMEM-friendly [8,16]/[5,16] f32 tables plus the static config dict."""
     import numpy as _np
 
-    h, w = plan.height, plan.width
-    tile_h, tile_w = _tiles_for(plan)
-    grid_rows = -(-h // tile_h)
-    grid_cols = -(-w // tile_w)
-    plane = _np.asarray(plane)
-    plane = plane[plan.crop_y:plan.crop_y + h, plan.crop_x:plan.crop_x + w]
-    pad_bottom = grid_rows * tile_h + HALO - h
-    pad_right = grid_cols * tile_w + HALO_X - w
-    padded = _np.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
-    return jnp.asarray(padded)
-
-
-def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
-    """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
-    raw counts (full sensor; plan's crop applied at staging), or the output
-    of stage_plane_pallas when staged=True. Returns planar [3, H, W]
-    quantized."""
-    assert pallas_supported(plan), "unsupported plan for the pallas executor"
-    import numpy as _np
-
-    h, w = plan.height, plan.width
     cfa = CFA(plan.cfa_name)
-    bayer = cfa.width == 2 and cfa.height == 2
     tile_h, tile_w = _tiles_for(plan)
-
-    plane = plane if staged else stage_plane_pallas(plan, plane)
-
     p = plan.params
     scal = _np.zeros((8, 16), _np.float32)
     scal[0, 0] = _np.asarray(p["mins"])[0]
@@ -409,10 +401,67 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
         spline[4, :n_knots - 1] = _np.asarray(p["spline_c3"])
 
     cmap = _cmap_strip(cfa, tile_h, tile_w)
+    statics = dict(
+        cfa_name=plan.cfa_name, height=plan.height, width=plan.width,
+        tile_h=tile_h, tile_w=tile_w, apply_curve=plan.apply_curve,
+        n_knots=n_knots, linear=plan.linear, out_bits=plan.out_bits,
+        bayer=(cfa.width == 2 and cfa.height == 2))
+    return cmap, scal, spline, statics
 
+
+def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
+    """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
+    raw counts (full sensor; plan's crop applied at staging), or the output
+    of stage_plane_pallas when staged=True. Returns planar [3, H, W]
+    quantized."""
+    assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    plane = plane if staged else stage_plane_pallas(plan, plane)
+    cmap, scal, spline, statics = plan_tables(plan)
     return _develop_pallas_jit(
         plane, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
-        cfa_name=plan.cfa_name, height=h, width=w, tile_h=tile_h,
-        tile_w=tile_w, apply_curve=plan.apply_curve, n_knots=n_knots,
-        linear=plan.linear, out_bits=plan.out_bits, bayer=bayer,
-        interpret=interpret)
+        interpret=interpret, **statics)
+
+
+@partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
+                                   "tile_w", "apply_curve", "n_knots",
+                                   "linear", "out_bits", "bayer", "interpret",
+                                   "per_image"))
+def _develop_pallas_batch_jit(planes_padded, cmap, scal, spline, *, cfa_name,
+                              height, width, tile_h, tile_w, apply_curve,
+                              n_knots, linear, out_bits, bayer, interpret,
+                              per_image):
+    outs = []
+    for i in range(planes_padded.shape[0]):
+        s = scal[i] if per_image else scal
+        sp = spline[i] if per_image else spline
+        outs.append(_develop_pallas_jit(
+            planes_padded[i], cmap, s, sp, cfa_name=cfa_name, height=height,
+            width=width, tile_h=tile_h, tile_w=tile_w,
+            apply_curve=apply_curve, n_knots=n_knots, linear=linear,
+            out_bits=out_bits, bayer=bayer, interpret=interpret))
+    return jnp.stack(outs, axis=0)
+
+
+def develop_pallas_batch(plan, planes, interpret: bool = False,
+                         staged: bool = False, param_plans=None):
+    """Batched megakernel develop: the kernel runs once per image INSIDE one
+    jit (sequential grid launches, one dispatch) -- the production serving
+    shape; per-call dispatch overhead amortizes across the batch.
+
+    planes: [B,H0,W0] raw counts, or staged [B,Hp,Wp] when staged=True.
+    param_plans: optional per-image DevelopPlans (same statics; WB/levels/
+    curves may differ per shot). Returns [B, 3, H, W]."""
+    assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    import numpy as _np
+
+    if not staged:
+        planes = jnp.stack([stage_plane_pallas(plan, p) for p in planes])
+    cmap, scal, spline, statics = plan_tables(plan)
+    per_image = param_plans is not None
+    if per_image:
+        tabs = [plan_tables(pp) for pp in param_plans]
+        scal = _np.stack([t[1] for t in tabs])
+        spline = _np.stack([t[2] for t in tabs])
+    return _develop_pallas_batch_jit(
+        planes, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
+        interpret=interpret, per_image=per_image, **statics)

@@ -60,13 +60,18 @@ class BatchEngine:
 
     def __init__(self, mesh: Mesh | None = None, out_bits: int = 8,
                  max_batch: int = 8, decode_workers: int = 4,
-                 maxwidth: int = 0, maxheight: int = 0):
+                 maxwidth: int = 0, maxheight: int = 0,
+                 executor: str = "auto"):
         self.mesh = mesh if mesh is not None else make_batch_mesh()
         self.out_bits = out_bits
         self.max_batch = max_batch
         self.decode_workers = decode_workers
         self.maxwidth = maxwidth
         self.maxheight = maxheight
+        # 'auto': Pallas megakernel for supported direct-numerics plans,
+        # XLA fused engine otherwise; 'xla' / 'pallas' force a path.
+        assert executor in ("auto", "xla", "pallas")
+        self.executor = executor
         # Test/observability hook: when set to a list, (event, payload)
         # tuples are appended for every decode completion and batch dispatch.
         self._events: list | None = None
@@ -83,29 +88,76 @@ class BatchEngine:
             pipe.globals.settings.linear = True
         return make_develop_plan(pipe, out_bits=self.out_bits)
 
+    def _use_pallas(self, plan) -> bool:
+        """The Pallas megakernel executor serves supported full-size CFA
+        plans in 'direct' numerics (its in-kernel math), dp-sharded via
+        shard_map; everything else goes through the XLA fused engine."""
+        from ..kernels.develop_pallas import pallas_supported
+
+        return (self.executor in ("auto", "pallas")
+                and pallas_supported(plan)
+                and plan.numerics == "direct"
+                and self.mesh.shape["spatial"] == 1)
+
     def _dispatch_chunk(self, chunk):
         """Stack one shape bucket's chunk, pad to the mesh's batch multiple,
         and dispatch the batched develop. Returns the DEVICE output (async:
         no host sync -- callers fetch later so compute overlaps host work)."""
         plan = chunk[0][2]
-        # Per-image calibration: params (WB, levels, matrices, curves) batch
-        # alongside the planes -- images bucket by STATICS only, so their
-        # params may differ.
-        planes = np.stack([
-            np.asarray(normalize_plane(p_, src.raw.data))
-            for _, src, p_ in chunk])
-        param_dicts = [p_.params for _, _, p_ in chunk]
-        b = planes.shape[0]
+        b = len(chunk)
         pad = (-b) % self.mesh.shape["batch"]
-        if pad:
-            sel = np.arange(b + pad) % b
-            planes = planes[sel]
-            param_dicts = [param_dicts[i] for i in sel]
-        dev = shard_batch(self.mesh, jnp.asarray(planes))
-        out = _develop_batch_perimage_jit(
-            dev, stack_params(param_dicts), **plan.statics())
+        sel = np.arange(b + pad) % b if pad else np.arange(b)
+
+        if self._use_pallas(plan):
+            out = self._dispatch_pallas(chunk, sel)
+        else:
+            # Per-image calibration: params (WB, levels, matrices, curves)
+            # batch alongside the planes -- images bucket by STATICS only,
+            # so their params may differ.
+            planes = np.stack([
+                np.asarray(normalize_plane(p_, src.raw.data))
+                for _, src, p_ in chunk])[sel]
+            param_dicts = [chunk[i][2].params for i in sel]
+            dev = shard_batch(self.mesh, jnp.asarray(planes))
+            out = _develop_batch_perimage_jit(
+                dev, stack_params(param_dicts), **plan.statics())
         self._note("dispatch", len(chunk))
         return out
+
+    def _dispatch_pallas(self, chunk, sel):
+        """Batched megakernel dispatch: host-staged planes, per-image
+        calibration tables, kernel chained per local batch entry inside a
+        dp-sharded shard_map (one launch per image, one dispatch total)."""
+        from ..kernels.develop_pallas import (
+            _develop_pallas_batch_jit, plan_tables, stage_plane_np)
+
+        plan = chunk[0][2]
+        staged = np.stack([stage_plane_np(chunk[i][2], chunk[i][1].raw.data)
+                           for i in sel])
+        tabs = [plan_tables(chunk[i][2]) for i in sel]
+        cmap, _, _, statics = tabs[0]
+        scal = np.stack([t[1] for t in tabs])
+        spline = np.stack([t[2] for t in tabs])
+        interpret = jax.default_backend() == "cpu"
+
+        spec_in = NamedSharding(self.mesh, P("batch", None, None))
+        planes_d = jax.device_put(jnp.asarray(staged), spec_in)
+        scal_d = jax.device_put(jnp.asarray(scal), spec_in)
+        spline_d = jax.device_put(jnp.asarray(spline), spec_in)
+        cmap_d = jnp.asarray(cmap)
+
+        def local(planes_l, scal_l, spline_l):
+            return _develop_pallas_batch_jit(
+                planes_l, cmap_d, scal_l, spline_l, per_image=True,
+                interpret=interpret, **statics)
+
+        # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
+        # varying-mesh-axes annotation, which the checker requires.
+        fn = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("batch", None, None),) * 3,
+            out_specs=P("batch", None, None, None), check_vma=False)
+        return fn(planes_d, scal_d, spline_d)
 
     def _collect(self, inflight, results):
         """Fetch device outputs to host and scatter into input order."""

@@ -88,8 +88,7 @@ def main():
         acc = jnp.zeros((), jnp.int32)
         with cc.numerics_mode(est["numerics"]):
             for i in range(k):
-                out = _develop_one(pl_ ^ jnp.uint16(i), params, **{
-                    kk: v for kk, v in est.items() if kk != "numerics"})
+                out = _develop_one(pl_ ^ jnp.uint16(i), params, **est)
                 acc = acc + jnp.sum(out[:, ::331, ::331].astype(jnp.int32))
         return acc
 

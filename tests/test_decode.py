@@ -342,3 +342,128 @@ def test_cfa_explicit_dims():
     assert c_4x4.color_at(2, 0) == 0  # row 2 of 4x4 starts with R
     with pytest.raises(ValueError):
         CFA(name, height=3, width=4)
+
+
+def _dng_builder_ifd(entries_extra, data_payload, w, h, bits=16, endian="<",
+                     sample_format=None):
+    """Minimal single-IFD DNG via tiffgen for robustness tests."""
+    from tiffgen import TiffBuilder
+
+    b = TiffBuilder(endian)
+    strip = b.add_blob(data_payload)
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]), (259, 3, [1]),
+        (262, 3, [32803]), (273, 4, [strip]), (278, 4, [h]),
+        (279, 4, [len(data_payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ]
+    if sample_format is not None:
+        entries.append((339, 3, [sample_format]))
+    entries.extend(entries_extra)
+    b.add_ifd(entries)
+    return b.bytes()
+
+
+def test_dng_float_payload(tmp_path):
+    """32-bit float DNG (SampleFormat 3): payload decodes as f32 and the
+    pipeline's float-RAW path (gofloat.rs:132-167 semantics) develops it."""
+    from imagepipe_tpu import ImageSource, Pipeline
+
+    rng = np.random.default_rng(9)
+    h, w = 24, 32
+    data = rng.uniform(0.0, 1.0, (h, w)).astype(np.float32)
+    blob = _dng_builder_ifd([(50717, 3, [1])], data.astype("<f4").tobytes(),
+                            w, h, bits=32, sample_format=3)
+    path = str(tmp_path / "f.dng")
+    with open(path, "wb") as f:
+        f.write(blob)
+    raw = read_dng(path)
+    assert raw.data.dtype == np.float32
+    np.testing.assert_array_equal(raw.data, data)
+    Pipeline.new_from_source(ImageSource.from_raw(raw)).output_8bit(None)
+
+
+def test_dng_linearization_table(tmp_path):
+    """LinearizationTable maps raw counts through the LUT at decode."""
+    h, w = 8, 16
+    data = np.arange(h * w, dtype=np.uint16).reshape(h, w) % 256
+    lut = (np.arange(256, dtype=np.uint16) * 3) % 4096
+    blob = _dng_builder_ifd([(50712, 3, list(lut))],
+                            data.astype("<u2").tobytes(), w, h)
+    path = str(tmp_path / "lin.dng")
+    with open(path, "wb") as f:
+        f.write(blob)
+    raw = read_dng(path)
+    np.testing.assert_array_equal(raw.data, lut[data])
+
+
+def test_dng_black_level_repeat_dim(tmp_path):
+    h, w = 8, 16
+    data = np.zeros((h, w), np.uint16)
+    # 2x2 pattern: row-major RGGB-cell blacks.
+    blob = _dng_builder_ifd(
+        [(50713, 3, [2, 2]), (50714, 3, [64, 65, 66, 67])],
+        data.astype("<u2").tobytes(), w, h)
+    path = str(tmp_path / "blr.dng")
+    with open(path, "wb") as f:
+        f.write(blob)
+    assert read_dng(path).blacklevels == (64, 65, 66, 67)
+    # Unsupported repeat dims are rejected with a clear error.
+    blob = _dng_builder_ifd(
+        [(50713, 3, [4, 2]), (50714, 3, [1, 2, 3, 4, 5, 6, 7, 8])],
+        data.astype("<u2").tobytes(), w, h)
+    path = str(tmp_path / "blr2.dng")
+    with open(path, "wb") as f:
+        f.write(blob)
+    with pytest.raises(ValueError, match="BlackLevelRepeatDim"):
+        read_dng(path)
+
+
+def test_dng_ifd_fuzz_truncation_and_loops(tmp_path):
+    """Malformed DNGs -- truncations at every interesting boundary, an IFD
+    chain that loops, offsets past EOF -- must raise ValueError, never hang
+    or crash (the tiff.py walker contract)."""
+    import struct as _struct
+
+    raw = synthetic_bayer(32, 24, seed=13)
+    good_path = str(tmp_path / "good.dng")
+    write_dng(good_path, raw)
+    blob = open(good_path, "rb").read()
+
+    rng = np.random.default_rng(0)
+    cuts = [4, 9, 12, 25, 50, 100, len(blob) // 2] + list(
+        rng.integers(4, len(blob) - 1, 20))
+    for i, cut in enumerate(cuts):
+        p = str(tmp_path / f"cut{i}.dng")
+        with open(p, "wb") as f:
+            f.write(blob[:int(cut)])
+        try:
+            read_dng(p)
+        except ValueError:
+            pass  # expected failure mode
+
+    # Self-looping IFD chain: next-IFD pointer points back at the first IFD.
+    looped = bytearray(blob)
+    (first,) = _struct.unpack_from("<I", looped, 4)
+    nentries = _struct.unpack_from("<H", looped, first)[0]
+    _struct.pack_into("<I", looped, first + 2 + nentries * 12, first)
+    p = str(tmp_path / "loop.dng")
+    with open(p, "wb") as f:
+        f.write(bytes(looped))
+    raw2 = read_dng(p)  # loop is detected and ignored; file still decodes
+    np.testing.assert_array_equal(raw2.data, np.asarray(raw.data))
+
+    # A chain of fresh IFDs each pointing deeper (offset bomb) must hit the
+    # walker's IFD-count limit, not spin.
+    bomb = bytearray(blob)
+    _struct.pack_into("<I", bomb, first + 2 + nentries * 12, len(bomb))
+    for i in range(200):
+        off = len(bomb)
+        bomb += _struct.pack("<H", 0)  # 0 entries
+        nxt = off + 6 if i < 199 else 0
+        bomb += _struct.pack("<I", nxt)
+    p = str(tmp_path / "bomb.dng")
+    with open(p, "wb") as f:
+        f.write(bytes(bomb))
+    with pytest.raises(ValueError, match="IFD count"):
+        read_dng(p)

@@ -129,6 +129,34 @@ def test_batch_engine_files(tmp_path):
     assert not np.array_equal(outs[0], outs[1])
 
 
+def test_batch_engine_pallas_executor_sharded():
+    """BatchEngine's Pallas executor (megakernel chained per local batch
+    entry inside a dp-sharded shard_map, interpret mode on the CPU mesh)
+    must agree with the XLA engine within the cross-path <=1 LSB contract
+    and honor per-image calibration."""
+    from imagepipe_tpu.engine import make_develop_plan as _mdp
+
+    raws = [synthetic_bayer(96, 64, seed=60 + s) for s in range(5)]
+    raws[3].wb_coeffs = (1.0, 1.0, 2.8, float("nan"))
+    sources = [ImageSource.from_raw(r) for r in raws]
+
+    class DirectEngine(BatchEngine):
+        def _plan_for(self, source):
+            pipe = Pipeline.new_from_source(source)
+            return make_develop_plan(pipe, out_bits=8, numerics="direct")
+
+    eng = DirectEngine(make_batch_mesh(), max_batch=8, executor="pallas")
+    assert eng._use_pallas(eng._plan_for(sources[0]))
+    outs = eng.develop_sources(sources)
+    for raw, out in zip(raws, outs):
+        plan = _mdp(Pipeline.new_from_source(ImageSource.from_raw(raw)))
+        want = planar_to_hwc(develop_fused(plan, raw.data))
+        diff = np.abs(out.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 0.02
+    assert not np.array_equal(outs[0], outs[3])
+
+
 def test_batch_engine_decode_compute_overlap(tmp_path):
     """develop_files must STREAM: full shape buckets are dispatched to the
     device while later files are still decoding (the PP analogue), rather

@@ -47,9 +47,9 @@ def test_pallas_unsupported_plans():
     assert not pallas_supported(plan)
 
 
-def test_pallas_closed_form_bayer_interpret():
-    """The closed-form Bayer path (compiled mode gated off pending a Mosaic
-    fix) must match the fused engine in interpret mode."""
+def test_pallas_generic_mask_path_interpret():
+    """The generic mask-loop demosaic (the non-Bayer path, also the Bayer
+    fallback) must match the fused engine with the closed form disabled."""
     from imagepipe_tpu.kernels import develop_pallas as dp
 
     raw = synthetic_bayer(168, 112)
@@ -58,10 +58,30 @@ def test_pallas_closed_form_bayer_interpret():
     want = np.asarray(develop_fused(plan, raw.data)).astype(int)
     old = dp.BAYER_CLOSED_FORM
     try:
-        dp.BAYER_CLOSED_FORM = True
+        dp.BAYER_CLOSED_FORM = False
         dp._develop_pallas_jit.clear_cache()
         got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
     finally:
         dp.BAYER_CLOSED_FORM = old
         dp._develop_pallas_jit.clear_cache()
     assert np.abs(want - got).max() <= 1
+
+
+def test_pallas_batch_matches_single():
+    """Batched megakernel (kernel chained over the batch inside one jit,
+    the production serving shape) must equal per-image runs, including
+    per-image calibration."""
+    from imagepipe_tpu.kernels.develop_pallas import develop_pallas_batch
+
+    raws = [synthetic_bayer(168, 112, seed=s) for s in range(3)]
+    raws[2].wb_coeffs = (1.1, 1.0, 2.6, float("nan"))
+    pipes = [Pipeline.new_from_source(ImageSource.from_raw(r)) for r in raws]
+    plans = [make_develop_plan(p, out_bits=8, numerics="direct") for p in pipes]
+    batch = np.stack([r.data for r in raws])
+    got = np.asarray(develop_pallas_batch(plans[0], batch, interpret=True,
+                                          param_plans=plans))
+    for i, plan in enumerate(plans):
+        single = np.asarray(develop_pallas(plan, raws[i].data, interpret=True))
+        np.testing.assert_array_equal(got[i], single)
+    # Distinct WB must produce distinct output (params really are per-image).
+    assert not np.array_equal(got[1], got[2])

@@ -34,6 +34,9 @@ _TABLE: dict[str, tuple[int, ...]] = {
     "CANON EOS 80D": (7457, -671, -937, -4849, 12495, 2643, -1213, 2354, 5492),
     "CANON EOS R5": (9766, -2953, -1254, -4276, 12116, 2433, -437, 1336, 5131),
     "ILCE-7M3": (7374, -2389, -551, -5435, 13162, 2519, -1006, 1795, 6552),
+    "X-T2": (11434, -4948, -1210, -3746, 12042, 1903, -666, 1479, 5235),
+    "X-PRO2": (11434, -4948, -1210, -3746, 12042, 1903, -666, 1479, 5235),
+    "X-T30": (13426, -6334, -1177, -4244, 12136, 2371, -580, 1303, 5980),
     "ILCE-7RM3": (6640, -1847, -503, -5238, 13010, 2474, -993, 1673, 6527),
     "ILCE-7RM4": (7662, -2686, -660, -5240, 12965, 2530, -796, 1508, 6167),
     "DSC-RX100M7": (6679, -1825, -745, -5047, 13256, 1953, -1580, 2422, 5183),

@@ -136,8 +136,16 @@ def _decode_arw(path: str) -> Optional[RawImage]:
     return read_arw(path)
 
 
+def _decode_raf(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".raf"):
+        return None
+    from .raf import read_raf
+
+    return read_raf(path)
+
+
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
-                      _decode_nef, _decode_cr2, _decode_arw])
+                      _decode_nef, _decode_cr2, _decode_arw, _decode_raf])
 
 
 def decode_file(path) -> ImageSource:

@@ -1,0 +1,106 @@
+"""Fujifilm RAF reader against synthesized byte-accurate containers."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu import ImageSource, Pipeline
+from imagepipe_tpu.cameras import xyz_to_cam_for
+from imagepipe_tpu.decode import decode_file
+from imagepipe_tpu.raf import read_raf, raf_levels_for
+from imagepipe_tpu.raw import CFA, Orientation, RawImage
+
+XTRANS = "GBGGRGRGRBGBGBGGRGRGRBGBGBGGRGGRGGBG"
+_LETTER_TO_CODE = {"R": 0, "G": 1, "B": 2, "E": 3}
+
+
+def make_raf(data, model="X-T2", wb=(302, 580, 302, 1044), pattern=XTRANS,
+             tiff_cfa=False) -> bytes:
+    """Classic RAF: header + meta records + big-endian u16 payload. wb is
+    the on-disk (G, R, G2, B) quadruple."""
+    h, w = data.shape
+    recs = []
+    recs.append((0x0100, struct.pack(">HH", h, w)))
+    if pattern is not None:
+        codes = bytes(_LETTER_TO_CODE[c] for c in pattern)[::-1]  # dcraw order
+        recs.append((0x0131, codes))
+    recs.append((0x2FF0, struct.pack(">HHHH", *wb)))
+    meta = struct.pack(">I", len(recs)) + b"".join(
+        struct.pack(">HH", tag, len(payload)) + payload
+        for tag, payload in recs)
+
+    payload = (b"II*\0" + b"\0" * 64 if tiff_cfa
+               else data.astype(">u2").tobytes())
+    header_len = 0x54 + 24
+    meta_off = header_len
+    cfa_off = meta_off + len(meta)
+    head = bytearray()
+    head += b"FUJIFILMCCD-RAW "                    # 0x00
+    head += b"0201"                                # 0x10
+    head += b"FF119412"                            # 0x14 camera number
+    head += model.encode().ljust(32, b"\0")        # 0x1c
+    head += b"0100"                                # 0x3c
+    head += b"\0" * (0x54 - len(head))
+    head += struct.pack(">IIIIII", 0, 0, meta_off, len(meta),
+                        cfa_off, len(payload))
+    assert len(head) == header_len
+    return bytes(head) + meta + payload
+
+
+def _sensor(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 14, (h, w), dtype=np.uint16)
+
+
+def test_raf_decode(tmp_path):
+    data = _sensor(36, 48)
+    p = tmp_path / "shot.raf"
+    p.write_bytes(make_raf(data))
+    got = read_raf(str(p))
+    np.testing.assert_array_equal(got.data, data)
+    assert (got.width, got.height, got.cpp) == (48, 36, 1)
+    assert got.cfa.name == XTRANS
+    assert got.make == "FUJIFILM" and got.model == "X-T2"
+    # WB: on-disk (G=302, R=580, G2=302, B=1044) -> (R/G, 1, B/G).
+    np.testing.assert_allclose(got.wb_coeffs[:3], (580 / 302, 1.0, 1044 / 302))
+    black, white = raf_levels_for("X-T2")
+    assert got.blacklevels == (black,) * 4
+    assert got.whitelevels == (white,) * 4
+    np.testing.assert_array_equal(got.xyz_to_cam,
+                                  xyz_to_cam_for("FUJIFILM", "X-T2"))
+
+    # Registry path + end-to-end develop parity with the same data direct.
+    src = decode_file(str(p))
+    want = RawImage(
+        width=48, height=36, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=got.wb_coeffs, xyz_to_cam=got.xyz_to_cam,
+        orientation=Orientation.Normal, cfa=CFA(XTRANS), data=data,
+        make="FUJIFILM", model="X-T2")
+    po = Pipeline.new_from_source(src).output_8bit(None)
+    pw = Pipeline.new_from_source(ImageSource.from_raw(want)).output_8bit(None)
+    np.testing.assert_array_equal(po.data, pw.data)
+
+
+def test_raf_rejects_unsupported_flavors(tmp_path):
+    data = _sensor(12, 12)
+    bayer = tmp_path / "bayer.raf"
+    bayer.write_bytes(make_raf(data, pattern=None))
+    with pytest.raises(ValueError, match="X-Trans"):
+        read_raf(str(bayer))
+
+    tiffed = tmp_path / "tiff.raf"
+    tiffed.write_bytes(make_raf(data, tiff_cfa=True))
+    with pytest.raises(ValueError, match="TIFF-wrapped"):
+        read_raf(str(tiffed))
+
+
+def test_raf_truncations_raise(tmp_path):
+    data = _sensor(12, 12)
+    blob = make_raf(data)
+    for cut in (8, 0x30, 0x60, len(blob) - 40):
+        p = tmp_path / f"cut{cut}.raf"
+        p.write_bytes(blob[:cut])
+        with pytest.raises(ValueError):
+            read_raf(str(p))

@@ -300,6 +300,82 @@ def read_cr2(path: str) -> RawImage:
 # ---------------------------------------------------------------------------
 
 
+def _sony_curve(tf: TiffFile) -> np.ndarray:
+    """ARW2 tone curve: 4096-entry LUT from the four SR2 breakpoints in tag
+    0x7010 (dcraw's sony curve: segment i of [0, b0..b3, 4095] steps by
+    2^i; decoded 11-bit samples index it as curve[pix*2] >> 2)."""
+    bp = tf.find(0x7010)
+    if not bp or len(bp) < 4:
+        raise ValueError("ARW2: missing tone-curve breakpoints (tag 0x7010)")
+    pts = [0] + [(int(v) >> 2) & 0xFFF for v in bp[:4]] + [4095]
+    if pts != sorted(pts):
+        raise ValueError("ARW2: non-monotone tone-curve breakpoints")
+    curve = np.zeros(4096, np.uint32)
+    for i in range(5):
+        lo, hi = pts[i], pts[i + 1]
+        n = hi - lo
+        if n > 0:
+            curve[lo + 1:hi + 1] = curve[lo] + (np.arange(1, n + 1,
+                                                          dtype=np.uint32) << i)
+    return curve
+
+
+def _arw2_decode(payload: bytes, height: int, width: int,
+                 curve: np.ndarray) -> np.ndarray:
+    """Sony ARW2 (compression 32767) cRAW: each row is `width` bytes of
+    16-byte blocks; a block packs 16 same-color pixels (every other column)
+    as 11-bit max/min, their 4-bit positions, and 14 7-bit deltas scaled by
+    a shift derived from max-min. Block pairs interleave even/odd columns
+    over 32-column spans (dcraw sony_arw2_load_raw semantics)."""
+    if width % 32:
+        raise ValueError("ARW2: raw width must be a multiple of 32")
+    need = height * width
+    if len(payload) < need:
+        raise ValueError("ARW2: truncated payload")
+    b = np.frombuffer(payload, np.uint8, count=need).reshape(
+        height, width // 16, 16).astype(np.uint32)
+
+    val = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    vmax = val & 0x7FF
+    vmin = (val >> 11) & 0x7FF
+    imax = (val >> 22) & 0xF
+    imin = (val >> 26) & 0xF
+    diff = vmax - vmin
+    sh = np.zeros_like(diff)
+    for s in range(4):
+        sh += (np.uint32(0x80) << s) <= diff
+
+    pix = np.empty(b.shape[:2] + (16,), np.uint32)
+    # Delta slot k (k-th position that is neither imax nor imin) sits at
+    # bit 30 + 7k; the final slot's 7 bits fit inside byte 15.
+    slot = np.zeros(b.shape[:2], np.uint32)
+    for i in range(16):
+        bit = 30 + 7 * slot
+        # The read is speculative (ignored at max/min positions); slot can
+        # already be 14 there, so clamp the offsets into the block.
+        off = np.minimum(bit >> 3, 15)
+        lo = np.take_along_axis(b, off[..., None], axis=-1)[..., 0]
+        off1 = np.minimum(off + 1, 15)
+        hi = np.take_along_axis(b, off1[..., None], axis=-1)[..., 0]
+        hi = np.where(off + 1 > 15, 0, hi)
+        d7 = ((lo | (hi << 8)) >> (bit & 7)) & 0x7F
+        v = np.minimum(vmin + (d7 << sh), 0x7FF)
+        is_max = imax == i
+        is_min = (imin == i) & ~is_max          # dcraw checks imax first
+        pix[..., i] = np.where(is_max, vmax, np.where(is_min, vmin, v))
+        slot = slot + (~(is_max | is_min)).astype(np.uint32)
+
+    out16 = (curve[(pix << 1).reshape(-1)] >> 2).astype(np.uint16)
+    out16 = out16.reshape(height, width // 16, 16)
+    # Block 2t fills even columns of span [32t, 32t+32), block 2t+1 the odd.
+    res = np.empty((height, width), np.uint16)
+    spans = out16.reshape(height, width // 32, 2, 16)
+    res_v = res.reshape(height, width // 32, 16, 2)
+    res_v[:, :, :, 0] = spans[:, :, 0, :]
+    res_v[:, :, :, 1] = spans[:, :, 1, :]
+    return res
+
+
 def read_arw(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
@@ -313,10 +389,15 @@ def read_arw(path: str) -> RawImage:
     height = ifd.get1(T_LENGTH)
     bits = ifd.get1(T_BITS, 16)
     compression = ifd.get1(T_COMPRESSION, 1)
+    arw2_white = None
     if compression == 32767:
-        raise ValueError("Sony ARW2 compressed (32767) not yet supported; "
-                         "shoot uncompressed/lossless or convert to DNG")
-    if compression == 7:
+        (off,) = ifd.get(T_STRIP_OFFSETS)[:1]
+        (cnt,) = ifd.get(T_STRIP_BYTECOUNTS)[:1]
+        tf._check(off, cnt, "ARW2 raw strip")
+        curve = _sony_curve(tf)
+        data = _arw2_decode(bytes(buf[off:off + cnt]), height, width, curve)
+        arw2_white = int(curve[0xFFE] >> 2)
+    elif compression == 7:
         from .lj92 import decode as lj92_decode
 
         (off,) = ifd.get(T_STRIP_OFFSETS)[:1]
@@ -339,7 +420,12 @@ def read_arw(path: str) -> RawImage:
     bl = tf.find(0x7310)
     black = int(round(sum(bl[:4]) / len(bl[:4]))) if bl else 0
     wl = tf.find(0x787F)
-    white = int(wl[0]) if wl else (1 << bits) - 1
+    if wl:
+        white = int(wl[0])
+    elif arw2_white is not None:
+        white = arw2_white          # top of the ARW2 tone curve
+    else:
+        white = (1 << bits) - 1
 
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),

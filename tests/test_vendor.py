@@ -236,22 +236,121 @@ def test_arw_decode(tmp_path, bits):
     _assert_develops_identically(raw, want)
 
 
-def test_arw2_compressed_rejected(tmp_path):
-    data = _sensor(8, 16, seed=6)
+def _arw2_pack_block(vmax, vmin, imax, imin, deltas):
+    """One 16-byte ARW2 block from raw fields (11-bit max/min, 4-bit
+    positions, fourteen 7-bit deltas)."""
+    acc = (vmax & 0x7FF) | ((vmin & 0x7FF) << 11) | ((imax & 0xF) << 22) \
+        | ((imin & 0xF) << 26)
+    bit = 30
+    for d in deltas:
+        acc |= (d & 0x7F) << bit
+        bit += 7
+    return acc.to_bytes(16, "little")
+
+
+def _arw2_oracle_block(vmax, vmin, imax, imin, deltas):
+    """Scalar dcraw sony_arw2_load_raw semantics for one block: 11-bit
+    pre-curve pixel values."""
+    sh = 0
+    while sh < 4 and (0x80 << sh) <= vmax - vmin:
+        sh += 1
+    pix, di = [], 0
+    for i in range(16):
+        if i == imax:
+            pix.append(vmax)
+        elif i == imin:
+            pix.append(vmin)
+        else:
+            pix.append(min(vmin + (deltas[di] << sh), 0x7FF))
+            di += 1
+    return pix
+
+
+def make_arw2(blocks, h, w, model="ILCE-7M3", curve_bp=(2000, 4000, 8000, 12000),
+              wb=(2100, 1024, 1024, 1600), black=128) -> bytes:
+    payload = b"".join(_arw2_pack_block(*blk) for blk in blocks)
+    assert len(payload) == h * w
     b = TiffBuilder("<")
-    strip = b.add_blob(data.tobytes())
+    strip = b.add_blob(payload)
     raw_ifd = b.add_ifd([
-        (256, 4, [16]), (257, 4, [8]), (258, 3, [8]), (259, 3, [32767]),
-        (262, 3, [32803]), (273, 4, [strip]), (279, 4, [data.nbytes]),
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [32767]),
+        (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.add_ifd([
+        (271, 2, "SONY"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]),
+        (0x7313, 3, list(wb)), (0x7310, 3, [black] * 4),
+        (0x7010, 3, list(curve_bp)),
+    ])
+    return b.bytes()
+
+
+def test_arw2_decode_matches_scalar_oracle(tmp_path):
+    rng = np.random.default_rng(21)
+    h, w = 16, 64
+    blocks = []
+    for _ in range(h * w // 16):
+        vmin = int(rng.integers(0, 0x400))
+        vmax = int(rng.integers(vmin, 0x800))
+        imax = int(rng.integers(0, 16))
+        # Real encoders never emit imax == imin (dcraw would read one delta
+        # past the block); keep the positions distinct.
+        imin = int((imax + 1 + rng.integers(0, 15)) % 16)
+        deltas = [int(d) for d in rng.integers(0, 128, 14)]
+        blocks.append((vmax, vmin, imax, imin, deltas))
+    path = str(tmp_path / "c2.arw")
+    with open(path, "wb") as f:
+        f.write(make_arw2(blocks, h, w))
+
+    from imagepipe_tpu.vendor import _sony_curve, read_arw
+    from imagepipe_tpu.tiff import TiffFile
+
+    with open(path, "rb") as f:
+        curve = _sony_curve(TiffFile(f.read()))
+    got = read_arw(path)
+
+    want = np.zeros((h, w), np.uint16)
+    bi = 0
+    for row in range(h):
+        for span in range(w // 32):
+            for parity in range(2):
+                pix = _arw2_oracle_block(*blocks[bi]); bi += 1
+                for k in range(16):
+                    want[row, span * 32 + 2 * k + parity] = curve[pix[k] << 1] >> 2
+    np.testing.assert_array_equal(got.data, want)
+    assert got.whitelevels[0] == int(curve[0xFFE] >> 2)
+    assert got.blacklevels == (128,) * 4
+    # Develop parity with the same decoded plane fed directly.
+    direct = _expected_raw(want, (2100.0, 1024.0, 1600.0, float("nan")), 128,
+                           got.whitelevels[0], "ILCE-7M3", "SONY")
+    _assert_develops_identically(got, direct)
+
+
+def test_arw2_missing_curve_rejected(tmp_path):
+    rng = np.random.default_rng(22)
+    blocks = [(100, 50, 0, 1, [int(d) for d in rng.integers(0, 128, 14)])
+              for _ in range(2 * 32 // 16)]
+    blob = make_arw2(blocks, 2, 32)
+    # Strip tag 0x7010 by rebuilding without it.
+    b = TiffBuilder("<")
+    payload = b"".join(_arw2_pack_block(*blk) for blk in blocks)
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [32]), (257, 4, [2]), (258, 3, [8]), (259, 3, [32767]),
+        (262, 3, [32803]), (273, 4, [strip]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
     ], chain=False)
     b.add_ifd([(271, 2, "SONY"), (272, 2, "ILCE-7M3"), (330, 4, [raw_ifd])])
-    path = str(tmp_path / "c.arw")
+    path = str(tmp_path / "nocurve.arw")
     with open(path, "wb") as f:
         f.write(b.bytes())
     from imagepipe_tpu.vendor import read_arw
 
-    with pytest.raises(ValueError, match="32767"):
+    with pytest.raises(ValueError, match="0x7010|tone-curve"):
         read_arw(path)
+    del blob
 
 
 def test_unknown_camera_falls_back_to_srgb(tmp_path):

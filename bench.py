@@ -152,6 +152,22 @@ def bench_all():
                     "value": round(sorted(lats)[len(lats) // 2] * 1e3, 1),
                     "unit": "ms", "vs_baseline": None})
 
+    # Config: 24MP free rotation (the rotatecrop op at 18 degrees) through
+    # the Pallas MXU one-hot kernel on developed 4-channel f32 data.
+    from imagepipe_tpu.buffer import OpBuffer
+    from imagepipe_tpu.ops.rotatecrop import OpRotateCrop
+
+    rng = np.random.default_rng(1)
+    rbuf = OpBuffer.from_hwc(rng.random((4024, 6048, 4), dtype=np.float32))
+    rot = OpRotateCrop.empty()
+    rot.rotation = 0.2
+    rout = rot.run(None, rbuf)
+    out_mp = rout.width * rout.height / 1e6
+    dt = _timed(lambda: rot.run(None, rbuf).data, iters=3)
+    results.append({"metric": "24MP free rotation 18deg (pallas one-hot MXU)",
+                    "value": round(out_mp / dt, 1), "unit": "output MP/s",
+                    "vs_baseline": None})
+
     for r in results:
         print(json.dumps(r))
 

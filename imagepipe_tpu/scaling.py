@@ -351,6 +351,40 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
     return jnp.moveaxis(out, 0, -1)
 
 
+# Rotated geometry executor: the Pallas MXU one-hot kernel
+# (kernels/rotate_pallas.py) when the geometry supports it, else the gather
+# loop. Tests may force the gather path by setting this to False.
+USE_ROTATE_PALLAS = True
+
+
+def _rotate_pallas_hwc(src, width, height, topleft, topright, bottomleft,
+                       nwidth, nheight, components, out_dtype):
+    """Route a rotated HWC resample through the Pallas kernel; returns None
+    when the geometry is unsupported (caller falls back to the gather loop).
+    Channels are independent in non-CFA mode, so slicing to `components`
+    before the kernel equals the gather loop's accumulate-then-slice."""
+    from .kernels import rotate_pallas
+
+    src3 = jnp.atleast_3d(src)
+    C = min(int(components), src3.shape[-1])
+    if C != int(components):
+        return None
+    plan = rotate_pallas.rotate_plan(
+        int(width), int(height), topleft, topright, bottomleft,
+        int(nwidth), int(nheight), C)
+    if plan is None:
+        return None
+    out = rotate_pallas.rotate_resample_planar(
+        jnp.moveaxis(src3[..., :C], -1, 0), int(width), int(height),
+        topleft, topright, bottomleft, int(nwidth), int(nheight), C,
+        plan=plan)
+    out = jnp.moveaxis(out, 0, -1)
+    if out_dtype == jnp.float32:
+        return out
+    info = jnp.iinfo(out_dtype)
+    return jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
+
+
 def transform_buffer(src, width, height, topleft, topright, bottomleft,
                      nwidth, nheight, components, cfa=None, out_dtype=jnp.float32):
     """General inverse-mapped affine resampler (scaling.rs:51-130).
@@ -366,10 +400,17 @@ def transform_buffer(src, width, height, topleft, topright, bottomleft,
         cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
         cfa_key = None
     # Axis-aligned geometry (every scale-down / pure-crop path) uses the
-    # MXU selection formulation; rotation falls back to the gather loop.
+    # MXU selection formulation; rotation uses the Pallas MXU kernel with
+    # the gather loop as fallback.
     aligned = (int(topright[1]) == int(topleft[1])
                and int(bottomleft[0]) == int(topleft[0])
                and nwidth > 1 and nheight > 1)
+    if not aligned and cfa is None and USE_ROTATE_PALLAS:
+        out = _rotate_pallas_hwc(src, width, height, topleft, topright,
+                                 bottomleft, nwidth, nheight, components,
+                                 out_dtype)
+        if out is not None:
+            return out
     impl = _transform_aligned_impl if aligned else _transform_impl
     return impl(
         src, cfa_tile,
@@ -432,6 +473,17 @@ def transform_buffer_planar(src_chw, width, height, topleft, topright,
             nwidth=int(nwidth), nheight=int(nheight),
             components=int(components), cfa_key=cfa_key,
             out_dtype=jnp.float32, planar=True)
+    if cfa is None and USE_ROTATE_PALLAS and components <= src_chw.shape[0]:
+        from .kernels import rotate_pallas
+
+        C = int(components)
+        plan = rotate_pallas.rotate_plan(
+            int(width), int(height), topleft, topright, bottomleft,
+            int(nwidth), int(nheight), C)
+        if plan is not None:
+            return rotate_pallas.rotate_resample_planar(
+                src_chw[:C], int(width), int(height), topleft, topright,
+                bottomleft, int(nwidth), int(nheight), C, plan=plan)
     out_hwc = transform_buffer(
         jnp.moveaxis(src_chw, 0, -1), width, height, topleft, topright,
         bottomleft, nwidth, nheight, components, cfa)

@@ -1,0 +1,175 @@
+"""Rotated-resampler Pallas kernel tests (interpret mode on the CPU mesh).
+
+The kernel must agree with the gather implementation (same device
+semantics) essentially bit-for-bit, and with the scalar oracle within the
+established device-vs-oracle envelope: at near-45-degree angles the
+reference's corner-pair windows degenerate (to-from = cos-sin -> 0), so
+weight sums approach zero and ULP differences amplify through sums/counts --
+both device paths share that envelope (see scaling.rs:84-107 semantics).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from imagepipe_tpu import scaling
+from imagepipe_tpu.buffer import OpBuffer
+from imagepipe_tpu.kernels import rotate_pallas as rp
+from imagepipe_tpu.ops.rotatecrop import OpRotateCrop
+
+import oracle
+
+f32 = np.float32
+
+
+def _corners(theta_deg, w, h, nw, nh, scale=1.0):
+    """Inverse-map corner triple like OpRotateCrop._rotate_point_reverse."""
+    a = np.deg2rad(theta_deg)
+    s, c = np.sin(a), np.cos(a)
+
+    def rot(x, y):
+        tx, ty = x - nw / 2, y - nh / 2
+        return (int(f32((tx * c + ty * s) * scale + w / 2)),
+                int(f32((-tx * s + ty * c) * scale + h / 2)))
+
+    return rot(0, 0), rot(nw - 1, 0), rot(0, nh - 1)
+
+
+def _run_pallas(data, w, h, tl, tr, bl, nw, nh, C):
+    plan = rp.rotate_plan(w, h, tl, tr, bl, nw, nh, C)
+    assert plan is not None
+    src = jnp.moveaxis(jnp.asarray(data), -1, 0)
+    out = rp.rotate_resample_planar(src, w, h, tl, tr, bl, nw, nh, C,
+                                    interpret=True, plan=plan)
+    return np.moveaxis(np.asarray(out), 0, -1)
+
+
+def _run_gather(data, w, h, tl, tr, bl, nw, nh, C):
+    return np.asarray(scaling._transform_impl(
+        jnp.asarray(data), jnp.zeros((48, 48), jnp.uint8), width=w, height=h,
+        topleft=tl, topright=tr, bottomleft=bl, nwidth=nw, nheight=nh,
+        components=C, cfa_key=None, out_dtype=jnp.float32))
+
+
+CASES = [
+    # (theta, w, h, nw, nh, scale, C)
+    (4, 150, 120, 140, 110, 1.0, 4),
+    (27, 160, 140, 150, 130, 1.0, 3),
+    (45, 130, 130, 180, 180, 1.0, 4),     # degenerate windows, half-empty
+    (45, 140, 100, 150, 110, 1.4, 4),
+    (75, 120, 120, 110, 110, 1.0, 1),     # mostly-empty windows
+    (12, 200, 90, 90, 40, 2.2, 4),        # rotation + downscale
+]
+
+
+@pytest.mark.parametrize("theta,w,h,nw,nh,sc,C", CASES)
+def test_rotate_pallas_matches_gather_impl(theta, w, h, nw, nh, sc, C):
+    """Same device semantics as the gather loop: ULP-level agreement."""
+    rng = np.random.default_rng(theta * 7 + C)
+    tl, tr, bl = _corners(theta, w, h, nw, nh, sc)
+    data = rng.random((h, w, C), dtype=np.float32)
+    pal = _run_pallas(data, w, h, tl, tr, bl, nw, nh, C)
+    gat = _run_gather(data, w, h, tl, tr, bl, nw, nh, C)
+    np.testing.assert_allclose(pal, gat, rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("theta,w,h,nw,nh,sc,C", CASES)
+def test_rotate_pallas_matches_oracle(theta, w, h, nw, nh, sc, C):
+    rng = np.random.default_rng(theta * 13 + C)
+    tl, tr, bl = _corners(theta, w, h, nw, nh, sc)
+    data = rng.random((h, w, C), dtype=np.float32)
+    pal = _run_pallas(data, w, h, tl, tr, bl, nw, nh, C)
+    want = oracle.transform_buffer(
+        data.ravel(), w, h, tl, tr, bl, nw, nh, C).reshape(nh, nw, C)
+    diff = np.abs(pal - want)
+    # Healthy-window pixels agree to 1e-4; degenerate near-empty windows
+    # amplify ULPs through sums/counts (the gather impl deviates identically).
+    assert (diff > 1e-4).mean() < 0.005
+    assert diff.max() < 5e-3
+
+
+def test_rotatecrop_op_pallas_vs_gather_quantized():
+    """The full op through both executors: quantized outputs within 1 LSB."""
+    rng = np.random.default_rng(99)
+    w, h = 220, 170
+    buf = OpBuffer.from_hwc(rng.random((h, w, 4), dtype=np.float32))
+
+    def run():
+        op = OpRotateCrop.empty()
+        op.rotation = 0.21
+        op.crop_left = 0.04
+        op.crop_top = 0.02
+        out = op.run(None, buf)
+        return np.clip(np.trunc(np.asarray(out.to_hwc()) * 256.0), 0, 255
+                       ).astype(np.uint8), (out.width, out.height)
+
+    old = scaling.USE_ROTATE_PALLAS
+    try:
+        scaling.USE_ROTATE_PALLAS = True
+        got_p, size_p = run()
+        scaling.USE_ROTATE_PALLAS = False
+        got_g, size_g = run()
+    finally:
+        scaling.USE_ROTATE_PALLAS = old
+    assert size_p == size_g
+    assert np.abs(got_p.astype(int) - got_g.astype(int)).max() <= 1
+    assert (got_p != got_g).mean() < 0.01
+
+
+def test_affine_gather_impl_matches_oracle():
+    """Keeps direct oracle coverage of the gather fallback now that the
+    public entry routes rotations to the Pallas kernel."""
+    rng = np.random.default_rng(3)
+    w, h = 50, 40
+    data = rng.random((h, w, 3), dtype=np.float32)
+    tl, tr, bl = (5, 2), (44, 12), (-3, 33)
+    nw, nh = 37, 29
+    got = _run_gather(data, w, h, tl, tr, bl, nw, nh, 3)
+    want = oracle.transform_buffer(
+        data.ravel(), w, h, tl, tr, bl, nw, nh, 3).reshape(nh, nw, 3)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_rotate_plan_fallbacks():
+    # Degenerate output extents.
+    assert rp.rotate_plan(100, 100, (0, 0), (99, 10), (-10, 99), 1, 50, 4) is None
+    assert rp.rotate_plan(100, 100, (0, 0), (99, 10), (-10, 99), 50, 1, 4) is None
+    # Zero x-step (vertical degenerate geometry).
+    assert rp.rotate_plan(100, 100, (5, 0), (5, 40), (0, 99), 50, 50, 4) is None
+    # K_y beyond the static unroll bound (huge scale rotation).
+    tl, tr, bl = _corners(30, 4000, 4000, 100, 100, 30.0)
+    assert rp.rotate_plan(4000, 4000, tl, tr, bl, 100, 100, 4) is None
+    # The public entry still renders those via the gather loop.
+    rng = np.random.default_rng(1)
+    data = rng.random((100, 100, 4), dtype=np.float32)
+    out = scaling.transform_buffer(
+        jnp.asarray(data), 100, 100, (5, 0), (5, 40), (0, 99), 50, 50, 4)
+    assert out.shape == (50, 50, 4)
+
+
+def test_rotate_plan_statics_stable_across_nearby_angles():
+    """The jit signature holds geometry only as bucketed shapes; nearby
+    slider angles must share one compiled kernel (the skips live in the
+    runtime SMEM params table)."""
+    w, h, nw, nh = 1200, 900, 1150, 860
+    plans = []
+    for theta in (16.0, 17.5, 19.0):
+        tl, tr, bl = _corners(theta, w, h, nw, nh)
+        plan = rp.rotate_plan(w, h, tl, tr, bl, nw, nh, 4)
+        assert plan is not None
+        plans.append(plan[0])
+    assert plans[0] == plans[1] == plans[2]
+
+
+def test_rotate_pallas_planar_entry():
+    """transform_buffer_planar routes rotations through the kernel and
+    matches the HWC gather path."""
+    rng = np.random.default_rng(17)
+    w, h = 150, 120
+    nw, nh = 140, 110
+    tl, tr, bl = _corners(18, w, h, nw, nh)
+    data = rng.random((h, w, 4), dtype=np.float32)
+    out = np.asarray(scaling.transform_buffer_planar(
+        jnp.moveaxis(jnp.asarray(data), -1, 0), w, h, tl, tr, bl, nw, nh, 4))
+    gat = _run_gather(data, w, h, tl, tr, bl, nw, nh, 4)
+    np.testing.assert_allclose(np.moveaxis(out, 0, -1), gat, rtol=0, atol=2e-6)

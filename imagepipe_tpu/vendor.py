@@ -10,13 +10,14 @@ where the sensor plane, levels, white balance, and CFA live:
   CR2: raw IFD with Compression=6 (ITU-T81 lossless JPEG, our lj92 codec)
        cut into vertical slices (tag 0xC640); WB from the Canon maker note
        ColorData block (tag 0x4001); crops/black from SensorInfo (0x00E0).
-  ARW: raw SubIFD, 16-bit little-endian, 12-bit packed, or lossless JPEG;
-       WB/black/white from Sony calibration tags (0x7313/0x7310/0x787F).
+  ARW: raw SubIFD, 16-bit little-endian, 12-bit packed, lossless JPEG, or
+       ARW2 cRAW (compression 32767, 16-byte delta blocks + SR2 tone
+       curve); WB/black/white from Sony tags (0x7313/0x7310/0x787F).
 
-Supported compressions are the losslessly-decodable ones this framework's
-codecs cover; vendor-proprietary entropy codecs (NEF 34713 "lossless
-compressed", ARW2 32767 cRAW) raise a clear ValueError naming the gap.
-Colorimetric matrices come from the per-model registry (cameras.py).
+NEF 34713 ("lossless compressed") raises a clear ValueError naming the
+gap: its Huffman tables cannot be verified offline, and a wrong table
+would silently garble real files. Colorimetric matrices come from the
+per-model registry (cameras.py).
 """
 
 from __future__ import annotations
@@ -387,6 +388,8 @@ def read_arw(path: str) -> RawImage:
     ifd = _raw_cfa_ifd(tf)
     width = ifd.get1(T_WIDTH)
     height = ifd.get1(T_LENGTH)
+    if not width or not height or width * height > 500_000_000:
+        raise ValueError("ARW: missing/implausible raw dimensions")
     bits = ifd.get1(T_BITS, 16)
     compression = ifd.get1(T_COMPRESSION, 1)
     arw2_white = None

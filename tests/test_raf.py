@@ -104,3 +104,22 @@ def test_raf_truncations_raise(tmp_path):
         p.write_bytes(blob[:cut])
         with pytest.raises(ValueError):
             read_raf(str(p))
+
+
+def test_raf_byte_fuzz_never_crashes(tmp_path):
+    """Random truncations and byte corruptions either decode or raise
+    ValueError -- never hang or escape with another exception type."""
+    blob = bytearray(make_raf(_sensor(24, 24, seed=9)))
+    rng = np.random.default_rng(17)
+    for i in range(40):
+        bad = bytearray(blob)
+        for _ in range(int(rng.integers(1, 6))):
+            bad[int(rng.integers(16, len(bad)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.4:
+            bad = bad[:int(rng.integers(16, len(bad)))]
+        p = tmp_path / f"fuzz{i}.raf"
+        p.write_bytes(bytes(bad))
+        try:
+            read_raf(str(p))
+        except ValueError:
+            pass

@@ -364,6 +364,35 @@ def test_unknown_camera_falls_back_to_srgb(tmp_path):
     Pipeline.new_from_source(ImageSource.from_raw(raw)).output_8bit(None)
 
 
+def test_arw2_byte_fuzz_never_crashes(tmp_path):
+    """Corrupted/truncated ARW2 containers decode or raise ValueError --
+    never hang or escape with another exception type."""
+    rng = np.random.default_rng(31)
+    blocks = []
+    for _ in range(16 * 32 // 16):
+        vmax = int(rng.integers(0, 0x800))
+        imax = int(rng.integers(0, 16))
+        blocks.append((vmax, int(rng.integers(0, vmax + 1)), imax,
+                       int((imax + 1) % 16),
+                       [int(d) for d in rng.integers(0, 128, 14)]))
+    blob = bytearray(make_arw2(blocks, 16, 32))
+    from imagepipe_tpu.vendor import read_arw
+
+    for i in range(30):
+        bad = bytearray(blob)
+        for _ in range(int(rng.integers(1, 5))):
+            bad[int(rng.integers(8, len(bad)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.4:
+            bad = bad[:int(rng.integers(8, len(bad)))]
+        p = str(tmp_path / f"fz{i}.arw")
+        with open(p, "wb") as f:
+            f.write(bytes(bad))
+        try:
+            read_arw(p)
+        except ValueError:
+            pass
+
+
 def test_vendor_truncated_files_raise(tmp_path):
     """Truncated vendor containers fail with ValueError, never hang/crash."""
     data = _sensor(16, 32, seed=8)

@@ -126,8 +126,14 @@ def read_dng(path: str) -> RawImage:
                 return np.frombuffer(chunk[: npix * 2].tobytes(), "<u2").astype(np.uint16)
             return native.swap_16be(chunk, npix)
         elif bits == 12:
+            # The native unpackers take no source length; check the packed
+            # extent before handing the chunk over.
+            if chunk.size < (npix + 1) // 2 * 3:
+                raise ValueError("truncated 12-bit DNG strip/tile")
             return native.unpack_12be(chunk, npix)
         elif bits == 14:
+            if chunk.size < (npix + 3) // 4 * 7:
+                raise ValueError("truncated 14-bit DNG strip/tile")
             return native.unpack_14be(chunk, npix)
         elif bits == 8:
             if chunk.size < npix:

@@ -175,8 +175,6 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
                         gx_min)
     D_g = -(-(int((gy_max - (gy_min // 8) * 8).max()) + 1) // 8) * 8
     D_xr = -(-(int((gx_max - (gx_min // 128) * 128).max()) + 1) // 128) * 128
-    D_g = min(D_g, D_y)
-    D_xr = min(D_xr, D_x)
 
     # Bucket the window extents so one compiled kernel covers a range of
     # angles: the jit signature is shapes+buckets only (the geometry lives

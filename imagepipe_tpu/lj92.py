@@ -31,6 +31,31 @@ def decode(data: bytes) -> np.ndarray:
     return _decode_python(data)
 
 
+def sof_precision(data: bytes) -> int:
+    """Sample precision from the stream's SOF3 segment (the authoritative
+    bit depth of a lossless-JPEG payload; vendors' data maxima are not --
+    a dark 14-bit frame can stay below 4096)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        seglen = (data[pos] << 8) | data[pos + 1]
+        if marker == 0xC3:
+            if pos + 3 > len(data):
+                break
+            return int(data[pos + 2])
+        if marker == 0xDA:
+            break
+        pos += seglen
+    raise ValueError("no SOF3 segment in lossless-JPEG stream")
+
+
 def _decode_native(data: bytes) -> np.ndarray:
     lib = native._lib
     fn = lib.lj92_decode

@@ -61,13 +61,17 @@ class BatchEngine:
     def __init__(self, mesh: Mesh | None = None, out_bits: int = 8,
                  max_batch: int = 8, decode_workers: int = 4,
                  maxwidth: int = 0, maxheight: int = 0,
-                 executor: str = "auto"):
+                 executor: str = "auto", inflight_batches: int = 2):
         self.mesh = mesh if mesh is not None else make_batch_mesh()
         self.out_bits = out_bits
         self.max_batch = max_batch
         self.decode_workers = decode_workers
         self.maxwidth = maxwidth
         self.maxheight = maxheight
+        # Bound on dispatched-but-unfetched batches: enough for the device
+        # to stay busy under the host fetch, without HBM growing with the
+        # input list length (every in-flight batch pins its device output).
+        self.inflight_batches = max(1, int(inflight_batches))
         # 'auto': Pallas megakernel for supported direct-numerics plans,
         # XLA fused engine otherwise; 'xla' / 'pallas' force a path.
         assert executor in ("auto", "xla", "pallas")
@@ -159,9 +163,11 @@ class BatchEngine:
             out_specs=P("batch", None, None, None), check_vma=False)
         return fn(planes_d, scal_d, spline_d)
 
-    def _collect(self, inflight, results):
-        """Fetch device outputs to host and scatter into input order."""
-        for chunk, out in inflight:
+    def _collect(self, inflight, results, keep: int = 0):
+        """Fetch device outputs to host (oldest first) and scatter into
+        input order, leaving at most `keep` batches in flight."""
+        while len(inflight) > keep:
+            chunk, out = inflight.pop(0)
             out_np = planar_to_hwc(out)[:len(chunk)]
             for (idx, _, _), img in zip(chunk, out_np):
                 results[idx] = img
@@ -182,6 +188,7 @@ class BatchEngine:
             for start in range(0, len(entries), self.max_batch):
                 inflight.append((entries[start:start + self.max_batch],
                                  self._dispatch_chunk(entries[start:start + self.max_batch])))
+                self._collect(inflight, results, keep=self.inflight_batches)
         self._collect(inflight, results)
         return results
 
@@ -189,9 +196,10 @@ class BatchEngine:
         """Streaming decode -> batched develop with decode/compute overlap:
         every shape bucket is dispatched to the device the moment it reaches
         max_batch, while the thread pool keeps decoding the remaining files;
-        leftover partial buckets go out after the last decode. Host fetches
-        of finished batches are deferred to the end (device dispatch is
-        async), so develop of batch N runs under the decode of batch N+1."""
+        leftover partial buckets go out after the last decode. Dispatch is
+        async and at most `inflight_batches` device outputs stay unfetched
+        (develop of batch N overlaps the decode of batch N+1 without HBM
+        growing with the input list)."""
         from ..decode import decode_file
 
         results: list = [None] * len(paths)
@@ -209,6 +217,9 @@ class BatchEngine:
                 if len(buckets[key]) >= self.max_batch:
                     inflight.append((buckets[key], self._dispatch_chunk(buckets[key])))
                     del buckets[key]
+                    # Fetch the oldest finished batches while the pool keeps
+                    # decoding; bounds HBM to inflight_batches outputs.
+                    self._collect(inflight, results, keep=self.inflight_batches)
             for chunk in buckets.values():
                 inflight.append((chunk, self._dispatch_chunk(chunk)))
         self._collect(inflight, results)

@@ -98,11 +98,17 @@ def _read_strips(tf: TiffFile, ifd: Ifd, height: int, width: int,
             else:
                 vals = native.swap_16be(chunk, npix)
         elif bits == 12:
+            # The native unpackers take no source length and read the full
+            # packed extent -- validate it against the strip byte count.
+            if cnt < (npix + 1) // 2 * 3:
+                raise ValueError("truncated 12-bit strip")
             vals = (native.unpack_12le(chunk, npix) if packing == "le"
                     else native.unpack_12be(chunk, npix))
         elif bits == 14:
             if packing == "le":
                 raise ValueError("14-bit little-endian packing unsupported")
+            if cnt < (npix + 3) // 4 * 7:
+                raise ValueError("truncated 14-bit strip")
             vals = native.unpack_14be(chunk, npix)
         else:
             raise ValueError(f"unsupported BitsPerSample {bits}")
@@ -149,6 +155,8 @@ def read_nef(path: str) -> RawImage:
     ifd = _raw_cfa_ifd(tf)
     width = ifd.get1(T_WIDTH)
     height = ifd.get1(T_LENGTH)
+    if not width or not height or width * height > 500_000_000:
+        raise ValueError("NEF: missing/implausible raw dimensions")
     bits = ifd.get1(T_BITS, 14)
     compression = ifd.get1(T_COMPRESSION, 1)
     if compression == 34713:
@@ -254,9 +262,10 @@ def read_cr2(path: str) -> RawImage:
     (cnt,) = ifd.get(T_STRIP_BYTECOUNTS, [len(buf) - off])[:1]
     tf._check(off, cnt, "CR2 raw strip")
 
-    from .lj92 import decode as lj92_decode
+    from .lj92 import decode as lj92_decode, sof_precision
 
-    decoded = lj92_decode(bytes(buf[off:off + cnt]))  # [h, w*ncomp]
+    payload = bytes(buf[off:off + cnt])
+    decoded = lj92_decode(payload)  # [h, w*ncomp]
     height = decoded.shape[0]
     slices = ifd.get(0xC640)
     if slices and len(slices) >= 3 and slices[0] > 0:
@@ -280,14 +289,19 @@ def read_cr2(path: str) -> RawImage:
         si = mn.get(0x00E0)  # SensorInfo
         if si and len(si) >= 9:
             left, top, right, bottom = si[5], si[6], si[7], si[8]
-            if 0 <= left < right <= width and 0 <= top < bottom <= height:
+            # right/bottom are inclusive last-active-pixel coordinates; a
+            # file using the exclusive convention would otherwise produce a
+            # negative crop from the width-1-right formula below.
+            if 0 <= left < right < width and 0 <= top < bottom < height:
                 crops = (top, width - 1 - right, height - 1 - bottom, left)
                 if left >= 4:
                     # Black from the masked border (the reference chain's
                     # rawloader does the same for Canon).
                     black = int(round(float(np.mean(data[top:bottom, : left - 2]))))
 
-    bits = 14 if int(data.max()) > 4095 else 12  # SOF precision is authoritative
+    bits = sof_precision(payload)  # the SOF3 precision is authoritative
+    if not 8 <= bits <= 16:
+        raise ValueError(f"implausible CR2 SOF precision {bits}")
     return RawImage(
         width=width, height=height, cpp=1, crops=crops,
         blacklevels=(black,) * 4, whitelevels=((1 << bits) - 1,) * 4,

@@ -174,6 +174,53 @@ def test_cr2_decode_sliced(tmp_path):
     _assert_develops_identically(raw, want)
 
 
+def test_cr2_dark_frame_keeps_sof_precision(tmp_path):
+    """A 14-bit frame whose data never exceeds 4095 must still report a
+    14-bit white level: the SOF3 precision is authoritative, not data.max()."""
+    data = (_sensor(16, 32, seed=12) & 0xFFF).astype(np.uint16)
+    assert int(data.max()) <= 4095
+    path = str(tmp_path / "dark.cr2")
+    with open(path, "wb") as f:
+        f.write(make_cr2(data))
+    raw = decode_file(path).raw
+    assert raw.whitelevels[0] == (1 << 14) - 1
+
+
+def test_cr2_exclusive_sensor_info_rejected(tmp_path):
+    """SensorInfo with exclusive right/bottom (== width/height) must not
+    produce a negative crop."""
+    data = _sensor(40, 64, seed=13)
+    si = [1, 64, 40, 0, 0, 8, 4, 64, 40]   # right == width, bottom == height
+    path = str(tmp_path / "excl.cr2")
+    with open(path, "wb") as f:
+        f.write(make_cr2(data, sensor_info=si))
+    raw = decode_file(path).raw
+    assert raw.crops == (0, 0, 0, 0)
+    assert all(c >= 0 for c in raw.crops)
+
+
+def test_nef_truncated_packed_strip_raises(tmp_path):
+    """A 14-bit NEF whose strip byte count is smaller than the packed extent
+    must raise, not hand an undersized buffer to the native unpacker."""
+    data = _sensor(16, 32, seed=14)
+    blob = bytearray(make_nef(data))
+    # Shrink the strip byte count tag (279) in the raw IFD: find the packed
+    # payload length and patch any occurrence of it as a big-endian u32.
+    import struct as _struct
+    payload_len = len(pack_14be(data))
+    needle = _struct.pack(">I", payload_len)
+    pos = blob.find(needle)
+    assert pos > 0
+    blob[pos:pos + 4] = _struct.pack(">I", 16)
+    p = str(tmp_path / "short.nef")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    from imagepipe_tpu.vendor import read_nef
+
+    with pytest.raises(ValueError, match="truncated|strip"):
+        read_nef(p)
+
+
 def test_cr2_sensor_info_crops_and_black(tmp_path):
     # Masked border: left 8 columns dark (black level ~160).
     rng = np.random.default_rng(4)

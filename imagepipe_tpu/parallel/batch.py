@@ -95,13 +95,18 @@ class BatchEngine:
     def _use_pallas(self, plan) -> bool:
         """The Pallas megakernel executor serves supported full-size CFA
         plans in 'direct' numerics (its in-kernel math), dp-sharded via
-        shard_map; everything else goes through the XLA fused engine."""
-        from ..kernels.develop_pallas import pallas_supported
+        shard_map; everything else goes through the XLA fused engine.
+        'auto' picks it where it measures faster (pallas_preferred --
+        currently every supported plan, since the closed-form demosaic
+        covers generic CFAs too); executor='pallas' forces it."""
+        from ..kernels.develop_pallas import pallas_preferred, pallas_supported
 
-        return (self.executor in ("auto", "pallas")
-                and pallas_supported(plan)
-                and plan.numerics == "direct"
-                and self.mesh.shape["spatial"] == 1)
+        ok = (pallas_supported(plan)
+              and plan.numerics == "direct"
+              and self.mesh.shape["spatial"] == 1)
+        if self.executor == "pallas":
+            return ok
+        return self.executor == "auto" and ok and pallas_preferred(plan)
 
     def _dispatch_chunk(self, chunk):
         """Stack one shape bucket's chunk, pad to the mesh's batch multiple,

@@ -309,6 +309,24 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
     fyc_min_s = col_edge_min(sxyf, c_lo)
     fxc_min_s = col_edge_min(sxxf, c_lo)
 
+    def col_edge_max(skip, c_lo_):
+        c_hi = jnp.minimum(c_lo_ + TC - 1, nwidth - 1)
+        return jnp.maximum(skip * i2f(c_lo_), skip * i2f(c_hi))
+
+    # Whole-tile empty-window early-out: at large angles the reference's
+    # corner-pair windows invert (to < from -> zero samples -> black);
+    # max(to) < min(from) over the tile proves every pixel is empty, so
+    # nearly half the 45-degree output skips compute entirely.
+    ty_max_t = sat_s(agg_ref[1 + ti, 1] + col_edge_max(sxyf, c_lo), height - 1)
+    tx_max_t = sat_s(agg_ref[1 + ti, 3] + col_edge_max(sxxf, c_lo), width - 1)
+    y_min_t = sat_s(agg_ref[1 + ti, 0] + fyc_min_s, height - 1)
+    x_min_t = sat_s(agg_ref[1 + ti, 2] + fxc_min_s, width - 1)
+    tile_empty = (ty_max_t < y_min_t) | (tx_max_t < x_min_t)
+
+    @pl.when(tile_empty)
+    def _():
+        out_ref[...] = jnp.zeros((C, TH, TC), f)
+
     # Column terms for this tile's TC output columns ([6, TC] table block).
     fxc = tab_ref[0, :]
     txc = tab_ref[1, :]
@@ -429,7 +447,9 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
                 out_ref[ch, pl.ds(g * R + rr, 1), :] = res[None, :]
         return carry
 
-    jax.lax.fori_loop(0, ngr, group_body, 0)
+    @pl.when(jnp.logical_not(tile_empty))
+    def _():
+        jax.lax.fori_loop(0, ngr, group_body, 0)
 
 
 @partial(jax.jit, static_argnames=(

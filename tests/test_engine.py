@@ -157,6 +157,30 @@ def test_batch_engine_pallas_executor_sharded():
     assert not np.array_equal(outs[0], outs[3])
 
 
+def test_batch_engine_auto_executor_policy():
+    """'auto' prefers the megakernel for every supported direct-numerics
+    plan (incl. X-Trans since the closed-form generic demosaic); 'xla'
+    forces it off; 'lut' numerics stays on the XLA engine."""
+    from imagepipe_tpu.engine import make_develop_plan as _mdp
+
+    class DirectEngine(BatchEngine):
+        def _plan_for(self, source):
+            pipe = Pipeline.new_from_source(source)
+            return make_develop_plan(pipe, out_bits=8, numerics="direct")
+
+    src_b = ImageSource.from_raw(synthetic_bayer(96, 64, seed=1))
+    src_x = ImageSource.from_raw(synthetic_xtrans(96, 72, seed=2))
+    auto = DirectEngine(make_batch_mesh(), executor="auto")
+    assert auto._use_pallas(auto._plan_for(src_b))
+    assert auto._use_pallas(auto._plan_for(src_x))
+    xla = DirectEngine(make_batch_mesh(), executor="xla")
+    assert not xla._use_pallas(xla._plan_for(src_b))
+    lut = BatchEngine(make_batch_mesh(), executor="auto")  # default 'lut' on CPU
+    plan = lut._plan_for(src_b)
+    if plan.numerics == "lut":
+        assert not lut._use_pallas(plan)
+
+
 def test_batch_engine_decode_compute_overlap(tmp_path):
     """develop_files must STREAM: full shape buckets are dispatched to the
     device while later files are still decoding (the PP analogue), rather

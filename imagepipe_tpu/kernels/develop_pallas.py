@@ -109,7 +109,7 @@ def _color_at_2x2(cfa: CFA, parity_y, parity_x):
 def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
                     r_ref, g_ref, b_ref, ptiles_ref, dma_sems, *, tile_h,
                     tile_w, height, width, apply_curve, n_knots, linear,
-                    out_bits, bayer, cfa_name):
+                    out_bits, bayer, cfa_name, stage_limit=4):
     TILE_W = tile_w
     f = jnp.float32
     i = pl.program_id(0)
@@ -254,6 +254,15 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
             n = jnp.where(is_ctr, 1.0, nbr_c)
             rgbe.append(jnp.where(n > 0.0, s / n, 0.0))
 
+    # Profiling knob (stage_limit < 4): stop the chain early and quantize
+    # whatever the last stage produced, so per-stage cost can be attributed
+    # by differencing timed variants. Production always runs the full chain.
+    if stage_limit <= 1:
+        outs = rgbe[:3]
+        _emit(outs, scal_ref, r_ref, g_ref, b_ref, linear=True,
+              out_bits=out_bits)
+        return
+
     # WB multipliers + 3x4 camera matrix (clip to 1.0 first).
     wb = [jnp.minimum(rgbe[c] * scal_ref[1, c], 1.0) for c in range(4)]
     xyz = []
@@ -273,6 +282,11 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
     L = (116.0 * fy - 16.0) / 100.0
     A = (500.0 * (fx - fy) + 127.0) / 255.0
     B = (200.0 * (fy - fz) + 127.0) / 255.0
+
+    if stage_limit <= 2:
+        _emit([L, A, B], scal_ref, r_ref, g_ref, b_ref, linear=True,
+              out_bits=out_bits)
+        return
 
     if apply_curve:
         xs = [spline_ref[0, k] for k in range(n_knots)]
@@ -295,6 +309,11 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
         Lc = sel(ys[:n_knots - 1]) + sel(c1) * d + sel(c2) * d * d + sel(c3) * d * d * d
         Lc = jnp.where(L >= xs[n_knots - 1], ys[n_knots - 1], Lc)
         L = jnp.where(L <= xs[0], ys[0], Lc)
+
+    if stage_limit <= 3:
+        _emit([L, A, B], scal_ref, r_ref, g_ref, b_ref, linear=True,
+              out_bits=out_bits)
+        return
 
     # Lab -> XYZ -> linear RGB (color_conversions.rs:58-65,171-191).
     cl = L * 100.0
@@ -319,6 +338,12 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
             ch = jnp.where(ch < 0.0031308, ch * 12.92, hi)
         outs.append(ch)
 
+    _emit(outs, scal_ref, r_ref, g_ref, b_ref, linear=linear,
+          out_bits=out_bits)
+
+
+def _emit(outs, scal_ref, r_ref, g_ref, b_ref, *, linear, out_bits):
+    del scal_ref, linear
     # Mosaic lacks f32->u8/u16 casts; truncate via int32 then narrow.
     if out_bits == 8:
         qs = [jnp.clip(o * 256.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
@@ -334,17 +359,18 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
 
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
-                                   "linear", "out_bits", "bayer", "interpret"))
+                                   "linear", "out_bits", "bayer", "interpret",
+                                   "stage_limit"))
 def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
                         width, tile_h, tile_w, apply_curve, n_knots, linear,
-                        out_bits, bayer, interpret):
+                        out_bits, bayer, interpret, stage_limit=4):
     TILE_W = tile_w
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, TILE_W))
     out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
     kernel = partial(_develop_kernel, tile_h=tile_h, tile_w=tile_w,
                      height=height, width=width, apply_curve=apply_curve,
                      n_knots=n_knots, linear=linear, out_bits=out_bits,
-                     bayer=bayer, cfa_name=cfa_name)
+                     bayer=bayer, cfa_name=cfa_name, stage_limit=stage_limit)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,

@@ -29,8 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..raw import CFA
 
-__all__ = ["develop_pallas", "develop_pallas_batch", "stage_plane_pallas",
-           "pallas_supported", "pallas_preferred", "plan_tables"]
+__all__ = ["develop_pallas", "develop_pallas_batch", "develop_pallas_sp",
+           "stage_plane_pallas", "pallas_supported", "pallas_preferred",
+           "plan_tables"]
 
 _OFFSETS = [(-1, -1), (-1, 0), (-1, 1),
             (0, -1), (0, 0), (0, 1),
@@ -106,7 +107,7 @@ def _color_at_2x2(cfa: CFA, parity_y, parity_x):
     return jnp.where(parity_y == 0, top, bot)
 
 
-def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
+def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
                     r_ref, g_ref, b_ref, ptiles_ref, dma_sems, *, tile_h,
                     tile_w, height, width, apply_curve, n_knots, linear,
                     out_bits, bayer, cfa_name, stage_limit=4):
@@ -149,9 +150,12 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
     rng = scal_ref[0, 1]
     v = jnp.minimum((plane - black) / rng, 1.0)
 
-    # Validity of scratch coords: cell (r,c) is global (y0+r-HALO, x0+c-HALO_X).
+    # Validity of scratch coords: cell (r,c) is global
+    # (y0+r-HALO, xoff+x0+c-HALO_X); xoff is the shard's column offset under
+    # width (sp) sharding, 0 single-device.
+    xoff = xoff_ref[0, 0]
     rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + (y0 - HALO)
-    cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) + (x0 - HALO_X)
+    cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) + (xoff + x0 - HALO_X)
     valid = ((rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)).astype(f)
 
     def sl(a, dy, dx):
@@ -186,7 +190,8 @@ def _develop_kernel(scal_ref, spline_ref, plane_hbm, cmap_ref,
         # layout, and extract_strided_slice on a replicated vector crashes
         # ApplyVectorLayout ("array.h:480 Check failed: limits[i] <= dim(i)").
         orows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0) + y0
-        ocols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1) + x0
+        ocols = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
+                 + (xoff + x0))
         pr0 = ((orows & 1) == 0).astype(f)
         pc0 = ((ocols & 1) == 0).astype(f)
         pr1 = 1.0 - pr0
@@ -360,15 +365,25 @@ def _emit(outs, scal_ref, r_ref, g_ref, b_ref, *, linear, out_bits):
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
-                                   "stage_limit"))
-def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
-                        width, tile_h, tile_w, apply_curve, n_knots, linear,
-                        out_bits, bayer, interpret, stage_limit=4):
+                                   "stage_limit", "valid_width"))
+def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
+                        cfa_name, height, width, tile_h, tile_w, apply_curve,
+                        n_knots, linear, out_bits, bayer, interpret,
+                        stage_limit=4, valid_width=None):
+    """Run the megakernel over one (possibly width-sharded) padded plane.
+
+    `width` is the LOCAL output width (the grid); `valid_width` the GLOBAL
+    image width for edge validity (defaults to width); `xoff` a traced [1,1]
+    int32 column offset of this shard (None = 0)."""
     TILE_W = tile_w
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, TILE_W))
     out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
+    if xoff is None:
+        xoff = jnp.zeros((1, 1), jnp.int32)
     kernel = partial(_develop_kernel, tile_h=tile_h, tile_w=tile_w,
-                     height=height, width=width, apply_curve=apply_curve,
+                     height=height,
+                     width=width if valid_width is None else valid_width,
+                     apply_curve=apply_curve,
                      n_knots=n_knots, linear=linear, out_bits=out_bits,
                      bayer=bayer, cfa_name=cfa_name, stage_limit=stage_limit)
     r, g, b = pl.pallas_call(
@@ -377,6 +392,7 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # scal [8,16]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # spline [5,16]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # xoff [1,1]
             pl.BlockSpec(memory_space=pltpu.ANY),     # padded plane (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # cmap tile
         ],
@@ -392,7 +408,7 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, *, cfa_name, height,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(scal, spline, plane_padded, cmap)
+    )(scal, spline, xoff, plane_padded, cmap)
     return jnp.stack([r, g, b], axis=0)
 
 
@@ -412,6 +428,81 @@ def stage_plane_np(plan, plane) -> np.ndarray:
     pad_bottom = grid_rows * tile_h + HALO - h
     pad_right = grid_cols * tile_w + HALO_X - w
     return np.pad(plane, ((HALO, pad_bottom), (HALO_X, pad_right)))
+
+
+def sp_width_pad(plan, sp: int) -> int:
+    """Global width padded so each of `sp` width shards is a whole number
+    of kernel tiles (the sp executor's layout requirement)."""
+    _, tile_w = _tiles_for(plan)
+    per = sp * tile_w
+    return -(-plan.width // per) * per
+
+
+def stage_plane_rows_np(plan, plane, width_pad: int) -> np.ndarray:
+    """Staging for the width-sharded (sp) executor: crop + vertical halo
+    pad + right pad to width_pad. No horizontal halo -- shards exchange
+    their 128-column halos on device (ICI ppermute), and shard 0 / sp-1
+    edge halos are zeros masked off by column validity, exactly like the
+    single-device staging's zero pad."""
+    h, w = plan.height, plan.width
+    tile_h, _ = _tiles_for(plan)
+    grid_rows = -(-h // tile_h)
+    plane = np.asarray(plane)
+    plane = plane[plan.crop_y:plan.crop_y + h, plan.crop_x:plan.crop_x + w]
+    pad_bottom = grid_rows * tile_h + HALO - h
+    return np.pad(plane, ((HALO, pad_bottom), (0, width_pad - w)))
+
+
+def _sp_local_develop(plane_l, cmap_d, scal, spline, *, axis, sp, Wl,
+                      statics, interpret, valid_width):
+    """Inside a shard_map over `axis`: exchange 128-column halos with the
+    neighbor shards, then run the megakernel on this shard's columns with
+    its global column offset (validity and CFA parity stay global)."""
+    right_to_next = [(i, i + 1) for i in range(sp - 1)]
+    left_to_prev = [(i + 1, i) for i in range(sp - 1)]
+    left_halo = jax.lax.ppermute(plane_l[:, -HALO_X:], axis, right_to_next)
+    right_halo = jax.lax.ppermute(plane_l[:, :HALO_X], axis, left_to_prev)
+    padded = jnp.concatenate([left_halo, plane_l, right_halo], axis=1)
+    xoff = (jax.lax.axis_index(axis) * Wl).astype(jnp.int32).reshape(1, 1)
+    st = dict(statics)
+    st["width"] = Wl
+    return _develop_pallas_jit(padded, cmap_d, scal, spline, xoff,
+                               interpret=interpret, valid_width=valid_width,
+                               **st)
+
+
+def develop_pallas_sp(plan, plane, mesh, axis: str = "spatial",
+                      interpret=None):
+    """Single-image develop with the megakernel width-sharded over a mesh
+    axis (the sp story for frames larger than one chip's HBM / for
+    single-image multi-chip latency). plane: [H0, W0] raw counts.
+    Returns planar [3, H, W] quantized."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    sp = mesh.shape[axis]
+    wpad = sp_width_pad(plan, sp)
+    Wl = wpad // sp
+    staged = stage_plane_rows_np(plan, plane, wpad)
+    cmap, scal, spline, statics = plan_tables(plan)
+    if interpret is None:
+        interpret = _jax.default_backend() == "cpu"
+    cmap_d = jnp.asarray(cmap)
+    scal_d = jnp.asarray(scal)
+    spline_d = jnp.asarray(spline)
+    plane_d = _jax.device_put(jnp.asarray(staged),
+                              NamedSharding(mesh, P(None, axis)))
+
+    def local(plane_l):
+        return _sp_local_develop(
+            plane_l, cmap_d, scal_d, spline_d, axis=axis, sp=sp, Wl=Wl,
+            statics=statics, interpret=interpret, valid_width=plan.width)
+
+    fn = _jax.shard_map(local, mesh=mesh, in_specs=(P(None, axis),),
+                        out_specs=P(None, None, axis), check_vma=False)
+    out = fn(plane_d)
+    return out[:, :, :plan.width]
 
 
 def stage_plane_pallas(plan, plane):

@@ -101,9 +101,7 @@ class BatchEngine:
         covers generic CFAs too); executor='pallas' forces it."""
         from ..kernels.develop_pallas import pallas_preferred, pallas_supported
 
-        ok = (pallas_supported(plan)
-              and plan.numerics == "direct"
-              and self.mesh.shape["spatial"] == 1)
+        ok = pallas_supported(plan) and plan.numerics == "direct"
         if self.executor == "pallas":
             return ok
         return self.executor == "auto" and ok and pallas_preferred(plan)
@@ -136,37 +134,71 @@ class BatchEngine:
     def _dispatch_pallas(self, chunk, sel):
         """Batched megakernel dispatch: host-staged planes, per-image
         calibration tables, kernel chained per local batch entry inside a
-        dp-sharded shard_map (one launch per image, one dispatch total)."""
+        dp-sharded shard_map (one launch per image, one dispatch total).
+        On a dp x sp mesh each image is additionally width-sharded with an
+        on-device halo exchange (_sp_local_develop)."""
         from ..kernels.develop_pallas import (
-            _develop_pallas_batch_jit, plan_tables, stage_plane_np)
+            _develop_pallas_batch_jit, _sp_local_develop, plan_tables,
+            sp_width_pad, stage_plane_np, stage_plane_rows_np)
 
         plan = chunk[0][2]
-        staged = np.stack([stage_plane_np(chunk[i][2], chunk[i][1].raw.data)
-                           for i in sel])
+        sp = self.mesh.shape["spatial"]
         tabs = [plan_tables(chunk[i][2]) for i in sel]
         cmap, _, _, statics = tabs[0]
         scal = np.stack([t[1] for t in tabs])
         spline = np.stack([t[2] for t in tabs])
         interpret = jax.default_backend() == "cpu"
-
-        spec_in = NamedSharding(self.mesh, P("batch", None, None))
-        planes_d = jax.device_put(jnp.asarray(staged), spec_in)
-        scal_d = jax.device_put(jnp.asarray(scal), spec_in)
-        spline_d = jax.device_put(jnp.asarray(spline), spec_in)
         cmap_d = jnp.asarray(cmap)
 
-        def local(planes_l, scal_l, spline_l):
-            return _develop_pallas_batch_jit(
-                planes_l, cmap_d, scal_l, spline_l, per_image=True,
-                interpret=interpret, **statics)
+        if sp == 1:
+            staged = np.stack([stage_plane_np(chunk[i][2], chunk[i][1].raw.data)
+                               for i in sel])
+            spec_in = NamedSharding(self.mesh, P("batch", None, None))
+            planes_d = jax.device_put(jnp.asarray(staged), spec_in)
+            scal_d = jax.device_put(jnp.asarray(scal), spec_in)
+            spline_d = jax.device_put(jnp.asarray(spline), spec_in)
 
-        # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
-        # varying-mesh-axes annotation, which the checker requires.
+            def local(planes_l, scal_l, spline_l):
+                return _develop_pallas_batch_jit(
+                    planes_l, cmap_d, scal_l, spline_l, per_image=True,
+                    interpret=interpret, **statics)
+
+            # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry
+            # no varying-mesh-axes annotation, which the checker requires.
+            fn = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P("batch", None, None),) * 3,
+                out_specs=P("batch", None, None, None), check_vma=False)
+            return fn(planes_d, scal_d, spline_d)
+
+        wpad = sp_width_pad(plan, sp)
+        Wl = wpad // sp
+        staged = np.stack([
+            stage_plane_rows_np(chunk[i][2], chunk[i][1].raw.data, wpad)
+            for i in sel])
+        planes_d = jax.device_put(
+            jnp.asarray(staged),
+            NamedSharding(self.mesh, P("batch", None, "spatial")))
+        spec_b = NamedSharding(self.mesh, P("batch", None, None))
+        scal_d = jax.device_put(jnp.asarray(scal), spec_b)
+        spline_d = jax.device_put(jnp.asarray(spline), spec_b)
+
+        def local_sp(planes_l, scal_l, spline_l):
+            outs = []
+            for b in range(planes_l.shape[0]):
+                outs.append(_sp_local_develop(
+                    planes_l[b], cmap_d, scal_l[b], spline_l[b],
+                    axis="spatial", sp=sp, Wl=Wl, statics=statics,
+                    interpret=interpret, valid_width=plan.width))
+            return jnp.stack(outs, axis=0)
+
         fn = jax.shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P("batch", None, None),) * 3,
-            out_specs=P("batch", None, None, None), check_vma=False)
-        return fn(planes_d, scal_d, spline_d)
+            local_sp, mesh=self.mesh,
+            in_specs=(P("batch", None, "spatial"), P("batch", None, None),
+                      P("batch", None, None)),
+            out_specs=P("batch", None, None, "spatial"), check_vma=False)
+        out = fn(planes_d, scal_d, spline_d)
+        return out[:, :, :, :plan.width]
 
     def _collect(self, inflight, results, keep: int = 0):
         """Fetch device outputs to host (oldest first) and scatter into

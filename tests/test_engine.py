@@ -157,6 +157,63 @@ def test_batch_engine_pallas_executor_sharded():
     assert not np.array_equal(outs[0], outs[3])
 
 
+def test_pallas_sp_sharded_matches_unsharded():
+    """The width-sharded (sp) megakernel executor -- on-device 128-column
+    halo exchange + per-shard global column offsets -- must match the
+    unsharded megakernel within the cross-path <=1 LSB contract, with the
+    halo-sensitive columns at shard boundaries exact."""
+    from imagepipe_tpu.engine import make_develop_plan as _mdp
+    from imagepipe_tpu.kernels.develop_pallas import (
+        develop_pallas, develop_pallas_sp, sp_width_pad)
+    from imagepipe_tpu.parallel import make_batch_mesh
+
+    for make, name in ((synthetic_bayer, "bayer"), (synthetic_xtrans, "xtrans")):
+        raw = make(864, 128, seed=7)
+        pipe = Pipeline.new_from_source(ImageSource.from_raw(raw))
+        plan = _mdp(pipe, out_bits=8, numerics="direct")
+        mesh = make_batch_mesh(spatial=2)
+        out_sp = np.asarray(develop_pallas_sp(plan, raw.data, mesh))
+        out_1 = np.asarray(develop_pallas(plan, raw.data, interpret=True))
+        diff = np.abs(out_sp.astype(int) - out_1.astype(int))
+        assert diff.max() <= 1, f"{name}: sp develop diverged {diff.max()}"
+        assert (diff != 0).mean() < 0.01, name
+        # Shard-boundary columns read across the exchange: must be exact or
+        # within the same contract.
+        wl = sp_width_pad(plan, 2) // 2
+        if wl < raw.width:
+            strip = diff[:, :, wl - 2: wl + 2]
+            assert strip.max() <= 1, f"{name}: halo columns diverged"
+
+
+def test_batch_engine_pallas_dp_sp_mesh():
+    """The megakernel executor on a dp x sp mesh: each image width-sharded
+    with the on-device halo exchange, batches dp-sharded, per-image
+    calibration preserved; agrees with the XLA fused engine within the
+    cross-path contract."""
+    from imagepipe_tpu.engine import make_develop_plan as _mdp
+
+    raws = [synthetic_bayer(864, 96, seed=80 + s) for s in range(4)]
+    raws[2].wb_coeffs = (1.0, 1.0, 2.5, float("nan"))
+    sources = [ImageSource.from_raw(r) for r in raws]
+
+    class DirectEngine(BatchEngine):
+        def _plan_for(self, source):
+            pipe = Pipeline.new_from_source(source)
+            return make_develop_plan(pipe, out_bits=8, numerics="direct")
+
+    eng = DirectEngine(make_batch_mesh(spatial=2), max_batch=4,
+                       executor="pallas")
+    assert eng._use_pallas(eng._plan_for(sources[0]))
+    outs = eng.develop_sources(sources)
+    for raw, out in zip(raws, outs):
+        plan = _mdp(Pipeline.new_from_source(ImageSource.from_raw(raw)))
+        want = planar_to_hwc(develop_fused(plan, raw.data))
+        diff = np.abs(out.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 0.02
+    assert not np.array_equal(outs[0], outs[2])
+
+
 def test_batch_engine_auto_executor_policy():
     """'auto' prefers the megakernel for every supported direct-numerics
     plan (incl. X-Trans since the closed-form generic demosaic); 'xla'

@@ -111,17 +111,26 @@ def bench_all():
     results.append({"metric": "24MP->1024px thumbnail develop", "value": round(24.0 / dt, 1),
                     "unit": "source MP/s", "vs_baseline": None})
 
-    # Config: 61MP -> 16-bit linear develop (banded to bound peak HBM).
+    # Config: 61MP -> 16-bit linear develop. Production executor is the
+    # megakernel (streams tiles, no banding needed); the banded XLA engine
+    # is the comparison and the fallback for 'lut' numerics.
     from imagepipe_tpu.engine import develop_fused
+    from imagepipe_tpu.kernels.develop_pallas import develop_pallas
 
     big = synthetic_bayer(9568, 6376)
     bp = Pipeline.new_from_source(ImageSource.from_raw(big))
     bp.globals.settings.linear = True
     bplan = make_develop_plan(bp, out_bits=16)
+    mp = big.width * big.height / 1e6
+    if pallas_supported(bplan):
+        bstaged = stage_plane_pallas(bplan, big.data)
+        dt = _timed(lambda: develop_pallas(bplan, bstaged, staged=True), iters=4)
+        results.append({"metric": "61MP RAW->16-bit linear develop (pallas)",
+                        "value": round(mp / dt, 1), "unit": "MP/s",
+                        "vs_baseline": None})
     bplane = staged_raw_plane(big)
     dt = _timed(lambda: develop_fused(bplan, bplane, bands=4), iters=4)
-    mp = big.width * big.height / 1e6
-    results.append({"metric": "61MP RAW->16-bit linear develop (banded)",
+    results.append({"metric": "61MP RAW->16-bit linear develop (banded XLA)",
                     "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     # Config: raster fastpath roundtrip (decode-free, host+device resize path).

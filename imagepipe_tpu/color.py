@@ -166,7 +166,13 @@ def _np_xyz_lab_f(v):
 
 
 def _jnp_xyz_lab_f(v):
-    return jnp.where(v > _LAB_E, jnp.cbrt(v), (_LAB_K * v + 16.0) / 116.0)
+    # exp(log(v)/3) rather than jnp.cbrt: the SAME form the Pallas
+    # megakernel uses (Mosaic has no cbrt), so the two direct-mode device
+    # paths agree at the ULP level -- XLA:TPU's cbrt is a different
+    # polynomial, and the Lab-inverse cancellation amplifies the mismatch
+    # to >10 LSB at 16-bit output.
+    cb = jnp.exp(jnp.log(jnp.maximum(v, 1e-30)) * (1.0 / 3.0))
+    return jnp.where(v > _LAB_E, cb, (_LAB_K * v + 16.0) / 116.0)
 
 
 def _np_srgb_expand(v):
@@ -177,10 +183,12 @@ def _np_srgb_expand(v):
 
 
 def _jnp_srgb_expand(v):
-    # Guard the pow against negative bases (matches Rust powf domain: the
-    # branch only selects hi for v >= 0.04045 anyway).
+    # Guard against non-positive bases (matches Rust powf domain: the
+    # branch only selects hi for v >= 0.04045 anyway); exp/log form for
+    # cross-path ULP agreement with the Pallas kernel (see _jnp_xyz_lab_f).
     safe = jnp.maximum(v, jnp.float32(-0.054))
-    hi = jnp.power((safe + 0.055) / 1.055, jnp.float32(2.4))
+    hi = jnp.exp(jnp.log(jnp.maximum((safe + 0.055) / 1.055, 1e-30))
+                 * jnp.float32(2.4))
     return jnp.where(v < 0.04045, v / 12.92, hi)
 
 
@@ -192,7 +200,9 @@ def _np_srgb_apply(v):
 
 
 def _jnp_srgb_apply(v):
-    hi = 1.055 * jnp.power(jnp.maximum(v, 0.0), jnp.float32(1.0) / jnp.float32(2.4)) - 0.055
+    # exp/log form matching the Pallas kernel's gamma exactly.
+    hi = 1.055 * jnp.exp(jnp.log(jnp.maximum(v, 1e-30))
+                         * (1.0 / 2.4)) - 0.055
     return jnp.where(v < 0.0031308, v * 12.92, hi)
 
 

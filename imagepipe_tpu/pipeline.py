@@ -268,6 +268,19 @@ class Pipeline:
         from .sources import staged_raw_plane
 
         plan = make_develop_plan(self, out_bits=out_bits)
+        # On accelerators the Pallas megakernel is the production executor
+        # for supported direct-numerics plans (2x the XLA fused engine,
+        # within the <=1 LSB cross-path contract). CPU keeps the XLA route
+        # (interpret-mode Pallas is orders slower; 'lut' numerics is the
+        # golden-parity mode anyway).
+        import jax as _jax
+
+        if plan.numerics == "direct" and _jax.default_backend() != "cpu":
+            from .kernels.develop_pallas import develop_pallas, pallas_preferred
+
+            if pallas_preferred(plan):
+                with _timing("  fused develop (pallas megakernel)"):
+                    return planar_to_hwc(develop_pallas(plan, self.globals.image.raw.data))
         plane = staged_raw_plane(self.globals.image.raw)
         return planar_to_hwc(develop_fused(plan, plane))
 

@@ -134,12 +134,16 @@ class TransformLUT:
     entry i holds transform(i / 8191) for i in 0..=8192, computed in float32.
     """
 
-    def __init__(self, np_transform, jnp_transform):
+    def __init__(self, np_transform, jnp_transform, jnp_reference=None):
         idx = np.arange(_LUT_MAX + 2, dtype=np.int64)
         v = idx.astype(_f32) / _f32(_LUT_MAX)
         self.table_np = np_transform(v).astype(_f32)
         self.table = jnp.asarray(self.table_np)
         self._exact = jnp_transform
+        # lut mode's out-of-range fallback must keep the reference's own
+        # function forms (cbrt/powf); jnp_transform may be an accelerator-
+        # tuned exp/log rewrite that only direct mode should see.
+        self._reference = jnp_reference if jnp_reference is not None else jnp_transform
 
     def __call__(self, val):
         val = jnp.asarray(val, dtype=jnp.float32)
@@ -155,7 +159,7 @@ class TransformLUT:
         v2 = jnp.take(self.table, key + 1)
         lerp = v1 + a * (v2 - v1)
         in_range = (val >= 0.0) & (val <= 1.0)
-        return jnp.where(in_range, lerp, self._exact(val))
+        return jnp.where(in_range, lerp, self._reference(val))
 
 
 def _np_xyz_lab_f(v):
@@ -163,6 +167,11 @@ def _np_xyz_lab_f(v):
     cb = np.cbrt(v).astype(_f32)
     lin = ((_LAB_K * v + _f32(16.0)) / _f32(116.0)).astype(_f32)
     return np.where(v > _LAB_E, cb, lin)
+
+
+def _jnp_xyz_lab_f_ref(v):
+    """Reference-form (cbrt) for lut mode's out-of-range fallback."""
+    return jnp.where(v > _LAB_E, jnp.cbrt(v), (_LAB_K * v + 16.0) / 116.0)
 
 
 def _jnp_xyz_lab_f(v):
@@ -182,6 +191,12 @@ def _np_srgb_expand(v):
     return np.where(v < _f32(0.04045), lo, hi)
 
 
+def _jnp_srgb_expand_ref(v):
+    safe = jnp.maximum(v, jnp.float32(-0.054))
+    hi = jnp.power((safe + 0.055) / 1.055, jnp.float32(2.4))
+    return jnp.where(v < 0.04045, v / 12.92, hi)
+
+
 def _jnp_srgb_expand(v):
     # Guard against non-positive bases (matches Rust powf domain: the
     # branch only selects hi for v >= 0.04045 anyway); exp/log form for
@@ -199,6 +214,12 @@ def _np_srgb_apply(v):
     return np.where(v < _f32(0.0031308), lo, hi)
 
 
+def _jnp_srgb_apply_ref(v):
+    hi = 1.055 * jnp.power(jnp.maximum(v, 0.0),
+                           jnp.float32(1.0) / jnp.float32(2.4)) - 0.055
+    return jnp.where(v < 0.0031308, v * 12.92, hi)
+
+
 def _jnp_srgb_apply(v):
     # exp/log form matching the Pallas kernel's gamma exactly.
     hi = 1.055 * jnp.exp(jnp.log(jnp.maximum(v, 1e-30))
@@ -207,9 +228,12 @@ def _jnp_srgb_apply(v):
 
 
 # The three lazy-static LUTs (color_conversions.rs:119-141).
-XYZ_LAB_TRANSFORM = TransformLUT(_np_xyz_lab_f, _jnp_xyz_lab_f)
-SRGB_GAMMA_REVERSE = TransformLUT(_np_srgb_expand, _jnp_srgb_expand)
-SRGB_GAMMA_TRANSFORM = TransformLUT(_np_srgb_apply, _jnp_srgb_apply)
+XYZ_LAB_TRANSFORM = TransformLUT(_np_xyz_lab_f, _jnp_xyz_lab_f,
+                                 _jnp_xyz_lab_f_ref)
+SRGB_GAMMA_REVERSE = TransformLUT(_np_srgb_expand, _jnp_srgb_expand,
+                                  _jnp_srgb_expand_ref)
+SRGB_GAMMA_TRANSFORM = TransformLUT(_np_srgb_apply, _jnp_srgb_apply,
+                                    _jnp_srgb_apply_ref)
 
 
 def expand_srgb_gamma(v):

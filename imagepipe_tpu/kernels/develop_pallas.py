@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..raw import CFA
 
 __all__ = ["develop_pallas", "develop_pallas_batch", "develop_pallas_sp",
+           "staged_plane_cached",
            "stage_plane_pallas", "pallas_supported", "pallas_preferred",
            "plan_tables"]
 
@@ -512,6 +513,23 @@ def stage_plane_pallas(plan, plane):
     through the remote runtime and an unfused full-frame copy -- staging
     keeps the develop itself a single kernel launch."""
     return jnp.asarray(stage_plane_np(plan, plane))
+
+
+def staged_plane_cached(plan, raw):
+    """Stage a RawImage's plane for the megakernel, cached on the RawImage
+    (keyed by the plan's crop/size/tiling) -- interactive re-renders must
+    not re-pad and re-upload a ~50-120MB plane per develop (the same reason
+    sources.staged_raw_plane caches the XLA engine's staging)."""
+    key = (plan.crop_y, plan.crop_x, plan.height, plan.width, _tiles_for(plan))
+    hit = getattr(raw, "_pallas_staged", None)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    dev = stage_plane_pallas(plan, raw.data)
+    try:
+        raw._pallas_staged = (key, dev)
+    except AttributeError:
+        pass  # slotted/frozen payloads just skip the cache
+    return dev
 
 
 def plan_tables(plan):

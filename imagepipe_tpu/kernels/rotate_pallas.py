@@ -309,16 +309,19 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
     fyc_min_s = col_edge_min(sxyf, c_lo)
     fxc_min_s = col_edge_min(sxxf, c_lo)
 
-    def col_edge_max(skip, c_lo_):
+    def col_edge_max_to(skip, c_lo_):
+        # Max of the 'to' column terms skip*(c+1) over this tile's columns
+        # (the host tyc/txc tables use c+1; using skip*c here made the
+        # empty-tile test non-conservative and zeroed real pixels).
         c_hi = jnp.minimum(c_lo_ + TC - 1, nwidth - 1)
-        return jnp.maximum(skip * i2f(c_lo_), skip * i2f(c_hi))
+        return jnp.maximum(skip * i2f(c_lo_ + 1), skip * i2f(c_hi + 1))
 
     # Whole-tile empty-window early-out: at large angles the reference's
     # corner-pair windows invert (to < from -> zero samples -> black);
     # max(to) < min(from) over the tile proves every pixel is empty, so
     # nearly half the 45-degree output skips compute entirely.
-    ty_max_t = sat_s(agg_ref[1 + ti, 1] + col_edge_max(sxyf, c_lo), height - 1)
-    tx_max_t = sat_s(agg_ref[1 + ti, 3] + col_edge_max(sxxf, c_lo), width - 1)
+    ty_max_t = sat_s(agg_ref[1 + ti, 1] + col_edge_max_to(sxyf, c_lo), height - 1)
+    tx_max_t = sat_s(agg_ref[1 + ti, 3] + col_edge_max_to(sxxf, c_lo), width - 1)
     y_min_t = sat_s(agg_ref[1 + ti, 0] + fyc_min_s, height - 1)
     x_min_t = sat_s(agg_ref[1 + ti, 2] + fxc_min_s, width - 1)
     tile_empty = (ty_max_t < y_min_t) | (tx_max_t < x_min_t)

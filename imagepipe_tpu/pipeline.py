@@ -276,11 +276,13 @@ class Pipeline:
         import jax as _jax
 
         if plan.numerics == "direct" and _jax.default_backend() != "cpu":
-            from .kernels.develop_pallas import develop_pallas, pallas_preferred
+            from .kernels.develop_pallas import (
+                develop_pallas, pallas_preferred, staged_plane_cached)
 
             if pallas_preferred(plan):
                 with _timing("  fused develop (pallas megakernel)"):
-                    return planar_to_hwc(develop_pallas(plan, self.globals.image.raw.data))
+                    staged = staged_plane_cached(plan, self.globals.image.raw)
+                    return planar_to_hwc(develop_pallas(plan, staged, staged=True))
         plane = staged_raw_plane(self.globals.image.raw)
         return planar_to_hwc(develop_fused(plan, plane))
 

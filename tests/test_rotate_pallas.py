@@ -147,6 +147,71 @@ def test_rotate_plan_fallbacks():
     assert out.shape == (50, 50, 4)
 
 
+def test_rotate_tile_empty_check_is_conservative():
+    """Host replication of the kernel's empty-tile early-out over random
+    geometries: whenever the tile-level test (max(to) < min(from), built
+    from the SMEM aggregates and f32 column-edge terms) fires, EVERY pixel
+    in that tile must have an empty sample window on that axis -- the
+    regression that motivated this used skip*c instead of skip*(c+1) for
+    the 'to' terms and zeroed real pixels."""
+    rng = np.random.default_rng(5)
+    TH, TC = rp.TH, rp.TC
+    checked = flagged = 0
+    for trial in range(60):
+        w, h = int(rng.integers(80, 400)), int(rng.integers(80, 400))
+        nw, nh = int(rng.integers(65, 300)), int(rng.integers(65, 300))
+        tl = (int(rng.integers(-80, w + 80)), int(rng.integers(-80, h + 80)))
+        tr = (tl[0] + int(rng.integers(-w, w)), tl[1] + int(rng.integers(-h, h)))
+        bl = (tl[0] + int(rng.integers(-w, w)), tl[1] + int(rng.integers(-h, h)))
+        plan = rp.rotate_plan(w, h, tl, tr, bl, nw, nh, 4)
+        if plan is None:
+            continue
+        checked += 1
+        statics, coltab, rowtab, aggtab = plan
+        ntr, ntc = statics["ntr"], statics["ntc"]
+        sxx, sxy = f32(aggtab[0, 2]), f32(aggtab[0, 3])  # params row
+
+        def sat(v, maxv):
+            v = np.floor(np.float32(v))
+            if np.isnan(v) or v < 0:
+                v = 0.0
+            return min(int(v), maxv)
+
+        rows = np.arange(nh)
+        cols = np.arange(nw)
+        fy = rowtab[rows, 0][:, None] + coltab[2][None, :nw]
+        ty = rowtab[rows, 1][:, None] + coltab[3][None, :nw]
+        fx = rowtab[rows, 2][:, None] + coltab[0][None, :nw]
+        tx = rowtab[rows, 3][:, None] + coltab[1][None, :nw]
+        satv = lambda a, m: np.clip(np.nan_to_num(np.floor(a), nan=0.0),
+                                    0, m).astype(int)
+        from_y, to_y = satv(fy, h - 1), satv(ty, h - 1)
+        from_x, to_x = satv(fx, w - 1), satv(tx, w - 1)
+        empty_px = (to_y < from_y) | (to_x < from_x)
+
+        for ti in range(ntr):
+            for tj in range(ntc):
+                c_lo, c_hi = tj * TC, min(tj * TC + TC - 1, nw - 1)
+                fyc_min = min(f32(sxy * f32(c_lo)), f32(sxy * f32(c_hi)))
+                tyc_max = max(f32(sxy * f32(c_lo + 1)), f32(sxy * f32(c_hi + 1)))
+                fxc_min = min(f32(sxx * f32(c_lo)), f32(sxx * f32(c_hi)))
+                txc_max = max(f32(sxx * f32(c_lo + 1)), f32(sxx * f32(c_hi + 1)))
+                ymin = sat(f32(aggtab[1 + ti, 0] + fyc_min), h - 1)
+                tymax = sat(f32(aggtab[1 + ti, 1] + tyc_max), h - 1)
+                xmin = sat(f32(aggtab[1 + ti, 2] + fxc_min), w - 1)
+                txmax = sat(f32(aggtab[1 + ti, 3] + txc_max), w - 1)
+                if not ((tymax < ymin) or (txmax < xmin)):
+                    continue
+                flagged += 1
+                r0, r1 = ti * TH, min(ti * TH + TH, nh)
+                c1 = min(tj * TC + TC, nw)
+                tile = empty_px[r0:r1, c_lo:c1]
+                assert tile.all(), (
+                    f"trial {trial}: tile ({ti},{tj}) flagged empty but "
+                    f"{(~tile).sum()} pixels have non-empty windows")
+    assert checked >= 20  # the sweep must exercise real geometries
+
+
 def test_rotate_plan_statics_stable_across_nearby_angles():
     """The jit signature holds geometry only as bucketed shapes; nearby
     slider angles must share one compiled kernel (the skips live in the

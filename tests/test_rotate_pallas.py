@@ -147,6 +147,34 @@ def test_rotate_plan_fallbacks():
     assert out.shape == (50, 50, 4)
 
 
+def test_rotate_pallas_random_geometry_sweep():
+    """Randomized corner triples (arbitrary affine, including shears,
+    mirrored axes, and out-of-bounds corners) through the public entry:
+    the Pallas path must agree with the gather loop at the ULP level on
+    every supported geometry."""
+    rng = np.random.default_rng(77)
+    ran = 0
+    for trial in range(24):
+        w, h = int(rng.integers(70, 300)), int(rng.integers(70, 300))
+        nw, nh = int(rng.integers(66, 280)), int(rng.integers(66, 280))
+        tl = (int(rng.integers(-60, w + 60)), int(rng.integers(-60, h + 60)))
+        tr = (tl[0] + int(rng.integers(-w, w)), tl[1] + int(rng.integers(-h, h)))
+        bl = (tl[0] + int(rng.integers(-w, w)), tl[1] + int(rng.integers(-h, h)))
+        if rp.rotate_plan(w, h, tl, tr, bl, nw, nh, 3) is None:
+            continue
+        ran += 1
+        data = rng.random((h, w, 3), dtype=np.float32)
+        pal = _run_pallas(data, w, h, tl, tr, bl, nw, nh, 3)
+        gat = _run_gather(data, w, h, tl, tr, bl, nw, nh, 3)
+        diff = np.abs(pal - gat)
+        msg = f"trial {trial} {tl} {tr} {bl}"
+        # ULP-level agreement for the bulk; near-zero-weight pixels amplify
+        # ULPs through sums/counts (shared with the oracle envelope).
+        assert (diff > 2e-6).mean() < 1e-4, msg
+        assert diff.max() < 1e-3, msg
+    assert ran >= 10
+
+
 def test_rotate_tile_empty_check_is_conservative():
     """Host replication of the kernel's empty-tile early-out over random
     geometries: whenever the tile-level test (max(to) < min(from), built

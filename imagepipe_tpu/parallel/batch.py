@@ -259,5 +259,6 @@ class BatchEngine:
                     self._collect(inflight, results, keep=self.inflight_batches)
             for chunk in buckets.values():
                 inflight.append((chunk, self._dispatch_chunk(chunk)))
+                self._collect(inflight, results, keep=self.inflight_batches)
         self._collect(inflight, results)
         return results

@@ -157,7 +157,15 @@ class TiffFile:
             if len(self.ifds) >= _MAX_IFDS:
                 raise ValueError("TIFF: IFD count over limit (offset loop?)")
             seen.add(off)
-            entries, nxt = self._read_ifd(off)
+            try:
+                entries, nxt = self._read_ifd(off)
+            except ValueError:
+                # Garbage next-IFD/SubIFD pointers (common in files rewritten
+                # by editing tools) skip that chain rather than failing the
+                # whole file; a broken PRIMARY IFD is still a hard error.
+                if not self.ifds:
+                    raise
+                continue
             self.ifds.append(Ifd(self, entries, off))
             if nxt:
                 stack.append(nxt)

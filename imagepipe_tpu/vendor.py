@@ -62,6 +62,8 @@ def _cfa_from_ifd(ifd: Ifd) -> CFA:
         return CFA("")
     ph, pw = ifd.get(T_CFA_REPEAT, [2, 2])
     pat = ifd.get(T_CFA_PATTERN, [0, 1, 1, 2])
+    if len(pat) < ph * pw or any(not 0 <= int(v) <= 3 for v in pat[: ph * pw]):
+        raise ValueError("malformed CFAPattern tag")
     return CFA("".join(_CFA_LETTERS[v] for v in pat[: ph * pw]),
                height=int(ph), width=int(pw))
 
@@ -174,7 +176,9 @@ def read_nef(path: str) -> RawImage:
     if mn is not None:
         # 0x000C WB RB levels: rationals ordered R, B, G1, G2.
         rb = mn.find(0x000C)
-        if rb and len(rb) >= 4 and all(v > 0 for v in rb[:2]):
+        # Validate green too: a zero green would turn into infinite WB
+        # multipliers downstream (normalize divides by the green).
+        if rb and len(rb) >= 4 and all(v > 0 for v in rb[:3]):
             wb = (float(rb[0]), float(rb[2]), float(rb[1]), float("nan"))
         bl = mn.find(0x003D)  # per-channel black level (newer bodies)
         if bl:
@@ -407,9 +411,17 @@ def read_arw(path: str) -> RawImage:
     bits = ifd.get1(T_BITS, 16)
     compression = ifd.get1(T_COMPRESSION, 1)
     arw2_white = None
+
+    def strip0():
+        offs = ifd.get(T_STRIP_OFFSETS)
+        cnts = ifd.get(T_STRIP_BYTECOUNTS)
+        if not offs or not cnts:
+            raise ValueError("ARW: raw IFD has no strip layout "
+                             "(tiled mosaics are not supported)")
+        return int(offs[0]), int(cnts[0])
+
     if compression == 32767:
-        (off,) = ifd.get(T_STRIP_OFFSETS)[:1]
-        (cnt,) = ifd.get(T_STRIP_BYTECOUNTS)[:1]
+        off, cnt = strip0()
         tf._check(off, cnt, "ARW2 raw strip")
         curve = _sony_curve(tf)
         data = _arw2_decode(bytes(buf[off:off + cnt]), height, width, curve)
@@ -417,8 +429,7 @@ def read_arw(path: str) -> RawImage:
     elif compression == 7:
         from .lj92 import decode as lj92_decode
 
-        (off,) = ifd.get(T_STRIP_OFFSETS)[:1]
-        (cnt,) = ifd.get(T_STRIP_BYTECOUNTS)[:1]
+        off, cnt = strip0()
         tf._check(off, cnt, "ARW raw strip")
         data = lj92_decode(bytes(buf[off:off + cnt]))
         if data.shape[1] != width:
@@ -432,7 +443,7 @@ def read_arw(path: str) -> RawImage:
     # Sony calibration tags (searched across the IFD tree).
     wb = (float("nan"),) * 4
     rggb = tf.find(0x7313)
-    if rggb and len(rggb) >= 4 and rggb[0] > 0:
+    if rggb and len(rggb) >= 4 and rggb[0] > 0 and rggb[1] > 0:
         wb = (float(rggb[0]), float(rggb[1]), float(rggb[3]), float("nan"))
     bl = tf.find(0x7310)
     black = int(round(sum(bl[:4]) / len(bl[:4]))) if bl else 0

@@ -419,6 +419,28 @@ def test_dng_black_level_repeat_dim(tmp_path):
         read_dng(path)
 
 
+def test_dng_garbage_secondary_ifd_pointer_still_decodes(tmp_path):
+    """A trailing next-IFD pointer past EOF (common in files rewritten by
+    editing tools) must not fail the decode: the walker skips broken
+    SECONDARY chains and keeps the raw IFD; a broken primary IFD is still
+    a hard error."""
+    import struct as _struct
+
+    raw = synthetic_bayer(32, 24, seed=21)
+    good = str(tmp_path / "good.dng")
+    write_dng(good, raw)
+    blob = bytearray(open(good, "rb").read())
+    (first,) = _struct.unpack_from("<I", blob, 4)
+    nentries = _struct.unpack_from("<H", blob, first)[0]
+    # Point the next-IFD pointer way past EOF.
+    _struct.pack_into("<I", blob, first + 2 + nentries * 12, len(blob) + 99999)
+    p = str(tmp_path / "badnext.dng")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    got = read_dng(p)
+    np.testing.assert_array_equal(got.data, np.asarray(raw.data))
+
+
 def test_dng_ifd_fuzz_truncation_and_loops(tmp_path):
     """Malformed DNGs -- truncations at every interesting boundary, an IFD
     chain that loops, offsets past EOF -- must raise ValueError, never hang

@@ -25,30 +25,23 @@ import struct
 import numpy as np
 
 from .raw import CFA, Orientation, RawImage
-from .tiff import TiffFile
+from .tiff import (TiffFile, exif_to_orientation,
+                   T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC,
+                   T_MAKE, T_MODEL, T_STRIP_OFFSETS, T_ORIENTATION,
+                   T_ROWS_PER_STRIP, T_STRIP_BYTECOUNTS, T_CFA_REPEAT,
+                   T_CFA_PATTERN)
 from . import native
 
 __all__ = ["read_dng", "write_dng"]
 
 # TIFF tag ids.
 T_NEWSUBFILETYPE = 254
-T_WIDTH = 256
-T_LENGTH = 257
-T_BITS = 258
-T_COMPRESSION = 259
-T_PHOTOMETRIC = 262
-T_STRIP_OFFSETS = 273
-T_ORIENTATION = 274
 T_SAMPLES_PER_PIXEL = 277
-T_ROWS_PER_STRIP = 278
-T_STRIP_BYTECOUNTS = 279
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
 T_TILE_BYTECOUNTS = 325
 T_SAMPLE_FORMAT = 339
-T_CFA_REPEAT = 33421
-T_CFA_PATTERN = 33422
 T_DNG_VERSION = 50706
 T_LINEARIZATION = 50712
 T_BLACK_LEVEL_REPEAT = 50713
@@ -60,13 +53,7 @@ T_DEFAULT_CROP_ORIGIN = 50719
 T_DEFAULT_CROP_SIZE = 50720
 T_ACTIVE_AREA = 50829
 
-_EXIF_TO_ORIENTATION = {
-    1: Orientation.Normal, 2: Orientation.HorizontalFlip,
-    3: Orientation.Rotate180, 4: Orientation.VerticalFlip,
-    5: Orientation.Transpose, 6: Orientation.Rotate90,
-    7: Orientation.Transverse, 8: Orientation.Rotate270,
-}
-_ORIENTATION_TO_EXIF = {v: k for k, v in _EXIF_TO_ORIENTATION.items()}
+_ORIENTATION_TO_EXIF = {exif_to_orientation(k): k for k in range(1, 9)}
 
 
 def read_dng(path: str) -> RawImage:
@@ -257,7 +244,7 @@ def read_dng(path: str) -> RawImage:
         wb = (1.0 / neutral[0], 1.0 / neutral[1], 1.0 / neutral[2], float("nan"))
     else:
         wb = (float("nan"),) * 4
-    orientation = _EXIF_TO_ORIENTATION.get(orient_v or 1, Orientation.Normal)
+    orientation = exif_to_orientation(orient_v or 1)
 
     return RawImage(
         width=width, height=height, cpp=1, crops=crops,

@@ -23,6 +23,35 @@ T_SUBIFDS = 330
 T_EXIF_IFD = 34665
 T_MAKERNOTE = 37500
 
+# Baseline TIFF-EP tag ids shared by every reader built on this walker.
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_MAKE = 271
+T_MODEL = 272
+T_STRIP_OFFSETS = 273
+T_ORIENTATION = 274
+T_ROWS_PER_STRIP = 278
+T_STRIP_BYTECOUNTS = 279
+T_CFA_REPEAT = 33421
+T_CFA_PATTERN = 33422
+
+
+def exif_to_orientation(value: int):
+    """EXIF orientation tag value -> raw.Orientation (shared by every
+    container reader; imported lazily to keep tiff.py dependency-free)."""
+    from .raw import Orientation
+
+    table = {
+        1: Orientation.Normal, 2: Orientation.HorizontalFlip,
+        3: Orientation.Rotate180, 4: Orientation.VerticalFlip,
+        5: Orientation.Transpose, 6: Orientation.Rotate90,
+        7: Orientation.Transverse, 8: Orientation.Rotate270,
+    }
+    return table.get(int(value), Orientation.Normal)
+
 _MAX_IFDS = 64
 _MAX_ENTRIES = 512
 

@@ -29,30 +29,13 @@ import numpy as np
 from . import native
 from .cameras import xyz_to_cam_for
 from .raw import CFA, Orientation, RawImage
-from .tiff import TiffFile, Ifd
+from .tiff import (TiffFile, Ifd, exif_to_orientation,
+                   T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC,
+                   T_MAKE, T_MODEL, T_STRIP_OFFSETS, T_ORIENTATION,
+                   T_ROWS_PER_STRIP, T_STRIP_BYTECOUNTS, T_CFA_REPEAT,
+                   T_CFA_PATTERN)
 
 __all__ = ["read_nef", "read_cr2", "read_arw"]
-
-T_WIDTH = 256
-T_LENGTH = 257
-T_BITS = 258
-T_COMPRESSION = 259
-T_PHOTOMETRIC = 262
-T_MAKE = 271
-T_MODEL = 272
-T_STRIP_OFFSETS = 273
-T_ORIENTATION = 274
-T_ROWS_PER_STRIP = 278
-T_STRIP_BYTECOUNTS = 279
-T_CFA_REPEAT = 33421
-T_CFA_PATTERN = 33422
-
-_EXIF_TO_ORIENTATION = {
-    1: Orientation.Normal, 2: Orientation.HorizontalFlip,
-    3: Orientation.Rotate180, 4: Orientation.VerticalFlip,
-    5: Orientation.Transpose, 6: Orientation.Rotate90,
-    7: Orientation.Transverse, 8: Orientation.Rotate270,
-}
 
 _CFA_LETTERS = "RGBE"
 
@@ -122,7 +105,7 @@ def _read_strips(tf: TiffFile, ifd: Ifd, height: int, width: int,
 
 
 def _orientation(tf: TiffFile) -> Orientation:
-    return _EXIF_TO_ORIENTATION.get(tf.find1(T_ORIENTATION, 1), Orientation.Normal)
+    return exif_to_orientation(tf.find1(T_ORIENTATION, 1))
 
 
 def _make_model(tf: TiffFile) -> tuple[str, str]:

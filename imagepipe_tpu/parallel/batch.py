@@ -208,6 +208,7 @@ class BatchEngine:
             out_np = planar_to_hwc(out)[:len(chunk)]
             for (idx, _, _), img in zip(chunk, out_np):
                 results[idx] = img
+            self._note("collected", len(chunk))
 
     def develop_sources(self, sources: list[ImageSource]):
         """Develop a list of RAW sources; returns numpy outputs in input

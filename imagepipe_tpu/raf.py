@@ -20,9 +20,11 @@ The meta block is a big-endian record list (u32 count, then
           reverse raster order (dcraw's parse_fuji semantics)
   0x2ff0  white balance, four u16: G, R, G2, B (dcraw's c^1 swizzle)
 
-The CFA payload is big-endian u16 raster data. Newer bodies that embed a
-TIFF inside the CFA section, compressed RAFs, and Bayer/SuperCCD bodies
-raise a clear ValueError naming the gap rather than mis-decoding.
+The CFA payload is big-endian u16 raster data in the classic flavor;
+newer bodies wrap an embedded TIFF whose FujiIFD (tag 0xF000) carries
+dims/bits/strips/black level, decoded by _read_tiff_wrapped (uncompressed
+16-bit only). Fuji-compressed RAFs and Bayer/SuperCCD bodies raise a
+clear ValueError naming the gap rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -71,22 +73,19 @@ def read_raf(path: str) -> RawImage:
     (_jpeg_off, _jpeg_len, meta_off, meta_len, cfa_off, cfa_len
      ) = struct.unpack_from(">IIIIII", buf, 0x54)
 
-    recs = _records(buf, meta_off, meta_len)
-    dims = recs.get(0x0100)
-    if dims is None or len(dims) < 4:
-        raise ValueError("RAF: missing sensor dimensions record (0x0100)")
-    height, width = struct.unpack_from(">HH", dims, 0)
-    if height <= 0 or width <= 0 or height * width > 500_000_000:
-        raise ValueError("RAF: implausible sensor dimensions")
+    # Meta records are best-effort here: the classic path requires dims and
+    # pattern; TIFF-wrapped files carry dims inside the embedded FujiIFD.
+    try:
+        recs = _records(buf, meta_off, meta_len)
+    except ValueError:
+        recs = {}
 
+    cfa = None
     pat = recs.get(0x0131)
-    if pat is None or len(pat) != 36:
-        raise ValueError(
-            "RAF: only X-Trans bodies with a 6x6 pattern record (0x0131) are "
-            "supported; Bayer/SuperCCD RAFs are not decoded yet")
-    # dcraw parse_fuji reads the 36 bytes in reverse raster order.
-    codes = [b & 3 for b in pat[::-1]]
-    cfa = CFA("".join(_CODE_TO_LETTER[c] for c in codes))
+    if pat is not None and len(pat) == 36:
+        # dcraw parse_fuji reads the 36 bytes in reverse raster order.
+        codes = [b & 3 for b in pat[::-1]]
+        cfa = CFA("".join(_CODE_TO_LETTER[c] for c in codes))
 
     wb = (float("nan"),) * 4
     wbrec = recs.get(0x2FF0)
@@ -98,8 +97,19 @@ def read_raf(path: str) -> RawImage:
     if cfa_off + 2 > len(buf):
         raise ValueError("RAF: CFA payload out of bounds")
     if buf[cfa_off:cfa_off + 4] in (b"II*\0", b"MM\0*"):
+        # Newer bodies wrap the sensor dump in an embedded TIFF (FujiIFD).
+        return _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb)
+
+    dims = recs.get(0x0100)
+    if dims is None or len(dims) < 4:
+        raise ValueError("RAF: missing sensor dimensions record (0x0100)")
+    height, width = struct.unpack_from(">HH", dims, 0)
+    if height <= 0 or width <= 0 or height * width > 500_000_000:
+        raise ValueError("RAF: implausible sensor dimensions")
+    if cfa is None:
         raise ValueError(
-            "RAF: TIFF-wrapped CFA sections (newer bodies) not yet supported")
+            "RAF: only X-Trans bodies with a 6x6 pattern record (0x0131) are "
+            "supported; Bayer/SuperCCD RAFs are not decoded yet")
     need = height * width * 2
     if cfa_len < need or cfa_off + need > len(buf):
         raise ValueError("RAF: CFA payload truncated "
@@ -110,6 +120,65 @@ def read_raf(path: str) -> RawImage:
     # Classic RAF carries no black/white level records; like rawloader,
     # levels come from the per-body registry (X-Trans sensors are 14-bit).
     black, white = raf_levels_for(model)
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for("FUJIFILM", model),
+        orientation=Orientation.Normal, cfa=cfa, data=data,
+        make="FUJIFILM", model=model)
+
+
+# FujiIFD tags of the TIFF-wrapped CFA section (exiftool's FujiIFD table).
+_F_IFD = 0xF000
+_F_WIDTH = 0xF001
+_F_HEIGHT = 0xF002
+_F_BITS = 0xF003
+_F_STRIP_OFFSETS = 0xF007
+_F_STRIP_BYTECOUNTS = 0xF008
+_F_BLACK = 0xF00A
+
+# The 6x6 X-Trans mosaic is identical on every X-Trans sensor generation;
+# TIFF-wrapped files that omit the classic 0x0131 record use this layout.
+XTRANS_PATTERN = "GBGGRGRGRBGBGBGGRGRGRBGBGBGGRGGRGGBG"
+
+
+def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
+    """Newer-body RAF: the CFA section is an embedded TIFF whose FujiIFD
+    (tag 0xF000 in IFD0) carries dims/bits/strips. Uncompressed 16-bit
+    little-endian payloads only; fuji-compressed strips raise a clear
+    error (the codec cannot be verified offline)."""
+    from .tiff import TiffFile
+
+    sub = bytes(buf[cfa_off:cfa_off + cfa_len])
+    tf = TiffFile(sub)
+    width = tf.find1(_F_WIDTH, 0)
+    height = tf.find1(_F_HEIGHT, 0)
+    bits = tf.find1(_F_BITS, 14)
+    offs = tf.find(_F_STRIP_OFFSETS)
+    cnts = tf.find(_F_STRIP_BYTECOUNTS)
+    if not width or not height or width * height > 500_000_000:
+        raise ValueError("RAF: FujiIFD missing/implausible raw dimensions")
+    if not offs or not cnts:
+        raise ValueError("RAF: FujiIFD has no strip layout")
+    need = height * width * 2
+    if int(cnts[0]) < need:
+        raise ValueError(
+            "RAF: fuji-compressed strips not supported (lossless codec "
+            "unverifiable offline); shoot uncompressed or convert to DNG")
+    off = int(offs[0])
+    if off + need > len(sub):
+        raise ValueError("RAF: FujiIFD strip out of bounds")
+    data = np.frombuffer(sub, dtype="<u2", count=height * width,
+                         offset=off).astype(np.uint16).reshape(height, width)
+
+    if cfa is None:
+        cfa = CFA(XTRANS_PATTERN)
+    blk = tf.find(_F_BLACK)
+    if blk:
+        black = int(round(sum(blk[:4]) / len(blk[:4])))
+        white = (1 << bits) - 1
+    else:
+        black, white = raf_levels_for(model)
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
         blacklevels=(black,) * 4, whitelevels=(white,) * 4,

@@ -22,6 +22,7 @@ TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
 T_SUBIFDS = 330
 T_EXIF_IFD = 34665
 T_MAKERNOTE = 37500
+T_FUJI_IFD = 0xF000  # RAF: embedded-TIFF FujiIFD pointer
 
 # Baseline TIFF-EP tag ids shared by every reader built on this walker.
 T_WIDTH = 256
@@ -198,7 +199,7 @@ class TiffFile:
             self.ifds.append(Ifd(self, entries, off))
             if nxt:
                 stack.append(nxt)
-            for chain_tag in (T_SUBIFDS, T_EXIF_IFD):
+            for chain_tag in (T_SUBIFDS, T_EXIF_IFD, T_FUJI_IFD):
                 if chain_tag in entries:
                     try:
                         ptrs = self.values(entries[chain_tag])

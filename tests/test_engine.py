@@ -185,7 +185,26 @@ def test_pallas_sp_sharded_matches_unsharded():
             assert strip.max() <= 1, f"{name}: halo columns diverged"
 
 
-def test_batch_engine_pallas_dp_sp_mesh():
+def test_batch_engine_inflight_bound():
+    """Dispatched-but-unfetched batches never exceed inflight_batches, for
+    full buckets and for the leftover-bucket tail (mixed shapes)."""
+    from imagepipe_tpu.raw import synthetic_bayer as mk
+
+    sources = [ImageSource.from_raw(mk(48 + 24 * (s % 3), 48, seed=s))
+               for s in range(9)]  # 3 shapes x 3 images, max_batch 2
+    eng = BatchEngine(make_batch_mesh(), max_batch=2, inflight_batches=1)
+    eng._events = []
+    outs = eng.develop_sources(sources)
+    assert all(o is not None for o in outs)
+    live = peak = 0
+    for event, _ in eng._events:
+        if event == "dispatch":
+            live += 1
+            peak = max(peak, live)
+        elif event == "collected":
+            live -= 1
+    assert live == 0
+    assert peak <= eng.inflight_batches + 1, peak  # +1: the just-dispatched
     """The megakernel executor on a dp x sp mesh: each image width-sharded
     with the on-device halo exchange, batches dp-sharded, per-image
     calibration preserved; agrees with the XLA fused engine within the

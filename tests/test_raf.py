@@ -83,6 +83,65 @@ def test_raf_decode(tmp_path):
     np.testing.assert_array_equal(po.data, pw.data)
 
 
+def make_raf_tiff(data, model="X-T30", black=1022, compressed=False) -> bytes:
+    """Newer-body RAF: the CFA section is an embedded little-endian TIFF
+    whose FujiIFD (tag 0xF000) carries dims/bits/strips/black."""
+    import sys
+    sys.path.insert(0, "tests")
+    from tiffgen import TiffBuilder
+
+    h, w = data.shape
+    b = TiffBuilder("<")
+    payload = data.astype("<u2").tobytes()
+    if compressed:
+        payload = payload[: len(payload) // 3]  # undersized = fuji-compressed
+    strip = b.add_blob(payload)
+    fuji_ifd = b.add_ifd([
+        (0xF001, 4, [w]), (0xF002, 4, [h]), (0xF003, 4, [14]),
+        (0xF007, 4, [strip]), (0xF008, 4, [len(payload)]),
+        (0xF00A, 4, [black] * 4),
+    ], chain=False)
+    b.add_ifd([(0xF000, 4, [fuji_ifd])])
+    tiff = b.bytes()
+
+    head = bytearray()
+    head += b"FUJIFILMCCD-RAW "
+    head += b"0201" + b"FF129506" + model.encode().ljust(32, b"\0") + b"0100"
+    head += b"\0" * (0x54 - len(head))
+    meta = struct.pack(">I", 1) + struct.pack(">HH", 0x2FF0, 8) + \
+        struct.pack(">HHHH", 300, 570, 300, 1020)
+    meta_off = 0x54 + 24
+    cfa_off = meta_off + len(meta)
+    head += struct.pack(">IIIIII", 0, 0, meta_off, len(meta),
+                        cfa_off, len(tiff))
+    return bytes(head) + meta + tiff
+
+
+def test_raf_tiff_wrapped_decode(tmp_path):
+    data = _sensor(36, 48, seed=6)
+    p = tmp_path / "new.raf"
+    p.write_bytes(make_raf_tiff(data))
+    got = read_raf(str(p))
+    np.testing.assert_array_equal(got.data, data)
+    assert (got.width, got.height) == (48, 36)
+    assert got.cfa.name == XTRANS            # canonical X-Trans fallback
+    assert got.model == "X-T30"
+    assert got.blacklevels == (1022,) * 4    # from FujiIFD 0xF00A
+    assert got.whitelevels == ((1 << 14) - 1,) * 4
+    np.testing.assert_allclose(got.wb_coeffs[:3], (570 / 300, 1.0, 1020 / 300))
+    # Develops through the standard chain.
+    from imagepipe_tpu.decode import decode_file
+    out = Pipeline.new_from_source(decode_file(str(p))).output_8bit(None)
+    assert out.width == 48 and out.height == 36
+
+
+def test_raf_tiff_wrapped_compressed_rejected(tmp_path):
+    p = tmp_path / "cmp.raf"
+    p.write_bytes(make_raf_tiff(_sensor(24, 24, seed=7), compressed=True))
+    with pytest.raises(ValueError, match="compressed"):
+        read_raf(str(p))
+
+
 def test_raf_rejects_unsupported_flavors(tmp_path):
     data = _sensor(12, 12)
     bayer = tmp_path / "bayer.raf"
@@ -90,9 +149,10 @@ def test_raf_rejects_unsupported_flavors(tmp_path):
     with pytest.raises(ValueError, match="X-Trans"):
         read_raf(str(bayer))
 
+    # A TIFF-wrapped CFA section without a usable FujiIFD fails cleanly.
     tiffed = tmp_path / "tiff.raf"
     tiffed.write_bytes(make_raf(data, tiff_cfa=True))
-    with pytest.raises(ValueError, match="TIFF-wrapped"):
+    with pytest.raises(ValueError, match="FujiIFD|TIFF"):
         read_raf(str(tiffed))
 
 

@@ -1,0 +1,54 @@
+"""Batched production serving: develop a directory of camera RAWs.
+
+Usage: python examples/batch_serve.py <dir-or-files...> [--out outdir]
+
+Decodes concurrently on host threads, buckets by sensor shape, and
+develops through the Pallas megakernel on a data-parallel device mesh
+(decode of batch N+1 overlaps develop of batch N; HBM bounded by the
+in-flight window). Writes JPEGs next to the inputs or into --out.
+"""
+
+import pathlib
+import sys
+
+from PIL import Image
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from imagepipe_tpu.parallel import BatchEngine  # noqa: E402
+
+RAW_EXTS = {".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf",
+            ".tif", ".tiff", ".pgm", ".synraw"}
+
+
+def main(argv):
+    out_dir = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_dir = pathlib.Path(argv[i + 1])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        argv = argv[:i] + argv[i + 2:]
+
+    files = []
+    for a in argv:
+        p = pathlib.Path(a)
+        if p.is_dir():
+            files += sorted(q for q in p.iterdir()
+                            if q.suffix.lower() in RAW_EXTS)
+        else:
+            files.append(p)
+    if not files:
+        print("no inputs", file=sys.stderr)
+        return 2
+
+    engine = BatchEngine(max_batch=8)
+    outputs = engine.develop_files([str(p) for p in files])
+    for src, img in zip(files, outputs):
+        dst = (out_dir / src.name if out_dir else src).with_suffix(".jpg")
+        Image.fromarray(img).save(str(dst), quality=90)
+        print(f"{src} -> {dst} ({img.shape[1]}x{img.shape[0]})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -17,8 +17,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from imagepipe_tpu.parallel import BatchEngine  # noqa: E402
 
-RAW_EXTS = {".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf",
-            ".tif", ".tiff", ".pgm", ".synraw"}
+RAW_EXTS = (".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf",
+            ".tif", ".tiff", ".pgm", ".synraw", ".synraw.npz")
 
 
 def main(argv):
@@ -34,7 +34,7 @@ def main(argv):
         p = pathlib.Path(a)
         if p.is_dir():
             files += sorted(q for q in p.iterdir()
-                            if q.suffix.lower() in RAW_EXTS)
+                            if q.name.lower().endswith(RAW_EXTS))
         else:
             files.append(p)
     if not files:
@@ -43,8 +43,14 @@ def main(argv):
 
     engine = BatchEngine(max_batch=8)
     outputs = engine.develop_files([str(p) for p in files])
+    written = set()
     for src, img in zip(files, outputs):
         dst = (out_dir / src.name if out_dir else src).with_suffix(".jpg")
+        n = 1
+        while dst in written:          # same-stem inputs must not clobber
+            dst = dst.with_name(f"{dst.stem}-{n}.jpg")
+            n += 1
+        written.add(dst)
         Image.fromarray(img).save(str(dst), quality=90)
         print(f"{src} -> {dst} ({img.shape[1]}x{img.shape[0]})")
     return 0

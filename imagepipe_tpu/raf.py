@@ -137,17 +137,22 @@ _F_STRIP_OFFSETS = 0xF007
 _F_STRIP_BYTECOUNTS = 0xF008
 _F_BLACK = 0xF00A
 
-# The 6x6 X-Trans mosaic is identical on every X-Trans sensor generation;
-# TIFF-wrapped files that omit the classic 0x0131 record use this layout.
-XTRANS_PATTERN = "GBGGRGRGRBGBGBGGRGRGRBGBGBGGRGGRGGBG"
-
-
 def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
     """Newer-body RAF: the CFA section is an embedded TIFF whose FujiIFD
-    (tag 0xF000 in IFD0) carries dims/bits/strips. Uncompressed 16-bit
-    little-endian payloads only; fuji-compressed strips raise a clear
-    error (the codec cannot be verified offline)."""
+    (tag 0xF000 in IFD0) carries dims/bits/strips. Uncompressed payloads
+    only; fuji-compressed strips raise a clear error (the codec cannot be
+    verified offline). The CFA pattern must come from the file's 0x0131
+    record or the per-model registry -- no hardcoded fallback (a wrong
+    mosaic silently corrupts colors, the exact failure this module's
+    contract forbids)."""
     from .tiff import TiffFile
+
+    if cfa is None:
+        cfa = _PATTERNS.get((model or "").strip().upper())
+    if cfa is None:
+        raise ValueError(
+            "RAF: no X-Trans pattern record (0x0131) and no registered "
+            "pattern for this body; register one with register_raf_pattern")
 
     sub = bytes(buf[cfa_off:cfa_off + cfa_len])
     tf = TiffFile(sub)
@@ -161,18 +166,24 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
     if not offs or not cnts:
         raise ValueError("RAF: FujiIFD has no strip layout")
     need = height * width * 2
-    if int(cnts[0]) < need:
+    if sum(int(c) for c in cnts) < need:
         raise ValueError(
             "RAF: fuji-compressed strips not supported (lossless codec "
             "unverifiable offline); shoot uncompressed or convert to DNG")
-    off = int(offs[0])
-    if off + need > len(sub):
-        raise ValueError("RAF: FujiIFD strip out of bounds")
-    data = np.frombuffer(sub, dtype="<u2", count=height * width,
-                         offset=off).astype(np.uint16).reshape(height, width)
+    u2 = tf.endian + "u2"  # honor the embedded TIFF's byte order
+    parts = []
+    got = 0
+    for off, cnt in zip(offs, cnts):
+        off, cnt = int(off), int(cnt)
+        if off + cnt > len(sub):
+            raise ValueError("RAF: FujiIFD strip out of bounds")
+        parts.append(np.frombuffer(sub, dtype=u2, count=cnt // 2, offset=off))
+        got += cnt // 2
+        if got * 2 >= need:
+            break
+    data = np.concatenate(parts)[: height * width].astype(
+        np.uint16).reshape(height, width)
 
-    if cfa is None:
-        cfa = CFA(XTRANS_PATTERN)
     blk = tf.find(_F_BLACK)
     if blk:
         black = int(round(sum(blk[:4]) / len(blk[:4])))
@@ -197,3 +208,13 @@ def raf_levels_for(model: str) -> tuple[int, int]:
 
 def register_raf_levels(model: str, black: int, white: int) -> None:
     _LEVELS[model.strip().upper()] = (int(black), int(white))
+
+
+# model (uppercased) -> CFA for TIFF-wrapped files lacking the 0x0131 record.
+_PATTERNS: dict[str, CFA] = {}
+
+
+def register_raf_pattern(model: str, pattern: str) -> None:
+    """Register a body's CFA pattern (e.g. a 36-char X-Trans string) for
+    TIFF-wrapped RAFs that omit the classic pattern record."""
+    _PATTERNS[model.strip().upper()] = CFA(pattern)

@@ -40,18 +40,23 @@ T_CFA_REPEAT = 33421
 T_CFA_PATTERN = 33422
 
 
+_ORIENT_TABLE = None
+
+
 def exif_to_orientation(value: int):
     """EXIF orientation tag value -> raw.Orientation (shared by every
     container reader; imported lazily to keep tiff.py dependency-free)."""
-    from .raw import Orientation
+    global _ORIENT_TABLE
+    if _ORIENT_TABLE is None:
+        from .raw import Orientation
 
-    table = {
-        1: Orientation.Normal, 2: Orientation.HorizontalFlip,
-        3: Orientation.Rotate180, 4: Orientation.VerticalFlip,
-        5: Orientation.Transpose, 6: Orientation.Rotate90,
-        7: Orientation.Transverse, 8: Orientation.Rotate270,
-    }
-    return table.get(int(value), Orientation.Normal)
+        _ORIENT_TABLE = {
+            1: Orientation.Normal, 2: Orientation.HorizontalFlip,
+            3: Orientation.Rotate180, 4: Orientation.VerticalFlip,
+            5: Orientation.Transpose, 6: Orientation.Rotate90,
+            7: Orientation.Transverse, 8: Orientation.Rotate270,
+        }
+    return _ORIENT_TABLE.get(int(value), _ORIENT_TABLE[1])
 
 _MAX_IFDS = 64
 _MAX_ENTRIES = 512

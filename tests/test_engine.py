@@ -205,6 +205,9 @@ def test_batch_engine_inflight_bound():
             live -= 1
     assert live == 0
     assert peak <= eng.inflight_batches + 1, peak  # +1: the just-dispatched
+
+
+def test_batch_engine_pallas_dp_sp_mesh():
     """The megakernel executor on a dp x sp mesh: each image width-sharded
     with the on-device halo exchange, batches dp-sharded, per-image
     calibration preserved; agrees with the XLA fused engine within the

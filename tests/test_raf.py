@@ -83,11 +83,11 @@ def test_raf_decode(tmp_path):
     np.testing.assert_array_equal(po.data, pw.data)
 
 
-def make_raf_tiff(data, model="X-T30", black=1022, compressed=False) -> bytes:
+def make_raf_tiff(data, model="X-T30", black=1022, compressed=False,
+                  pattern=XTRANS) -> bytes:
     """Newer-body RAF: the CFA section is an embedded little-endian TIFF
-    whose FujiIFD (tag 0xF000) carries dims/bits/strips/black."""
-    import sys
-    sys.path.insert(0, "tests")
+    whose FujiIFD (tag 0xF000) carries dims/bits/strips/black. Real files
+    keep the classic meta block (pattern + WB records) alongside."""
     from tiffgen import TiffBuilder
 
     h, w = data.shape
@@ -108,8 +108,12 @@ def make_raf_tiff(data, model="X-T30", black=1022, compressed=False) -> bytes:
     head += b"FUJIFILMCCD-RAW "
     head += b"0201" + b"FF129506" + model.encode().ljust(32, b"\0") + b"0100"
     head += b"\0" * (0x54 - len(head))
-    meta = struct.pack(">I", 1) + struct.pack(">HH", 0x2FF0, 8) + \
-        struct.pack(">HHHH", 300, 570, 300, 1020)
+    recs = []
+    if pattern is not None:
+        recs.append((0x0131, bytes(_LETTER_TO_CODE[c] for c in pattern)[::-1]))
+    recs.append((0x2FF0, struct.pack(">HHHH", 300, 570, 300, 1020)))
+    meta = struct.pack(">I", len(recs)) + b"".join(
+        struct.pack(">HH", tag, len(pl)) + pl for tag, pl in recs)
     meta_off = 0x54 + 24
     cfa_off = meta_off + len(meta)
     head += struct.pack(">IIIIII", 0, 0, meta_off, len(meta),
@@ -124,7 +128,7 @@ def test_raf_tiff_wrapped_decode(tmp_path):
     got = read_raf(str(p))
     np.testing.assert_array_equal(got.data, data)
     assert (got.width, got.height) == (48, 36)
-    assert got.cfa.name == XTRANS            # canonical X-Trans fallback
+    assert got.cfa.name == XTRANS   # from the meta block's 0x0131 record
     assert got.model == "X-T30"
     assert got.blacklevels == (1022,) * 4    # from FujiIFD 0xF00A
     assert got.whitelevels == ((1 << 14) - 1,) * 4
@@ -140,6 +144,26 @@ def test_raf_tiff_wrapped_compressed_rejected(tmp_path):
     p.write_bytes(make_raf_tiff(_sensor(24, 24, seed=7), compressed=True))
     with pytest.raises(ValueError, match="compressed"):
         read_raf(str(p))
+
+
+def test_raf_tiff_wrapped_without_pattern_rejected(tmp_path):
+    """No 0x0131 record and no registered pattern -> clear error, never a
+    guessed mosaic (a wrong CFA silently corrupts colors); registering a
+    per-model pattern unlocks the decode."""
+    from imagepipe_tpu import raf as raf_mod
+
+    p = tmp_path / "nopat.raf"
+    p.write_bytes(make_raf_tiff(_sensor(24, 24, seed=8), model="GFX100",
+                                pattern=None))
+    raf_mod._PATTERNS.pop("GFX100", None)
+    with pytest.raises(ValueError, match="pattern"):
+        read_raf(str(p))
+    raf_mod.register_raf_pattern("GFX100", XTRANS)
+    try:
+        got = read_raf(str(p))
+        assert got.cfa.name == XTRANS
+    finally:
+        raf_mod._PATTERNS.pop("GFX100", None)
 
 
 def test_raf_rejects_unsupported_flavors(tmp_path):

@@ -186,6 +186,11 @@ def _decode_python(data: bytes) -> np.ndarray:
             br = _BitReader(data[pos:])
             out = np.zeros((height, width * ncomp), np.uint16)
             default = 1 << (precision - pt - 1)
+            for c in range(ncomp):
+                if comp_table[c] not in huffs:
+                    raise ValueError(
+                        f"LJ92: scan references undefined huffman "
+                        f"table {comp_table[c]}")
 
             def huff_decode(tbl):
                 code = br.get_bit()

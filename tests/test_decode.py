@@ -1,6 +1,8 @@
 """Decode layer tests: DNG read/write round-trip, packed-bitstream unpackers
 (native vs numpy fallback), PGM, and the decoder registry."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -126,6 +128,32 @@ def test_lj92_roundtrip_native_and_python():
     stream = lj92.encode(smooth)
     assert len(stream) < smooth.nbytes // 4
     np.testing.assert_array_equal(lj92.decode(stream), smooth)
+
+
+def test_lj92_stream_fuzz_never_hangs(tmp_path):
+    """Truncated/corrupted lossless-JPEG streams must raise or decode in
+    bounded time -- both the python and (when built) native decoders; the
+    bit reader and Huffman walker must never spin or crash."""
+    from imagepipe_tpu import lj92
+    from imagepipe_tpu import native
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 1 << 14, (24, 32), np.uint16)
+    good = lj92.encode(img, ncomp=1, precision=14)
+    decoders = [lj92._decode_python]
+    if native.have_native() and hasattr(native._lib, "lj92_decode"):
+        decoders.append(lj92._decode_native)
+    for i in range(40):
+        bad = bytearray(good)
+        for _ in range(int(rng.integers(1, 5))):
+            bad[int(rng.integers(2, len(bad)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.5:
+            bad = bad[:int(rng.integers(4, len(bad)))]
+        for dec in decoders:
+            try:
+                dec(bytes(bad))
+            except (ValueError, AssertionError, IndexError, struct.error):
+                pass  # clean rejection is fine; hanging/segfault is not
 
 
 def test_dng_lossless_jpeg_roundtrip(tmp_path):

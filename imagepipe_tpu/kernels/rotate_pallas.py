@@ -56,7 +56,7 @@ __all__ = ["rotate_plan", "rotate_resample_planar"]
 
 _f32 = np.float32
 
-TH = 128           # output tile rows
+TH = 128           # output tile rows (256 measured slightly slower: 122/151/303 ms vs 118/151/293 at 5/20/45 deg)
 TC = 128           # output tile cols (lane width)
 R = 8              # rows per one-hot matmul group (TH % R == 0)
 _MAX_KY = 8        # static bound for the y window unroll

@@ -15,9 +15,11 @@ the only "gather" is a 0/1 one-hot matmul on the MXU:
   * rows are processed in groups of R: one one-hot matmul per (group,
     channel) gathers the x-samples `from_x(r,c)+kx` for ALL R rows and all
     kx window offsets at once -- [D_g, D_xr] x [D_xr, R*K_x*TC], where
-    [D_g, D_xr] is the group's exact 8/128-aligned sub-window (0/1 selectors
-    make the matmul exact selection at Precision.HIGH: the 3-term bf16
-    split of an f32 is exact and the other operand is 0/1);
+    [D_g, D_xr] is the group's exact 8/128-aligned sub-window. Selection is
+    bit-exact via a manual 3-term bf16 split of the f32 values (24 <= 3x8
+    mantissa bits; each bf16 x {0,1} product is exact and every one-hot
+    column has at most one hot), at native bf16 matmul rate -- Mosaic
+    supports only DEFAULT/HIGHEST dot precisions, and HIGHEST costs 2x;
   * the y-window selection is then a per-sample masked sublane reduction,
     and each (ky, kx) sample is accumulated with the reference's f32
     addition order, so per-pixel sums match the gather implementation at

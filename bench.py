@@ -60,13 +60,24 @@ def _sync(x):
 
 
 def _timed(fn, iters=6, sync=_sync):
+    """Per-invocation device time by chained-dispatch slope: time iters and
+    4*iters chained calls and difference them, cancelling the constant
+    per-dispatch overhead of the remote-TPU tunnel (~8-10 ms/dispatch,
+    which would otherwise inflate per-image numbers by ~1 ms at batch 8 --
+    see CLAUDE.md's measurement notes). Wall-clock single-dispatch latency
+    is reported separately (p50_latency_ms)."""
     out = fn()
     sync(out)  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
     sync(out)
-    return (time.perf_counter() - t0) / iters
+    t1 = time.perf_counter()
+    for _ in range(3 * iters):
+        out = fn()
+    sync(out)
+    t2 = time.perf_counter()
+    return max(((t2 - t1) - (t1 - t0)) / (2 * iters), 1e-9)
 
 
 def bench_all():

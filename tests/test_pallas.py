@@ -6,8 +6,22 @@ import pytest
 
 from imagepipe_tpu import ImageSource, Pipeline
 from imagepipe_tpu.engine import make_develop_plan, develop_fused
-from imagepipe_tpu.kernels.develop_pallas import develop_pallas, pallas_supported
+from imagepipe_tpu.kernels.develop_pallas import (
+    _tile_h_for, _tile_w_for, develop_pallas, pallas_supported)
 from imagepipe_tpu.raw import synthetic_bayer, synthetic_xtrans
+
+
+@pytest.mark.parametrize("cfa_h,out_bits,want", [
+    (2, 8, 160),    # Bayer 8-bit: measured optimum (1.60 ms vs 3.02 at 96)
+    (2, 16, 160),   # Bayer 16-bit
+    (6, 8, 192),    # X-Trans: nearest unit (lcm(6,32)=96) at/above 160
+    (6, 16, 192),   # X-Trans 16-bit: lcm(6,16)=48 -> 192
+])
+def test_megakernel_tile_heights_pinned(cfa_h, out_bits, want):
+    """Tile heights are a measured tuning (BASELINE.md sweep); this pins
+    the rule so refactors don't silently regress the optimum."""
+    assert _tile_h_for(cfa_h, out_bits) == want
+    assert _tile_w_for(cfa_h) % 128 == 0
 
 
 @pytest.mark.parametrize("make_raw,out_bits", [

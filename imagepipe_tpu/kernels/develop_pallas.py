@@ -34,10 +34,6 @@ __all__ = ["develop_pallas", "develop_pallas_batch", "develop_pallas_sp",
            "stage_plane_pallas", "pallas_supported", "pallas_preferred",
            "plan_tables"]
 
-_OFFSETS = [(-1, -1), (-1, 0), (-1, 1),
-            (0, -1), (0, 0), (0, 1),
-            (1, -1), (1, 0), (1, 1)]
-
 _LAB_E = np.float32(np.float32(216.0) / np.float32(24389.0))
 _LAB_K = np.float32(np.float32(24389.0) / np.float32(27.0))
 _XW, _YW, _ZW = np.float32(0.95047), np.float32(1.0), np.float32(1.08883)
@@ -96,10 +92,11 @@ def pallas_supported(plan) -> bool:
 
 def pallas_preferred(plan) -> bool:
     """Where the megakernel measures faster than the XLA fused engine --
-    with the closed-form demosaic that is every supported plan: Bayer
-    7785 vs 3662 MP/s (bench r2) and X-Trans 14.8 vs 21.8 ms/frame
-    (same-process probe) on one v5e. Kept as a policy point so future
-    regressions can carve out exceptions without touching callers."""
+    with the closed-form demosaic that is every supported plan: 24MP Bayer
+    ~10.7-11.1k vs 4.2k MP/s, X-Trans 8.6k vs 4.0k, 61MP 16-bit 15k vs
+    4.2k on one v5e (device-time slope; BASELINE.md r2). Kept as a policy
+    point so future regressions can carve out exceptions without touching
+    callers."""
     return pallas_supported(plan)
 
 
@@ -250,17 +247,19 @@ def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
         v_ctr = sl(v, 0, 0)
 
         def box8(a):
-            # Separable 3x3 sum minus the center: vertical triple over the
-            # full halo tile, horizontal triple on tile-width slices --
-            # 5 adds instead of 7 (order moves f32 ULPs only).
+            # Separable 3x3 sum: vertical triple over the full halo tile,
+            # horizontal triple on tile-width slices -- 4 adds instead of 7
+            # (order moves f32 ULPs only). The center term needs no
+            # subtraction: every consumed lane has oc==0 at the center
+            # (c != center color there), and center-color lanes discard the
+            # box sum via the is_ctr select below.
             vert = a[HALO - 1:HALO - 1 + tile_h, :] \
                 + a[HALO:HALO + tile_h, :] \
                 + a[HALO + 1:HALO + 1 + tile_h, :]
             h0 = HALO_X
-            horz = vert[:, h0 - 1:h0 - 1 + TILE_W] \
+            return vert[:, h0 - 1:h0 - 1 + TILE_W] \
                 + vert[:, h0:h0 + TILE_W] \
                 + vert[:, h0 + 1:h0 + 1 + TILE_W]
-            return horz - a[HALO:HALO + tile_h, h0:h0 + TILE_W]
 
         rgbe = []
         for c in range(4):

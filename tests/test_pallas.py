@@ -28,6 +28,7 @@ def test_megakernel_tile_heights_pinned(cfa_h, out_bits, want):
     (synthetic_bayer, 8),
     (synthetic_bayer, 16),
     (synthetic_xtrans, 8),
+    (synthetic_xtrans, 16),   # generic closed form at the tight 16-bit contract
 ])
 def test_pallas_matches_fused(make_raw, out_bits):
     raw = make_raw(168, 112)

@@ -52,9 +52,10 @@ BAYER_CLOSED_FORM = True
 
 
 def _tile_w_for(cfa_w: int) -> int:
-    """Tile width: multiple of 128 lanes and the CFA period width. 384 keeps
-    the ~40-array live set at ~6MB of VMEM; larger tiles measured slower
-    (spills): 128x512 tiles ran 24.9ms/frame vs 96x384's 11.3ms on 24MP."""
+    """Tile width: multiple of 128 lanes and the CFA period width. 384
+    lanes measured best: 512-wide tiles regressed at every height tried
+    (spills; e.g. 128x512 ran 2x slower than 96x384 in round 1, and
+    160x512 / 224x512 both lost to 160x384 in the round-2 sweep)."""
     import math
 
     base = math.lcm(128, max(1, cfa_w))

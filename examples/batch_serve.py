@@ -11,6 +11,7 @@ in-flight window). Writes JPEGs next to the inputs or into --out.
 import pathlib
 import sys
 
+import numpy as np
 from PIL import Image
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -42,9 +43,13 @@ def main(argv):
         return 2
 
     engine = BatchEngine(max_batch=8)
-    outputs = engine.develop_files([str(p) for p in files])
+    # errors='skip': one corrupt file must not discard the directory's work.
+    outputs = engine.develop_files([str(p) for p in files], errors="skip")
     written = set()
     for src, img in zip(files, outputs):
+        if not isinstance(img, np.ndarray):   # BatchError slot
+            print(f"{src}: SKIPPED ({img.error})", file=sys.stderr)
+            continue
         dst = (out_dir / src.name if out_dir else src).with_suffix(".jpg")
         n = 1
         while dst in written:          # same-stem inputs must not clobber

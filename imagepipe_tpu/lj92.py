@@ -43,7 +43,12 @@ def sof_precision(data: bytes) -> int:
             break
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD8:
+        if marker == 0xFF:      # fill byte: only the second 0xFF advances
+            pos -= 1
+            continue
+        # Standalone markers carry no length segment (T.81 B.1.1.3): TEM,
+        # RSTn, and a repeated SOI.
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         seglen = (data[pos] << 8) | data[pos + 1]
         if marker == 0xC3:

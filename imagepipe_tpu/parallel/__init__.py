@@ -1,3 +1,3 @@
-from .batch import BatchEngine, make_batch_mesh, shard_batch
+from .batch import BatchEngine, BatchError, make_batch_mesh, shard_batch
 
-__all__ = ["BatchEngine", "make_batch_mesh", "shard_batch"]
+__all__ = ["BatchEngine", "BatchError", "make_batch_mesh", "shard_batch"]

@@ -36,7 +36,23 @@ from ..engine import (make_develop_plan, _develop_batch_perimage_jit,
 from ..pipeline import Pipeline
 from ..sources import ImageSource
 
-__all__ = ["BatchEngine", "make_batch_mesh", "shard_batch"]
+__all__ = ["BatchEngine", "BatchError", "make_batch_mesh", "shard_batch"]
+
+
+class BatchError:
+    """Marked per-file failure in a batch result list (errors='skip'): the
+    slot keeps its input order, carries the path and the decode/plan
+    exception, and is falsy so `if result:` skips it naturally."""
+
+    def __init__(self, path: str, error: Exception):
+        self.path = path
+        self.error = error
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return f"BatchError({self.path!r}, {self.error!r})"
 
 
 def make_batch_mesh(devices=None, spatial: int = 1) -> Mesh:
@@ -230,16 +246,22 @@ class BatchEngine:
         self._collect(inflight, results)
         return results
 
-    def develop_files(self, paths: list[str]):
+    def develop_files(self, paths: list[str], errors: str = "raise"):
         """Streaming decode -> batched develop with decode/compute overlap:
         every shape bucket is dispatched to the device the moment it reaches
         max_batch, while the thread pool keeps decoding the remaining files;
         leftover partial buckets go out after the last decode. Dispatch is
         async and at most `inflight_batches` device outputs stay unfetched
         (develop of batch N overlaps the decode of batch N+1 without HBM
-        growing with the input list)."""
+        growing with the input list).
+
+        errors: 'raise' aborts the job on the first undecodable file;
+        'skip' records a BatchError in that file's result slot and the rest
+        of the batch completes (the production policy -- one corrupt file
+        must not discard a directory's work)."""
         from ..decode import decode_file
 
+        assert errors in ("raise", "skip"), errors
         results: list = [None] * len(paths)
         buckets: dict = defaultdict(list)
         inflight = []
@@ -247,9 +269,16 @@ class BatchEngine:
             futs = {pool.submit(decode_file, p): i for i, p in enumerate(paths)}
             for fut in cf.as_completed(futs):
                 idx = futs[fut]
-                src = fut.result()
-                self._note("decoded", idx)
-                plan = self._plan_for(src)
+                try:
+                    src = fut.result()
+                    self._note("decoded", idx)
+                    plan = self._plan_for(src)
+                except Exception as e:
+                    if errors == "raise":
+                        raise
+                    results[idx] = BatchError(paths[idx], e)
+                    self._note("error", idx)
+                    continue
                 key = tuple(sorted(plan.statics().items()))
                 buckets[key].append((idx, src, plan))
                 if len(buckets[key]) >= self.max_batch:

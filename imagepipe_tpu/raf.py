@@ -163,10 +163,18 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
     cnts = tf.find(_F_STRIP_BYTECOUNTS)
     if not width or not height or width * height > 500_000_000:
         raise ValueError("RAF: FujiIFD missing/implausible raw dimensions")
+    if not 8 <= bits <= 16:
+        raise ValueError(f"RAF: implausible FujiIFD bit depth {bits}")
     if not offs or not cnts:
         raise ValueError("RAF: FujiIFD has no strip layout")
     need = height * width * 2
     if sum(int(c) for c in cnts) < need:
+        # Short strips mean either fuji-compressed payload or a truncated
+        # file; check the layout against the sub-TIFF extent so the error
+        # names the right problem.
+        if any(int(o) + int(c) > len(sub) for o, c in zip(offs, cnts)):
+            raise ValueError("RAF: FujiIFD strips truncated "
+                             "(layout extends past the file)")
         raise ValueError(
             "RAF: fuji-compressed strips not supported (lossless codec "
             "unverifiable offline); shoot uncompressed or convert to DNG")
@@ -198,8 +206,17 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
         make="FUJIFILM", model=model)
 
 
-# model (uppercased) -> (black, white); 14-bit default otherwise.
-_LEVELS: dict[str, tuple[int, int]] = {}
+# model (uppercased) -> (black, white); 14-bit default otherwise. Every
+# body registered in cameras.py must have an entry here: classic RAF files
+# carry no level records, and a 0 black level visibly washes out shadows
+# (these sensors sit ~1022 counts above true black). Values follow the
+# public rawloader/dcraw per-body tables (14-bit X-Trans: black 1022,
+# white 16383).
+_LEVELS: dict[str, tuple[int, int]] = {
+    "X-T2": (1022, 16383),
+    "X-PRO2": (1022, 16383),
+    "X-T30": (1022, 16383),
+}
 
 
 def raf_levels_for(model: str) -> tuple[int, int]:

@@ -484,9 +484,23 @@ def transform_buffer_planar(src_chw, width, height, topleft, topright,
             return rotate_pallas.rotate_resample_planar(
                 src_chw[:C], int(width), int(height), topleft, topright,
                 bottomleft, int(nwidth), int(nheight), C, plan=plan)
-    out_hwc = transform_buffer(
-        jnp.moveaxis(src_chw, 0, -1), width, height, topleft, topright,
-        bottomleft, nwidth, nheight, components, cfa)
+    # Unsupported-geometry fallback: go straight to the gather impl (the
+    # rotate plan was already computed and rejected above; routing through
+    # transform_buffer would rebuild the identical plan).
+    if cfa is not None:
+        cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
+        cfa_key = cfa.name
+    else:
+        cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
+        cfa_key = None
+    out_hwc = _transform_impl(
+        jnp.moveaxis(src_chw, 0, -1), cfa_tile,
+        width=int(width), height=int(height),
+        topleft=(int(topleft[0]), int(topleft[1])),
+        topright=(int(topright[0]), int(topright[1])),
+        bottomleft=(int(bottomleft[0]), int(bottomleft[1])),
+        nwidth=int(nwidth), nheight=int(nheight),
+        components=int(components), cfa_key=cfa_key, out_dtype=jnp.float32)
     return jnp.moveaxis(out_hwc, -1, 0)
 
 

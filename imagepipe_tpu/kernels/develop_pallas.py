@@ -85,9 +85,11 @@ def _cmap_strip(cfa: CFA, tile_h: int, tile_w: int) -> np.ndarray:
 
 
 def pallas_supported(plan) -> bool:
+    """EXIF orientation is no carve-out: the kernel's planar output is
+    permuted inside the same jit (apply_flips), exactly like the XLA
+    engine's in-jit permutation (engine.py:243-252)."""
     return (plan.mode == "cfa"
             and plan.dem_path == "full"
-            and plan.orientation_flips == (False, False, False)
             and (not plan.apply_curve or plan.n_knots <= 16))
 
 
@@ -272,6 +274,19 @@ def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
             n = jnp.where(is_ctr, 1.0, nbr_c)
             rgbe.append(jnp.where(n > 0.0, s / n, 0.0))
 
+    _finish_tile(rgbe, scal_ref, spline_ref, r_ref, g_ref, b_ref,
+                 apply_curve=apply_curve, n_knots=n_knots, linear=linear,
+                 out_bits=out_bits, stage_limit=stage_limit)
+
+
+def _finish_tile(rgbe, scal_ref, spline_ref, r_ref, g_ref, b_ref, *,
+                 apply_curve, n_knots, linear, out_bits, stage_limit=4):
+    """Shared develop back end on one VMEM tile of RGBE planes: WB + camera
+    matrix + Lab encode -> tone spline -> Lab->RGB -> gamma -> quantized
+    planar write. Used by the full-size megakernel and the scaled-demosaic
+    kernel (develop_scaled.py) so the color chain has exactly one device
+    form (the numeric contract requires identical transcendental shapes)."""
+    f = jnp.float32
     # Profiling knob (stage_limit < 4): stop the chain early and quantize
     # whatever the last stage produced, so per-stage cost can be attributed
     # by differencing timed variants. Production always runs the full chain.
@@ -375,14 +390,29 @@ def _emit(outs, scal_ref, r_ref, g_ref, b_ref, *, linear, out_bits):
     b_ref[...] = qs[2]
 
 
+def apply_flips(out, orientation_flips):
+    """EXIF orientation on planar [..., 3, H, W] output (same order as the
+    XLA engine, engine.py:243-252: flip_x, flip_y, then transpose)."""
+    transpose, flip_x, flip_y = orientation_flips
+    if flip_x:
+        out = out[..., :, ::-1]
+    if flip_y:
+        out = out[..., ::-1, :]
+    if transpose:
+        out = jnp.swapaxes(out, -1, -2)
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
-                                   "stage_limit", "valid_width"))
+                                   "stage_limit", "valid_width",
+                                   "orientation_flips"))
 def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
                         cfa_name, height, width, tile_h, tile_w, apply_curve,
                         n_knots, linear, out_bits, bayer, interpret,
-                        stage_limit=4, valid_width=None):
+                        stage_limit=4, valid_width=None,
+                        orientation_flips=(False, False, False)):
     """Run the megakernel over one (possibly width-sharded) padded plane.
 
     `width` is the LOCAL output width (the grid); `valid_width` the GLOBAL
@@ -422,7 +452,7 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
         ],
         interpret=interpret,
     )(scal, spline, xoff, plane_padded, cmap)
-    return jnp.stack([r, g, b], axis=0)
+    return apply_flips(jnp.stack([r, g, b], axis=0), orientation_flips)
 
 
 def _tiles_for(plan):
@@ -479,6 +509,9 @@ def _sp_local_develop(plane_l, cmap_d, scal, spline, *, axis, sp, Wl,
     xoff = (jax.lax.axis_index(axis) * Wl).astype(jnp.int32).reshape(1, 1)
     st = dict(statics)
     st["width"] = Wl
+    # Orientation must permute the GLOBAL image, not each width shard;
+    # callers apply it after unsharding (develop_pallas_sp / BatchEngine).
+    st["orientation_flips"] = (False, False, False)
     return _develop_pallas_jit(padded, cmap_d, scal, spline, xoff,
                                interpret=interpret, valid_width=valid_width,
                                **st)
@@ -515,7 +548,8 @@ def develop_pallas_sp(plan, plane, mesh, axis: str = "spatial",
     fn = _jax.shard_map(local, mesh=mesh, in_specs=(P(None, axis),),
                         out_specs=P(None, None, axis), check_vma=False)
     out = fn(plane_d)
-    return out[:, :, :plan.width]
+    return apply_flips(out[:, :, :plan.width],
+                       tuple(plan.orientation_flips))
 
 
 def stage_plane_pallas(plan, plane):
@@ -573,7 +607,8 @@ def plan_tables(plan):
         cfa_name=plan.cfa_name, height=plan.height, width=plan.width,
         tile_h=tile_h, tile_w=tile_w, apply_curve=plan.apply_curve,
         n_knots=n_knots, linear=plan.linear, out_bits=plan.out_bits,
-        bayer=(cfa.width == 2 and cfa.height == 2))
+        bayer=(cfa.width == 2 and cfa.height == 2),
+        orientation_flips=tuple(plan.orientation_flips))
     return cmap, scal, spline, statics
 
 
@@ -593,11 +628,12 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
-                                   "per_image"))
+                                   "per_image", "orientation_flips"))
 def _develop_pallas_batch_jit(planes_padded, cmap, scal, spline, *, cfa_name,
                               height, width, tile_h, tile_w, apply_curve,
                               n_knots, linear, out_bits, bayer, interpret,
-                              per_image):
+                              per_image,
+                              orientation_flips=(False, False, False)):
     outs = []
     for i in range(planes_padded.shape[0]):
         s = scal[i] if per_image else scal
@@ -606,7 +642,8 @@ def _develop_pallas_batch_jit(planes_padded, cmap, scal, spline, *, cfa_name,
             planes_padded[i], cmap, s, sp, cfa_name=cfa_name, height=height,
             width=width, tile_h=tile_h, tile_w=tile_w,
             apply_curve=apply_curve, n_knots=n_knots, linear=linear,
-            out_bits=out_bits, bayer=bayer, interpret=interpret))
+            out_bits=out_bits, bayer=bayer, interpret=interpret,
+            orientation_flips=orientation_flips))
     return jnp.stack(outs, axis=0)
 
 

@@ -214,7 +214,12 @@ class BatchEngine:
                       P("batch", None, None)),
             out_specs=P("batch", None, None, "spatial"), check_vma=False)
         out = fn(planes_d, scal_d, spline_d)
-        return out[:, :, :, :plan.width]
+        # Shards develop unflipped (_sp_local_develop zeroes the flips);
+        # orientation permutes the assembled global image here.
+        from ..kernels.develop_pallas import apply_flips
+
+        return apply_flips(out[:, :, :, :plan.width],
+                           tuple(plan.orientation_flips))
 
     def _collect(self, inflight, results, keep: int = 0):
         """Fetch device outputs to host (oldest first) and scatter into

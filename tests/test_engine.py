@@ -218,6 +218,28 @@ def test_pallas_sp_sharded_matches_unsharded():
             assert strip.max() <= 1, f"{name}: halo columns diverged"
 
 
+def test_pallas_sp_orientation():
+    """Under width sharding, EXIF orientation permutes the assembled global
+    image (shards develop unflipped); must match the unsharded megakernel."""
+    from imagepipe_tpu.engine import make_develop_plan as _mdp
+    from imagepipe_tpu.kernels.develop_pallas import (
+        develop_pallas, develop_pallas_sp)
+    from imagepipe_tpu.parallel import make_batch_mesh
+    from imagepipe_tpu.raw import Orientation
+
+    raw = synthetic_bayer(864, 128, seed=8)
+    raw.orientation = Orientation.Rotate90
+    pipe = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    plan = _mdp(pipe, out_bits=8, numerics="direct")
+    mesh = make_batch_mesh(spatial=2)
+    out_sp = np.asarray(develop_pallas_sp(plan, raw.data, mesh))
+    out_1 = np.asarray(develop_pallas(plan, raw.data, interpret=True))
+    assert out_sp.shape == out_1.shape == (3, raw.width, raw.height)
+    diff = np.abs(out_sp.astype(int) - out_1.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.01
+
+
 def test_batch_engine_inflight_bound():
     """Dispatched-but-unfetched batches never exceed inflight_batches, for
     full buckets and for the leftover-bucket tail (mixed shapes)."""

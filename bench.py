@@ -114,12 +114,27 @@ def bench_all():
                     "vs_baseline": None})
 
     # Config: maxsize-constrained thumbnail (fused demosaic+downscale).
+    # Production executor since r3: the scaled-demosaic Pallas kernel
+    # (develop_scaled.py); device-time slope, plus the end-to-end pipeline
+    # wall number (includes host planning + the tunnel's output fetch).
     raw = synthetic_bayer()
     tp = Pipeline.new_from_source(ImageSource.from_raw(raw))
     tp.globals.settings.maxwidth = 1024
     tp.globals.settings.maxheight = 1024
+    tplan = make_develop_plan(tp, out_bits=8)
+    mp24 = raw.width * raw.height / 1e6
+    if pallas_supported(tplan):
+        from imagepipe_tpu.kernels.develop_pallas import (
+            develop_pallas as _dp, staged_plane_cached)
+
+        tstaged = staged_plane_cached(tplan, raw)
+        dt = _timed(lambda: _dp(tplan, tstaged, staged=True), iters=4)
+        results.append({"metric": "24MP->1024px thumbnail develop (pallas scaled kernel)",
+                        "value": round(mp24 / dt, 1), "unit": "source MP/s",
+                        "vs_baseline": None})
     dt = _timed(lambda: tp.output_8bit(None), iters=4, sync=lambda x: x)
-    results.append({"metric": "24MP->1024px thumbnail develop", "value": round(24.0 / dt, 1),
+    results.append({"metric": "24MP->1024px thumbnail develop (pipeline wall)",
+                    "value": round(mp24 / dt, 1),
                     "unit": "source MP/s", "vs_baseline": None})
 
     # Config: 61MP -> 16-bit linear develop. Production executor is the
@@ -171,6 +186,29 @@ def bench_all():
     results.append({"metric": "edit->1024px preview latency (staged cache, p50)",
                     "value": round(sorted(lats)[len(lats) // 2] * 1e3, 1),
                     "unit": "ms", "vs_baseline": None})
+
+    # Device-time of the dirty-suffix re-render (VERDICT r2 next #8): the
+    # p50 above is wall time dominated by this host's dev tunnel; here the
+    # alternating-edit re-renders chain WITHOUT output fetches and the
+    # chained-dispatch slope isolates device compute + host planning (the
+    # regression-sensitive part an editor UI cares about).
+    ep = Pipeline.new_from_source(ImageSource.from_raw(synthetic_bayer(seed=3)))
+    ep.globals.settings.maxwidth = 1024
+    ep.globals.settings.maxheight = 1024
+    ecache = Pipeline.new_cache(2 << 30)
+    ecnt = [0]
+
+    def edit_once():
+        ecnt[0] += 1
+        ep.ops.basecurve.exposure = 0.1 + 0.1 * (ecnt[0] % 2)
+        return ep.run(ecache).data
+
+    edit_once()
+    edit_once()   # compile both alternating states before timing
+    dt = _timed(edit_once, iters=6)
+    results.append({"metric": "edit->1024px re-render device time (slope)",
+                    "value": round(dt * 1e3, 2), "unit": "ms",
+                    "vs_baseline": None})
 
     # Config: 24MP free rotation (the rotatecrop op at 18 degrees) through
     # the Pallas MXU one-hot kernel on developed 4-channel f32 data.

@@ -87,10 +87,18 @@ def _cmap_strip(cfa: CFA, tile_h: int, tile_w: int) -> np.ndarray:
 def pallas_supported(plan) -> bool:
     """EXIF orientation is no carve-out: the kernel's planar output is
     permuted inside the same jit (apply_flips), exactly like the XLA
-    engine's in-jit permutation (engine.py:243-252)."""
-    return (plan.mode == "cfa"
-            and plan.dem_path == "full"
-            and (not plan.apply_curve or plan.n_knots <= 16))
+    engine's in-jit permutation (engine.py:243-252). Thumbnail plans
+    (dem_path 'scaled') route to the fused scaled-demosaic kernel
+    (develop_scaled.py) when their geometry fits its envelope."""
+    if plan.mode != "cfa" or (plan.apply_curve and plan.n_knots > 16):
+        return False
+    if plan.dem_path == "full":
+        return True
+    if plan.dem_path == "scaled":
+        from .develop_scaled import scaled_plan_for
+
+        return scaled_plan_for(plan) is not None
+    return False
 
 
 def pallas_preferred(plan) -> bool:
@@ -527,6 +535,8 @@ def develop_pallas_sp(plan, plane, mesh, axis: str = "spatial",
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    assert plan.dem_path == "full", \
+        "width sharding serves full-size plans (thumbnail outputs are tiny)"
     sp = mesh.shape[axis]
     wpad = sp_width_pad(plan, sp)
     Wl = wpad // sp
@@ -566,6 +576,10 @@ def staged_plane_cached(plan, raw):
     (keyed by the plan's crop/size/tiling) -- interactive re-renders must
     not re-pad and re-upload a ~50-120MB plane per develop (the same reason
     sources.staged_raw_plane caches the XLA engine's staging)."""
+    if plan.dem_path == "scaled":
+        from .develop_scaled import scaled_plan_for, staged_scaled_cached
+
+        return staged_scaled_cached(plan, raw, scaled_plan_for(plan))
     key = (plan.crop_y, plan.crop_x, plan.height, plan.width, _tiles_for(plan))
     hit = getattr(raw, "_pallas_staged", None)
     if hit is not None and hit[0] == key:
@@ -616,8 +630,13 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
     """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
     raw counts (full sensor; plan's crop applied at staging), or the output
     of stage_plane_pallas when staged=True. Returns planar [3, H, W]
-    quantized."""
+    quantized. Thumbnail plans dispatch to the fused scaled-demosaic
+    kernel (staging layouts differ; staged_plane_cached handles both)."""
     assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    if plan.dem_path == "scaled":
+        from .develop_scaled import develop_scaled
+
+        return develop_scaled(plan, plane, interpret=interpret, staged=staged)
     plane = plane if staged else stage_plane_pallas(plan, plane)
     cmap, scal, spline, statics = plan_tables(plan)
     return _develop_pallas_jit(
@@ -657,6 +676,11 @@ def develop_pallas_batch(plan, planes, interpret: bool = False,
     param_plans: optional per-image DevelopPlans (same statics; WB/levels/
     curves may differ per shot). Returns [B, 3, H, W]."""
     assert pallas_supported(plan), "unsupported plan for the pallas executor"
+    if plan.dem_path == "scaled":
+        from .develop_scaled import develop_scaled_batch
+
+        return develop_scaled_batch(plan, planes, interpret=interpret,
+                                    staged=staged, param_plans=param_plans)
     import numpy as _np
 
     if not staged:

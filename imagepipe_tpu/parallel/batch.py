@@ -118,6 +118,8 @@ class BatchEngine:
         from ..kernels.develop_pallas import pallas_preferred, pallas_supported
 
         ok = pallas_supported(plan) and plan.numerics == "direct"
+        if plan.dem_path == "scaled" and self.mesh.shape["spatial"] != 1:
+            ok = False    # thumbnail outputs are tiny; no width sharding
         if self.executor == "pallas":
             return ok
         return self.executor == "auto" and ok and pallas_preferred(plan)
@@ -164,6 +166,10 @@ class BatchEngine:
         scal = np.stack([t[1] for t in tabs])
         spline = np.stack([t[2] for t in tabs])
         interpret = jax.default_backend() == "cpu"
+
+        if plan.dem_path == "scaled":
+            return self._dispatch_pallas_scaled(chunk, sel, plan, scal,
+                                                spline, interpret)
         cmap_d = jnp.asarray(cmap)
 
         if sp == 1:
@@ -220,6 +226,39 @@ class BatchEngine:
 
         return apply_flips(out[:, :, :, :plan.width],
                            tuple(plan.orientation_flips))
+
+    def _dispatch_pallas_scaled(self, chunk, sel, plan, scal, spline,
+                                interpret):
+        """Thumbnail batches on the fused scaled-demosaic kernel, dp-sharded
+        like the full-size path (geometry tables replicate as shard_map
+        closure constants; per-image calibration shards with the planes)."""
+        from ..kernels.develop_scaled import (
+            _develop_scaled_batch_jit, _statics_for, _tables_device,
+            scaled_plan_for, stage_scaled_np)
+
+        spn = scaled_plan_for(plan)
+        staged = np.stack([
+            stage_scaled_np(chunk[i][2], chunk[i][1].raw.data, spn)
+            for i in sel])
+        _, _, st = _statics_for(plan, spn, staged.dtype, interpret)
+        interp = st.pop("interpret")
+        statics_key = tuple(sorted(st.items()))
+        tabs_d = _tables_device(spn)
+        spec_in = NamedSharding(self.mesh, P("batch", None, None))
+        planes_d = jax.device_put(jnp.asarray(staged), spec_in)
+        scal_d = jax.device_put(jnp.asarray(scal), spec_in)
+        spline_d = jax.device_put(jnp.asarray(spline), spec_in)
+
+        def local(planes_l, scal_l, spline_l):
+            return _develop_scaled_batch_jit(
+                planes_l, *tabs_d, scal_l, spline_l,
+                statics_key=statics_key, per_image=True, interpret=interp)
+
+        fn = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("batch", None, None),) * 3,
+            out_specs=P("batch", None, None, None), check_vma=False)
+        return fn(planes_d, scal_d, spline_d)
 
     def _collect(self, inflight, results, keep: int = 0):
         """Fetch device outputs to host (oldest first) and scatter into

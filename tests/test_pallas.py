@@ -78,10 +78,13 @@ def test_pallas_with_crops():
 
 
 def test_pallas_unsupported_plans():
+    # 'fulldown' (scale < minscale: full demosaic + plain downscale) stays
+    # on the XLA engine; 'scaled' thumbnails are pallas-served since r3.
     raw = synthetic_bayer(96, 64)
     p = Pipeline.new_from_source(ImageSource.from_raw(raw))
-    p.globals.settings.maxwidth = 32  # resize -> scaled demosaic path
+    p.globals.settings.maxwidth = 64  # scale 1.5 < bayer minscale 2.0
     plan = make_develop_plan(p, out_bits=8)
+    assert plan.dem_path == "fulldown"
     assert not pallas_supported(plan)
 
 

@@ -1,0 +1,140 @@
+"""Fused scaled-demosaic Pallas kernel (develop_scaled.py) vs the XLA
+engine's scaled path (interpret mode on CPU; the driver bench exercises the
+compiled TPU path). The XLA path is itself oracle-pinned (test_scaling.py),
+so agreement here chains back to the reference semantics
+(/root/reference/src/scaling.rs:104-145)."""
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu import ImageSource, Pipeline
+from imagepipe_tpu.engine import make_develop_plan, develop_fused
+from imagepipe_tpu.kernels.develop_pallas import (
+    develop_pallas, develop_pallas_batch, pallas_supported)
+from imagepipe_tpu.kernels.develop_scaled import scaled_plan_for
+from imagepipe_tpu.raw import Orientation, synthetic_bayer, synthetic_xtrans
+
+
+def _plan(raw, maxwidth, out_bits=8, maxheight=0):
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    p.globals.settings.maxwidth = maxwidth
+    p.globals.settings.maxheight = maxheight
+    if out_bits == 16:
+        p.globals.settings.linear = True
+    return make_develop_plan(p, out_bits=out_bits, numerics="direct")
+
+
+@pytest.mark.parametrize("make_raw,out_bits", [
+    (synthetic_bayer, 8),
+    (synthetic_bayer, 16),
+    (synthetic_xtrans, 8),
+    (synthetic_xtrans, 16),
+])
+def test_scaled_matches_fused(make_raw, out_bits):
+    raw = make_raw(1200, 800, seed=5)
+    plan = _plan(raw, 192, out_bits)
+    assert plan.dem_path == "scaled"
+    assert pallas_supported(plan)
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    assert got.shape == want.shape
+    diff = np.abs(want - got)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_scaled_small_scale_clamp():
+    """At scale ~2 (the Bayer minscale boundary) the paraboloid weight's
+    max(0, .) clamp engages inside windows; the host weight tables must
+    reproduce it."""
+    raw = synthetic_bayer(1000, 600, seed=9)
+    plan = _plan(raw, 500)
+    assert plan.dem_path == "scaled"
+    assert pallas_supported(plan)
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    diff = np.abs(want - got)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_scaled_orientation_and_crops():
+    raw = synthetic_bayer(1200, 800, seed=6)
+    raw.crops = (2, 6, 4, 8)
+    raw.orientation = Orientation.Rotate270
+    plan = _plan(raw, 160)
+    assert plan.dem_path == "scaled"
+    assert pallas_supported(plan)
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    assert got.shape == want.shape        # transposed thumbnail
+    diff = np.abs(want - got)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_scaled_float_plane():
+    """f32 sensor payloads (DNG float) select via the 3-term bf16 split."""
+    raw = synthetic_bayer(1200, 800, seed=7)
+    raw.data = (raw.data.astype(np.float32) * (1.0 / 3.0)).astype(np.float32)
+    raw.whitelevels = tuple(float(w) / 3.0 for w in raw.whitelevels)
+    raw.blacklevels = tuple(float(b) / 3.0 for b in raw.blacklevels)
+    plan = _plan(raw, 192)
+    assert plan.dem_path == "scaled" and pallas_supported(plan)
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    diff = np.abs(want - got)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_scaled_batch_per_image_params():
+    raws = [synthetic_bayer(1200, 800, seed=30 + s) for s in range(3)]
+    raws[1].wb_coeffs = (1.0, 1.0, 2.8, float("nan"))
+    plans = [_plan(r, 192) for r in raws]
+    plan = plans[0]
+    assert plan.dem_path == "scaled"
+    out = np.asarray(develop_pallas_batch(
+        plan, np.stack([r.data for r in raws]), interpret=True,
+        param_plans=plans))
+    for i, (r, pp) in enumerate(zip(raws, plans)):
+        want = np.asarray(develop_fused(pp, r.data)).astype(int)
+        diff = np.abs(want - out[i].astype(int))
+        assert diff.max() <= 1, i
+        assert (diff != 0).mean() < 0.02, i
+
+
+def test_scaled_unsupported_fulldown():
+    """scale < minscale -> 'fulldown' (full demosaic + plain downscale):
+    stays on the XLA engine."""
+    raw = synthetic_bayer(300, 200, seed=4)
+    plan = _plan(raw, 200)     # scale 1.5 < bayer minscale 2.0
+    assert plan.dem_path == "fulldown"
+    assert not pallas_supported(plan)
+
+
+def test_scaled_batch_engine_routing(tmp_path):
+    """BatchEngine with a maxsize routes thumbnail plans to the scaled
+    Pallas executor and matches the XLA engine (r2 verdict next #1)."""
+    from imagepipe_tpu.parallel import BatchEngine
+
+    raws = [synthetic_bayer(1200, 800, seed=40 + s) for s in range(3)]
+    srcs = [ImageSource.from_raw(r) for r in raws]
+
+    class DirectEngine(BatchEngine):
+        # CPU defaults to 'lut' numerics; force the accelerator config.
+        def _plan_for(self, source):
+            p = Pipeline.new_from_source(source)
+            p.globals.settings.maxwidth = self.maxwidth
+            return make_develop_plan(p, out_bits=8, numerics="direct")
+
+    eng = DirectEngine(max_batch=2, maxwidth=192, executor="pallas")
+    plan0 = eng._plan_for(srcs[0])
+    assert plan0.dem_path == "scaled" and eng._use_pallas(plan0)
+    outs = eng.develop_sources(srcs)
+    eng_x = DirectEngine(max_batch=2, maxwidth=192, executor="xla")
+    wants = eng_x.develop_sources(srcs)
+    for got, want in zip(outs, wants):
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 0.02

@@ -231,6 +231,14 @@ class TiffFile:
     def ifds_with(self, tag: int) -> list[Ifd]:
         return [ifd for ifd in self.ifds if tag in ifd]
 
+    def find_raw_bytes(self, tag: int) -> Optional[bytes]:
+        """First raw (undecoded) payload for tag across all IFDs."""
+        for ifd in self.ifds:
+            blob = ifd.raw_bytes(tag)
+            if blob is not None:
+                return blob
+        return None
+
     def makernote(self) -> Optional[bytes]:
         """The EXIF MakerNote payload, if any."""
         for ifd in self.ifds:

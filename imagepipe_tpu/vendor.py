@@ -5,7 +5,9 @@ bodies; /root/reference/src/pipeline.rs:264). All three are TIFF-EP
 containers, so they share tiff.py's hardened walker and differ only in
 where the sensor plane, levels, white balance, and CFA live:
 
-  NEF: raw SubIFD (CFA photometric), 12/14-bit big-endian packed or 16-bit;
+  NEF: raw SubIFD (CFA photometric), 12/14-bit big-endian packed, 16-bit,
+       or compression 34713 (the modern default: Huffman predictive stream,
+       decoded by nikon.py with the maker-note 0x0096 linearization);
        WB from the Nikon maker note (embedded TIFF, tag 0x000C rationals).
   CR2: raw IFD with Compression=6 (ITU-T81 lossless JPEG, our lj92 codec)
        cut into vertical slices (tag 0xC640); WB from the Canon maker note
@@ -14,10 +16,7 @@ where the sensor plane, levels, white balance, and CFA live:
        ARW2 cRAW (compression 32767, 16-byte delta blocks + SR2 tone
        curve); WB/black/white from Sony tags (0x7313/0x7310/0x787F).
 
-NEF 34713 ("lossless compressed") raises a clear ValueError naming the
-gap: its Huffman tables cannot be verified offline, and a wrong table
-would silently garble real files. Colorimetric matrices come from the
-per-model registry (cameras.py).
+Colorimetric matrices come from the per-model registry (cameras.py).
 """
 
 from __future__ import annotations
@@ -144,14 +143,6 @@ def read_nef(path: str) -> RawImage:
         raise ValueError("NEF: missing/implausible raw dimensions")
     bits = ifd.get1(T_BITS, 14)
     compression = ifd.get1(T_COMPRESSION, 1)
-    if compression == 34713:
-        raise ValueError("NEF lossless-compressed (34713) not yet supported; "
-                         "convert to DNG or use uncompressed/packed NEF")
-    if compression != 1:
-        raise ValueError(f"unsupported NEF compression {compression}")
-    # Nikon packs 12/14-bit big-endian regardless of container endianness.
-    packing = "be" if bits in (12, 14) or tf.endian == ">" else "le"
-    data = _read_strips(tf, ifd, height, width, bits, packing)
 
     wb = (float("nan"),) * 4
     black = 0
@@ -167,9 +158,35 @@ def read_nef(path: str) -> RawImage:
         if bl:
             black = int(round(sum(bl[:4]) / len(bl[:4])))
 
+    white = (1 << bits) - 1
+    if compression == 34713:
+        # Lossless/lossy-compressed NEF (the modern default): Huffman
+        # predictive stream + maker-note 0x0096 linearization metadata.
+        from .nikon import decode_34713
+
+        meta = mn.find_raw_bytes(0x0096) if mn is not None else None
+        if meta is None:
+            raise ValueError("NEF 34713: missing linearization metadata "
+                             "(maker-note tag 0x0096)")
+        offs = ifd.get(T_STRIP_OFFSETS)
+        cnts = ifd.get(T_STRIP_BYTECOUNTS)
+        if not offs or not cnts:
+            raise ValueError("NEF 34713: raw IFD has no strip layout")
+        off, cnt = int(offs[0]), int(cnts[0])
+        tf._check(off, cnt, "NEF 34713 strip")
+        data, white = decode_34713(bytes(buf[off:off + cnt]), width, height,
+                                   bits, meta)
+    elif compression == 1:
+        # Nikon packs 12/14-bit big-endian regardless of container
+        # endianness.
+        packing = "be" if bits in (12, 14) or tf.endian == ">" else "le"
+        data = _read_strips(tf, ifd, height, width, bits, packing)
+    else:
+        raise ValueError(f"unsupported NEF compression {compression}")
+
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
-        blacklevels=(black,) * 4, whitelevels=((1 << bits) - 1,) * 4,
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
         orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
         make=make, model=model)

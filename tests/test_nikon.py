@@ -1,0 +1,209 @@
+"""NEF compression-34713 codec (imagepipe_tpu/nikon.py + native/nikon.cc).
+
+Round-trips pin the stream mechanics (canonical Huffman assignment,
+predictor integration, bit packing); python-vs-native differential decode
+(including on random streams) pins the two implementations against each
+other across all leaf paths; the container test pins read_nef wiring.
+Real-file cross-validation (test_realfiles.py) is the external check on
+the table constants themselves."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu import native
+from imagepipe_tpu.nikon import (NIKON_TREES, _codes, _decode_python,
+                                 decode_34713, encode_34713,
+                                 parse_linearization)
+from tests.tiffgen import TiffBuilder
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_roundtrip_random(bits):
+    data = _rng(1).integers(0, 1 << bits, (32, 48)).astype(np.uint16)
+    payload, meta = encode_34713(data, bits=bits)
+    out, white = decode_34713(payload, 48, 32, bits, meta)
+    np.testing.assert_array_equal(out, data)
+    assert white == (1 << bits) - 1
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_roundtrip_gradients_and_flats(bits):
+    """Small-delta data exercises the short codes; flats the zero leaf."""
+    y, x = np.mgrid[0:16, 0:64]
+    data = ((y * 7 + x) % (1 << bits)).astype(np.uint16)
+    data[4:8] = 1000
+    payload, meta = encode_34713(data, bits=bits)
+    out, _ = decode_34713(payload, 64, 16, bits, meta)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_trees_are_prefix_codes():
+    for t in range(6):
+        codes = _codes(t)
+        seen = set()
+        for code, length, _ in codes:
+            cs = format(code, f"0{length}b")
+            for p in seen:
+                assert not cs.startswith(p) and not p.startswith(cs)
+            seen.add(cs)
+        counts, values = NIKON_TREES[t]
+        assert sum(counts) >= len(values)
+
+
+@pytest.mark.skipif(not (native.have_native()
+                         and hasattr(native._lib, "nikon_decode")),
+                    reason="native library not built")
+def test_python_native_equivalence():
+    from imagepipe_tpu.nikon import _decode_native
+
+    bits = 14
+    data = _rng(2).integers(0, 1 << bits, (24, 40)).astype(np.uint16)
+    payload, meta = encode_34713(data, bits=bits)
+    tree, vpred, curve, split, _ = parse_linearization(meta, bits)
+    py = _decode_python(payload, 40, 24, tree, vpred, curve, split)
+    nat = _decode_native(payload, 40, 24, tree, vpred, curve, split)
+    np.testing.assert_array_equal(py, nat)
+
+
+@pytest.mark.skipif(not (native.have_native()
+                         and hasattr(native._lib, "nikon_decode")),
+                    reason="native library not built")
+@pytest.mark.parametrize("tree", [0, 1, 3, 4])
+def test_python_native_differential_fuzz(tree):
+    """Random bitstreams through BOTH decoders (the lossy trees' shl leaves
+    have no encoder): outputs must match exactly, or both must reject."""
+    from imagepipe_tpu.nikon import _decode_native
+
+    curve = np.arange(0x10000, dtype=np.uint16)
+    vpred = np.array([[2048, 2048], [2048, 2048]], np.int32)
+    for seed in range(6):
+        payload = _rng(100 + seed).integers(0, 256, 600).astype(np.uint8)
+        payload = payload.tobytes()
+        try:
+            py = _decode_python(payload, 16, 8, tree, vpred, curve, 0)
+        except ValueError:
+            py = None
+        try:
+            nat = _decode_native(payload, 16, 8, tree, vpred, curve, 0)
+        except ValueError:
+            nat = None
+        if py is None or nat is None:
+            assert py is None and nat is None, (tree, seed)
+        else:
+            np.testing.assert_array_equal(py, nat)
+
+
+def test_lossy_curve_parse_and_split():
+    """ver 0x44/0x20: sampled curve linearly interpolated (dcraw's fill
+    loop), split row read from blob offset 562."""
+    bits = 12
+    vmax = 1 << bits
+    csize = 17
+    step = vmax // (csize - 1)
+    samples = (np.arange(csize, dtype=np.int64) ** 2 * 15).astype(np.uint16)
+    meta = bytearray()
+    meta += bytes([0x44, 0x20])
+    meta += struct.pack(">4H", 300, 300, 300, 300)
+    meta += struct.pack(">H", csize)
+    meta += b"".join(struct.pack(">H", int(s)) for s in samples)
+    meta += b"\0" * (562 - len(meta))
+    meta += struct.pack(">H", 5)        # split row
+    tree, vpred, curve, split, white = parse_linearization(bytes(meta), bits)
+    assert tree == 0 and split == 5
+    assert (vpred == 300).all()
+    np.testing.assert_array_equal(curve[np.arange(csize) * step], samples)
+    # Interpolation between two known samples.
+    lo, hi = int(samples[3]), int(samples[4])
+    i = 3 * step + step // 2
+    assert curve[i] == (lo * (step - step // 2) + hi * (step // 2)) // step
+    # White is the (interpolated) top of the in-range curve, curve[vmax-1].
+    assert white == int(curve[vmax - 1])
+    assert int(samples[-2]) < white <= int(samples[-1])
+
+
+def test_lossy_type2_rejected():
+    meta = bytes([0x44, 0x40]) + struct.pack(">4H", 0, 0, 0, 0) + b"\0" * 20
+    with pytest.raises(ValueError, match="lossy variant"):
+        parse_linearization(meta, 14)
+
+
+def test_corrupt_payload_rejected():
+    data = _rng(3).integers(0, 1 << 14, (8, 16)).astype(np.uint16)
+    payload, meta = encode_34713(data, bits=14)
+    with pytest.raises(ValueError):
+        decode_34713(payload[: len(payload) // 3], 16, 8, 14, meta)
+    with pytest.raises(ValueError):
+        parse_linearization(b"\x46", 14)
+
+
+def make_nef_34713(data, bits=14, model="NIKON D850", wb_r=2.0, wb_b=1.5,
+                   black=150) -> bytes:
+    """A compressed NEF container around an encode_34713 stream (mirrors
+    tests/test_vendor.py make_nef)."""
+    h, w = data.shape
+    payload, meta = encode_34713(data, bits=bits)
+    b = TiffBuilder(">")
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]), (259, 3, [34713]),
+        (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    note = TiffBuilder("<")
+    note.add_ifd([
+        (0x000C, 5, [(int(wb_r * 10000), 10000), (int(wb_b * 10000), 10000),
+                     (10000, 10000), (10000, 10000)]),
+        (0x003D, 3, [black] * 4),
+        (0x0096, 7, meta),
+    ])
+    note_blob = b"Nikon\0" + b"\x02\x11\x00\x00" + note.bytes()
+    exif_ifd = b.add_ifd([(37500, 7, note_blob)], chain=False)
+    b.add_ifd([
+        (271, 2, "NIKON CORPORATION"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]), (34665, 4, [exif_ifd]),
+    ])
+    return b.bytes()
+
+
+def test_nef_34713_container_decode(tmp_path):
+    from imagepipe_tpu.decode import decode_file
+
+    data = _rng(4).integers(0, 1 << 14, (48, 64)).astype(np.uint16)
+    path = str(tmp_path / "comp.nef")
+    with open(path, "wb") as f:
+        f.write(make_nef_34713(data))
+    raw = decode_file(path).raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.whitelevels[0] == (1 << 14) - 1
+    assert raw.blacklevels == (150,) * 4
+    assert raw.cfa.name == "RGGB"
+    assert raw.wb_coeffs[:3] == (pytest.approx(2.0), pytest.approx(1.0),
+                                 pytest.approx(1.5))
+
+
+def test_nef_34713_missing_meta_rejected(tmp_path):
+    data = _rng(5).integers(0, 1 << 14, (8, 16)).astype(np.uint16)
+    payload, _ = encode_34713(data, bits=14)
+    b = TiffBuilder(">")
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [16]), (257, 4, [8]), (258, 3, [14]), (259, 3, [34713]),
+        (262, 3, [32803]), (273, 4, [strip]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.add_ifd([(271, 2, "NIKON CORPORATION"), (272, 2, "NIKON D850"),
+               (330, 4, [raw_ifd])])
+    path = str(tmp_path / "nometa.nef")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    from imagepipe_tpu.vendor import read_nef
+
+    with pytest.raises(ValueError, match="0x0096|linearization"):
+        read_nef(path)

@@ -91,7 +91,10 @@ def test_nef_decode(tmp_path):
     _assert_develops_identically(raw, want)
 
 
-def test_nef_compressed_rejected(tmp_path):
+def test_nef_compressed_without_metadata_rejected(tmp_path):
+    # 34713 decode itself lives in nikon.py (tests/test_nikon.py); a
+    # compressed NEF lacking the 0x0096 linearization blob must still fail
+    # with the compression named, not decode garbage.
     data = _sensor(8, 16, seed=2)
     b = TiffBuilder(">")
     strip = b.add_blob(pack_14be(data))

@@ -42,6 +42,35 @@ _TABLE: dict[str, tuple[int, ...]] = {
     "DSC-RX100M7": (6679, -1825, -745, -5047, 13256, 1953, -1580, 2422, 5183),
 }
 
+# Bodies that share another body's sensor and published matrix (the public
+# coefficient tables list identical values for each family member). Kept as
+# aliases, not copies, so a correction to the base entry propagates. For
+# bodies outside this table, the supported growth paths are
+# register_camera() with values from the public x10000 tables, or
+# register_from_dng() with the user's own Adobe-converted file -- shipping
+# coefficients from memory risks exactly the silent color corruption this
+# registry exists to prevent.
+_ALIASES: dict[str, str] = {
+    # Fujifilm X-Trans III family (shared 24MP sensor + matrix).
+    "X-T20": "X-T2",
+    "X-E3": "X-T2",
+    "X-H1": "X-T2",
+    "X100F": "X-T2",
+    # Fujifilm X-Trans IV family (shared 26MP sensor + matrix).
+    "X-T3": "X-T30",
+    "X-T4": "X-T30",
+    "X-PRO3": "X-T30",
+    "X-S10": "X-T30",
+    "X100V": "X-T30",
+    # Nikon Z 7 shares the D850 sensor (the Z 7 entry above IS the D850
+    # matrix); the II revision keeps it.
+    "NIKON Z 7II": "NIKON Z 7",
+    # Sony minor revisions / shared-sensor variants.
+    "ILCE-7RM3A": "ILCE-7RM3",
+    "ILCE-7RM4A": "ILCE-7RM4",
+    "ILCE-7C": "ILCE-7M3",
+}
+
 
 def register_camera(model: str, coeffs) -> None:
     """Register/override a body: 9 XYZ->cam coefficients (x10000 ints or
@@ -53,19 +82,57 @@ def register_camera(model: str, coeffs) -> None:
     _TABLE[model.strip().upper()] = tuple(int(c) for c in coeffs)
 
 
+def register_alias(model: str, same_as: str) -> None:
+    """Register a body that shares another body's sensor+matrix (public
+    sensor-sharing: e.g. Nikon Z 7 / D850). The alias resolves at call
+    time, so later corrections to the base entry propagate."""
+    _ALIASES[model.strip().upper()] = same_as.strip().upper()
+
+
+def register_from_dng(path: str, model: str | None = None) -> str:
+    """Grow the registry from a DNG of the body: Adobe's converter embeds
+    the colorimetric ColorMatrix1 (== xyz_to_cam) that rawloader/dcraw
+    tables replicate, so a user's own converted file is verifiable
+    provenance -- the documented procedure for adding bodies without
+    shipping guessed constants (docs/migration: convert one shot to DNG,
+    call this, then the body's native RAWs develop with calibrated color).
+    Returns the model key registered."""
+    from .tiff import TiffFile, T_MODEL
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf)
+    cm = tf.find(50721)       # ColorMatrix1, SRATIONALs
+    if not cm or len(cm) < 9:
+        raise ValueError("DNG has no ColorMatrix1 tag")
+    key = (model or tf.find1(T_MODEL, "") or "").strip()
+    if not key:
+        raise ValueError("DNG has no Model tag; pass model= explicitly")
+    register_camera(key, [float(v) for v in cm[:9]])
+    return key.upper()
+
+
 def known_cameras() -> list[str]:
-    return sorted(_TABLE)
+    return sorted(set(_TABLE) | set(_ALIASES))
+
+
+def _lookup(key: str):
+    seen = set()
+    while key in _ALIASES and key not in seen:
+        seen.add(key)
+        key = _ALIASES[key]
+    return _TABLE.get(key)
 
 
 def xyz_to_cam_for(make: str, model: str) -> np.ndarray:
     """[4,3] f32 xyz_to_cam for a body; sRGB identity fallback (with a
     warning) so unknown cameras still develop."""
     key = (model or "").strip().upper()
-    entry = _TABLE.get(key)
+    entry = _lookup(key)
     if entry is None:
         # Some vendors prefix the make in the model tag or vice versa.
         longkey = f"{(make or '').strip().upper()} {key}".strip()
-        entry = _TABLE.get(longkey)
+        entry = _lookup(longkey)
     if entry is None:
         log.warning("no color matrix for %r %r; using sRGB fallback", make, model)
         m = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)

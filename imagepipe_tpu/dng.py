@@ -286,6 +286,10 @@ def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
     add(T_COMPRESSION, 3, [compression])
     add(T_PHOTOMETRIC, 3, [32803 if is_cfa else 34892])
     add(T_ORIENTATION, 3, [_ORIENTATION_TO_EXIF.get(raw.orientation, 1)])
+    if raw.make:
+        add(T_MAKE, 2, raw.make)
+    if raw.model:
+        add(T_MODEL, 2, raw.model)
     add(T_SAMPLES_PER_PIXEL, 3, [1])
     add(T_ROWS_PER_STRIP, 4, [raw.height])
     add(T_STRIP_BYTECOUNTS, 4, [len(payload)])
@@ -320,6 +324,8 @@ def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
             return struct.pack(f"<{len(vals)}I", *vals)
         if typ == 1:
             return struct.pack(f"{len(vals)}B", *vals)
+        if typ == 2:   # ASCII, nul-terminated
+            return vals.encode("ascii", "replace") + b"\0"
         if typ == 5:
             flat = [x for pair in vals for x in pair]
             return struct.pack(f"<{len(flat)}I", *flat)
@@ -334,7 +340,7 @@ def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
     ext = bytearray()
     packed = []
     for tag, typ, vals in entries:
-        count = len(vals)
+        count = len(vals) + 1 if typ == 2 else len(vals)  # ASCII incl. nul
         raw_bytes = pack_vals(typ, vals)
         if len(raw_bytes) <= 4:
             packed.append((tag, typ, count, raw_bytes.ljust(4, b"\0"), None))

@@ -402,8 +402,17 @@ def staged_scaled_cached(plan, raw, sp: ScaledPlan):
 
 
 def _tables_device(sp: ScaledPlan):
-    return (jnp.asarray(sp.ohy), jnp.asarray(sp.ohx), jnp.asarray(sp.w_off),
-            jnp.asarray(sp.col_off), jnp.asarray(sp.cnt), jnp.asarray(sp.orig))
+    """Device-resident geometry tables, uploaded ONCE per plan: W/COL/CNT
+    total ~K_off*nh*nw*5 ~= H*W*5 bytes (~190MB for 24MP) -- re-uploading
+    per develop would dominate everything (and costs seconds through the
+    dev tunnel). Also keeps the jit cache hitting on identical arrays."""
+    dev = getattr(sp, "_dev_tables", None)
+    if dev is None:
+        dev = (jnp.asarray(sp.ohy), jnp.asarray(sp.ohx),
+               jnp.asarray(sp.w_off), jnp.asarray(sp.col_off),
+               jnp.asarray(sp.cnt), jnp.asarray(sp.orig))
+        sp._dev_tables = dev
+    return dev
 
 
 def _statics_for(plan, sp: ScaledPlan, plane_dtype, interpret):

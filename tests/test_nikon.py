@@ -188,6 +188,39 @@ def test_nef_34713_container_decode(tmp_path):
                                  pytest.approx(1.5))
 
 
+def test_camera_registry_aliases_and_dng_growth(tmp_path):
+    """Registry growth paths: sensor-family aliases resolve to the base
+    entry, and register_from_dng pulls ColorMatrix1 from a user's DNG
+    (verifiable provenance, the documented way to add unlisted bodies)."""
+    import numpy as np
+
+    from imagepipe_tpu.cameras import (known_cameras, register_from_dng,
+                                       xyz_to_cam_for)
+    from imagepipe_tpu.dng import write_dng
+    from imagepipe_tpu.raw import RawImage, CFA, Orientation
+
+    # Alias: X-T3 (X-Trans IV family) resolves to the X-T30 matrix.
+    np.testing.assert_array_equal(xyz_to_cam_for("FUJIFILM", "X-T3"),
+                                  xyz_to_cam_for("FUJIFILM", "X-T30"))
+    assert "X-T3" in known_cameras()
+
+    # DNG growth: write a DNG with a known matrix, register, look up.
+    m = np.array([[0.9, -0.2, -0.1], [-0.4, 1.2, 0.2], [-0.1, 0.2, 0.6],
+                  [0, 0, 0]], np.float32)
+    raw = RawImage(width=16, height=8, cpp=1, crops=(0, 0, 0, 0),
+                   blacklevels=(0,) * 4, whitelevels=(16383,) * 4,
+                   wb_coeffs=(2.0, 1.0, 1.5, float("nan")), xyz_to_cam=m,
+                   orientation=Orientation.Normal, cfa=CFA("RGGB"),
+                   data=np.zeros((8, 16), np.uint16),
+                   make="ACME", model="ACME X100")
+    path = str(tmp_path / "probe.dng")
+    write_dng(path, raw)
+    key = register_from_dng(path)
+    assert key == "ACME X100"
+    got = xyz_to_cam_for("ACME", "ACME X100")
+    np.testing.assert_allclose(got[:3], m[:3], atol=1e-4)
+
+
 def test_nef_34713_missing_meta_rejected(tmp_path):
     data = _rng(5).integers(0, 1 << 14, (8, 16)).astype(np.uint16)
     payload, _ = encode_34713(data, bits=14)

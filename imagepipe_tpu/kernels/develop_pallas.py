@@ -50,6 +50,20 @@ HALO_X = 128
 # fixed by building phase masks from output-tile-shaped iotas.
 BAYER_CLOSED_FORM = True
 
+# Specialize interior tiles (constant counts, no validity masking) behind a
+# pl.when branch. The r3 sweep (scripts/exp_sweep_r3.py; BASELINE.md) could
+# not distinguish it from the masked-always path under the shared chip's
+# +-1.5 ms measurement noise, so the proven r2 code path stays the default;
+# the specialization is bit-identical on interior tiles and kept toggleable
+# for a quieter-chip retest. Clear _develop_pallas_jit's cache after
+# flipping.
+INTERIOR_SPLIT = False
+
+# DMA pipeline depth (2 = classic double buffering; 3-deep measured no
+# better in the r3 sweep). Read at trace time; clear _develop_pallas_jit's
+# cache after changing.
+N_DMA_BUF = 2
+
 
 def _tile_w_for(cfa_w: int) -> int:
     """Tile width: multiple of 128 lanes and the CFA period width. 384
@@ -102,12 +116,12 @@ def pallas_supported(plan) -> bool:
 
 
 def pallas_preferred(plan) -> bool:
-    """Where the megakernel measures faster than the XLA fused engine --
-    with the closed-form demosaic that is every supported plan: 24MP Bayer
-    ~10.7-11.1k vs 4.2k MP/s, X-Trans 8.6k vs 4.0k, 61MP 16-bit 15k vs
-    4.2k on one v5e (device-time slope; BASELINE.md r2). Kept as a policy
-    point so future regressions can carve out exceptions without touching
-    callers."""
+    """Where the Pallas executors measure faster than the XLA fused
+    engine -- with the closed-form demosaic and the scaled-demosaic kernel
+    that is every supported plan (full-size AND thumbnail; see BASELINE.md's
+    final per-round tables for the measured device-time numbers). Kept as a
+    policy point so future regressions can carve out exceptions without
+    touching callers."""
     return pallas_supported(plan)
 
 
@@ -144,18 +158,24 @@ def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
                          pl.ds(jj * TILE_W, TILE_W + 2 * HALO_X)],
             ptiles_ref.at[slot], dma_sems.at[slot])
 
-    # Double buffering: step s computes from slot s%2 while step s+1 streams
-    # into the other slot.
+    # DMA pipelining: step s computes from slot s%N while steps s+1..
+    # s+N-1 stream into the other slots (N = N_DMA_BUF; 2 = classic double
+    # buffering).
+    nbuf = ptiles_ref.shape[0]
+
     @pl.when(step == 0)
     def _():
         start_dma(0, 0).start()
+        for k in range(1, nbuf - 1):
+            if k < nsteps:      # nsteps is static (grid is static)
+                start_dma(k, k).start()
 
-    @pl.when(step + 1 < nsteps)
+    @pl.when(step + (nbuf - 1) < nsteps)
     def _():
-        start_dma(step + 1, (step + 1) % 2).start()
+        start_dma(step + (nbuf - 1), (step + (nbuf - 1)) % nbuf).start()
 
-    start_dma(step, step % 2).wait()
-    plane = ptiles_ref[step % 2]
+    start_dma(step, step % nbuf).wait()
+    plane = ptiles_ref[step % nbuf]
     if plane.dtype == jnp.uint16:
         plane = plane.astype(jnp.int32)  # Mosaic has no u16->f32 cast
     plane = plane.astype(f)
@@ -164,127 +184,191 @@ def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
     rng = scal_ref[0, 1]
     v = jnp.minimum((plane - black) / rng, 1.0)
 
-    # Validity of scratch coords: cell (r,c) is global
-    # (y0+r-HALO, xoff+x0+c-HALO_X); xoff is the shard's column offset under
-    # width (sp) sharding, 0 single-device.
+    # xoff is the shard's column offset under width (sp) sharding, 0
+    # single-device. Cell (r,c) of the scratch tile is global
+    # (y0+r-HALO, xoff+x0+c-HALO_X).
     xoff = xoff_ref[0, 0]
     rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + (y0 - HALO)
     cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) + (xoff + x0 - HALO_X)
-    valid = ((rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)).astype(f)
 
     def sl(a, dy, dx):
         return a[HALO + dy:HALO + dy + tile_h, HALO_X + dx:HALO_X + dx + TILE_W]
+
+    def finish(rgbe):
+        _finish_tile(rgbe, scal_ref, spline_ref, r_ref, g_ref, b_ref,
+                     apply_curve=apply_curve, n_knots=n_knots, linear=linear,
+                     out_bits=out_bits, stage_limit=stage_limit)
+
+    # Interior tiles (the bulk of the grid) have every +-1 neighbor inside
+    # the image: validity is identically 1, Bayer neighbor counts are the
+    # constants 4/2/2/4, and s/4, s/2 are EXACT power-of-two multiplies --
+    # the specialized path is bit-identical to the masked path there while
+    # skipping the validity compares and all count arithmetic (measured
+    # front-end lever, VERDICT r2 next #7).
+    gx0 = xoff + x0
+    interior = ((y0 >= 1) & (y0 + tile_h + 1 <= height)
+                & (gx0 >= 1) & (gx0 + TILE_W + 1 <= width))
 
     pat = CFA(cfa_name).pattern if cfa_name else None
     bayer_fast = (BAYER_CLOSED_FORM and bayer and pat is not None
                   and sorted(int(c) for c in pat.ravel()) == [0, 1, 1, 2])
     if bayer_fast:
-        # Closed-form Bayer demosaic (same neighbor sets as the reference's
-        # 3x3 lookup, demosaic.rs:67-119; accumulation order differs, which
-        # only moves f32 ULPs -- within the 1 LSB contract). ~5x fewer VPU
-        # passes than the generic mask loop.
-        vv = v * valid  # invalid neighbors contribute 0 to sums and counts
-        c_ctr = sl(v, 0, 0)
-        e_sum = sl(vv, -1, 0) + sl(vv, 1, 0) + sl(vv, 0, -1) + sl(vv, 0, 1)
-        e_cnt = sl(valid, -1, 0) + sl(valid, 1, 0) + sl(valid, 0, -1) + sl(valid, 0, 1)
-        h_sum = sl(vv, 0, -1) + sl(vv, 0, 1)
-        h_cnt = sl(valid, 0, -1) + sl(valid, 0, 1)
-        v_sum = sl(vv, -1, 0) + sl(vv, 1, 0)
-        v_cnt = sl(valid, -1, 0) + sl(valid, 1, 0)
-        d_sum = sl(vv, -1, -1) + sl(vv, -1, 1) + sl(vv, 1, -1) + sl(vv, 1, 1)
-        d_cnt = sl(valid, -1, -1) + sl(valid, -1, 1) + sl(valid, 1, -1) + sl(valid, 1, 1)
+        if not INTERIOR_SPLIT:
+            interior = None
 
-        def avg(s, c):
-            return jnp.where(c > 0.0, s / c, 0.0)
+        def bayer_rgbe(masked):
+            # Closed-form Bayer demosaic (same neighbor sets as the
+            # reference's 3x3 lookup, demosaic.rs:67-119; accumulation order
+            # differs, which only moves f32 ULPs -- within the 1 LSB
+            # contract). ~5x fewer VPU passes than the generic mask loop.
+            if masked:
+                valid = ((rows >= 0) & (rows < height)
+                         & (cols >= 0) & (cols < width)).astype(f)
+                vv = v * valid   # invalid neighbors contribute 0 everywhere
+            else:
+                vv = v
+            c_ctr = sl(v, 0, 0)
+            e_sum = sl(vv, -1, 0) + sl(vv, 1, 0) + sl(vv, 0, -1) + sl(vv, 0, 1)
+            h_sum = sl(vv, 0, -1) + sl(vv, 0, 1)
+            v_sum = sl(vv, -1, 0) + sl(vv, 1, 0)
+            d_sum = sl(vv, -1, -1) + sl(vv, -1, 1) + sl(vv, 1, -1) + sl(vv, 1, 1)
 
-        # Phase masks as f32 products of parity indicators (pure arithmetic:
-        # Mosaic's i1 vector handling is fragile). Built from fresh
-        # output-tile-shaped iotas, NOT by slicing rows/cols: those are
-        # single-axis broadcasted iotas that Mosaic keeps in a replicated
-        # layout, and extract_strided_slice on a replicated vector crashes
-        # ApplyVectorLayout ("array.h:480 Check failed: limits[i] <= dim(i)").
-        orows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0) + y0
-        ocols = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
-                 + (xoff + x0))
-        pr0 = ((orows & 1) == 0).astype(f)
-        pc0 = ((ocols & 1) == 0).astype(f)
-        pr1 = 1.0 - pr0
-        pc1 = 1.0 - pc0
-        cell = {(0, 0): pr0 * pc0, (0, 1): pr0 * pc1,
-                (1, 0): pr1 * pc0, (1, 1): pr1 * pc1}
-        p = [[int(pat[0, 0]), int(pat[0, 1])], [int(pat[1, 0]), int(pat[1, 1])]]
+            if masked:
+                def avg(s, c):
+                    return jnp.where(c > 0.0, s / c, 0.0)
 
-        def phase_is(color):
-            acc = jnp.zeros((tile_h, TILE_W), f)
-            for a in (0, 1):
-                for b in (0, 1):
-                    if p[a][b] == color:
-                        acc = acc + cell[(a, b)]
-            return acc
+                e_cnt = (sl(valid, -1, 0) + sl(valid, 1, 0)
+                         + sl(valid, 0, -1) + sl(valid, 0, 1))
+                h_cnt = sl(valid, 0, -1) + sl(valid, 0, 1)
+                v_cnt = sl(valid, -1, 0) + sl(valid, 1, 0)
+                d_cnt = (sl(valid, -1, -1) + sl(valid, -1, 1)
+                         + sl(valid, 1, -1) + sl(valid, 1, 1))
+                h_avg = avg(h_sum, h_cnt)
+                v_avg = avg(v_sum, v_cnt)
+                d_avg = avg(d_sum, d_cnt)
+                e_avg = avg(e_sum, e_cnt)
+            else:
+                h_avg = h_sum * 0.5
+                v_avg = v_sum * 0.5
+                d_avg = d_sum * 0.25
+                e_avg = e_sum * 0.25
 
-        is_r = phase_is(0)
-        is_b = phase_is(2)
-        is_g = 1.0 - is_r - is_b
-        # G rows containing R have R as the horizontal neighbor of G.
-        r_row_top = 0 in p[0]
-        g_h = pr0 if r_row_top else pr1   # 1.0 where G sees R horizontally
+            # Phase masks as f32 products of parity indicators (pure
+            # arithmetic: Mosaic's i1 vector handling is fragile). Built from
+            # fresh output-tile-shaped iotas, NOT by slicing rows/cols: those
+            # are single-axis broadcasted iotas that Mosaic keeps in a
+            # replicated layout, and extract_strided_slice on a replicated
+            # vector crashes ApplyVectorLayout ("array.h:480 Check failed:
+            # limits[i] <= dim(i)").
+            orows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0) + y0
+            ocols = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
+                     + (xoff + x0))
+            pr0 = ((orows & 1) == 0).astype(f)
+            pc0 = ((ocols & 1) == 0).astype(f)
+            pr1 = 1.0 - pr0
+            pc1 = 1.0 - pc0
+            cell = {(0, 0): pr0 * pc0, (0, 1): pr0 * pc1,
+                    (1, 0): pr1 * pc0, (1, 1): pr1 * pc1}
+            p = [[int(pat[0, 0]), int(pat[0, 1])],
+                 [int(pat[1, 0]), int(pat[1, 1])]]
 
-        h_avg = avg(h_sum, h_cnt)
-        v_avg = avg(v_sum, v_cnt)
-        d_avg = avg(d_sum, d_cnt)
-        r_at_g = g_h * h_avg + (1.0 - g_h) * v_avg
-        b_at_g = g_h * v_avg + (1.0 - g_h) * h_avg
-        rgbe = [
-            is_r * c_ctr + is_g * r_at_g + is_b * d_avg,
-            is_g * c_ctr + (is_r + is_b) * avg(e_sum, e_cnt),
-            is_b * c_ctr + is_g * b_at_g + is_r * d_avg,
-            c_ctr * 0.0,  # derived zero (a splat constant upset Mosaic)
-        ]
+            def phase_is(color):
+                acc = jnp.zeros((tile_h, TILE_W), f)
+                for a in (0, 1):
+                    for b in (0, 1):
+                        if p[a][b] == color:
+                            acc = acc + cell[(a, b)]
+                return acc
+
+            is_r = phase_is(0)
+            is_b = phase_is(2)
+            is_g = 1.0 - is_r - is_b
+            # G rows containing R have R as the horizontal neighbor of G.
+            r_row_top = 0 in p[0]
+            g_h = pr0 if r_row_top else pr1  # 1.0 where G sees R horizontally
+            r_at_g = g_h * h_avg + (1.0 - g_h) * v_avg
+            b_at_g = g_h * v_avg + (1.0 - g_h) * h_avg
+            return [
+                is_r * c_ctr + is_g * r_at_g + is_b * d_avg,
+                is_g * c_ctr + (is_r + is_b) * e_avg,
+                is_b * c_ctr + is_g * b_at_g + is_r * d_avg,
+                c_ctr * 0.0,  # derived zero (a splat constant upset Mosaic)
+            ]
+
+        if interior is None:
+            finish(bayer_rgbe(masked=True))
+            return
+
+        @pl.when(interior)
+        def _():
+            finish(bayer_rgbe(masked=False))
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            finish(bayer_rgbe(masked=True))
+        return
+
+    # Closed form for ANY periodic CFA, equivalent to the reference's
+    # per-offset discard rule (demosaic.rs:87): the center pixel's own
+    # channel takes exactly the center sample (same-color neighbors are
+    # discarded, center kept), and every OTHER channel averages all its
+    # valid neighbors -- so per color the neighbor term is a plain 8-point
+    # box sum of one masked plane, no per-(offset, color) selects. ~2x fewer
+    # VPU passes than the mask loop; accumulation order moves f32 ULPs only
+    # (within the 1 LSB contract).
+    if bayer:
+        colors = _color_at_2x2(CFA(cfa_name), rows & 1, cols & 1)
     else:
-        # Closed form for ANY periodic CFA, equivalent to the reference's
-        # per-offset discard rule (demosaic.rs:87): the center pixel's own
-        # channel takes exactly the center sample (same-color neighbors are
-        # discarded, center kept), and every OTHER channel averages all its
-        # valid neighbors -- so per color the neighbor term is a plain
-        # 8-point box sum of one masked plane, no per-(offset, color)
-        # selects. ~2x fewer VPU passes than the mask loop; accumulation
-        # order moves f32 ULPs only (within the 1 LSB contract).
-        if bayer:
-            colors = _color_at_2x2(CFA(cfa_name), rows & 1, cols & 1)
+        colors = cmap_ref[...].astype(jnp.int32)
+    c0 = sl(colors, 0, 0)
+    v_ctr = sl(v, 0, 0)
+
+    def box8(a):
+        # Separable 3x3 sum: vertical triple over the full halo tile,
+        # horizontal triple on tile-width slices -- 4 adds instead of 7
+        # (order moves f32 ULPs only). The center term needs no
+        # subtraction: every consumed lane has oc==0 at the center
+        # (c != center color there), and center-color lanes discard the
+        # box sum via the is_ctr select below.
+        vert = a[HALO - 1:HALO - 1 + tile_h, :] \
+            + a[HALO:HALO + tile_h, :] \
+            + a[HALO + 1:HALO + 1 + tile_h, :]
+        h0 = HALO_X
+        return vert[:, h0 - 1:h0 - 1 + TILE_W] \
+            + vert[:, h0:h0 + TILE_W] \
+            + vert[:, h0 + 1:h0 + 1 + TILE_W]
+
+    def generic_rgbe(masked):
+        if masked:
+            valid = ((rows >= 0) & (rows < height)
+                     & (cols >= 0) & (cols < width)).astype(f)
+            vv = v * valid
         else:
-            colors = cmap_ref[...].astype(jnp.int32)
-        c0 = sl(colors, 0, 0)
-        vv = v * valid
-        v_ctr = sl(v, 0, 0)
-
-        def box8(a):
-            # Separable 3x3 sum: vertical triple over the full halo tile,
-            # horizontal triple on tile-width slices -- 4 adds instead of 7
-            # (order moves f32 ULPs only). The center term needs no
-            # subtraction: every consumed lane has oc==0 at the center
-            # (c != center color there), and center-color lanes discard the
-            # box sum via the is_ctr select below.
-            vert = a[HALO - 1:HALO - 1 + tile_h, :] \
-                + a[HALO:HALO + tile_h, :] \
-                + a[HALO + 1:HALO + 1 + tile_h, :]
-            h0 = HALO_X
-            return vert[:, h0 - 1:h0 - 1 + TILE_W] \
-                + vert[:, h0:h0 + TILE_W] \
-                + vert[:, h0 + 1:h0 + 1 + TILE_W]
-
+            vv = v
         rgbe = []
         for c in range(4):
             oc = (colors == c).astype(f)
             nbr_s = box8(vv * oc)
-            nbr_c = box8(valid * oc)
+            # Interior counts still vary per CFA phase (3/6/9-point sets),
+            # but validity is 1 there so the mask plane IS oc.
+            nbr_c = box8(valid * oc) if masked else box8(oc)
             is_ctr = (c0 == c)
             s = jnp.where(is_ctr, v_ctr, nbr_s)
             n = jnp.where(is_ctr, 1.0, nbr_c)
             rgbe.append(jnp.where(n > 0.0, s / n, 0.0))
+        return rgbe
 
-    _finish_tile(rgbe, scal_ref, spline_ref, r_ref, g_ref, b_ref,
-                 apply_curve=apply_curve, n_knots=n_knots, linear=linear,
-                 out_bits=out_bits, stage_limit=stage_limit)
+    if not INTERIOR_SPLIT:
+        finish(generic_rgbe(masked=True))
+        return
+
+    @pl.when(interior)
+    def _():
+        finish(generic_rgbe(masked=False))
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        finish(generic_rgbe(masked=True))
 
 
 def _finish_tile(rgbe, scal_ref, spline_ref, r_ref, g_ref, b_ref, *,
@@ -454,9 +538,9 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
         ],
         out_shape=[jax.ShapeDtypeStruct((height, width), out_dtype)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2 * HALO, TILE_W + 2 * HALO_X),
+            pltpu.VMEM((N_DMA_BUF, tile_h + 2 * HALO, TILE_W + 2 * HALO_X),
                        plane_padded.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((N_DMA_BUF,)),
         ],
         interpret=interpret,
     )(scal, spline, xoff, plane_padded, cmap)

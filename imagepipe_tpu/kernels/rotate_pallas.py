@@ -191,6 +191,12 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
     ohx_bytes = D_xr * R * K_x * TC * 4
     if win_bytes + ohx_bytes > _VMEM_WINDOW_BYTES:
         return None
+    # Channel-batched selection holds gsel + its masked product in VMEM
+    # ([nch*D_g, R*K_x*TC] f32 each); batch as many channels per matmul as
+    # the leftover budget allows (1 = the original per-channel loop).
+    per_ch = 2 * D_g * R * K_x * TC * 4
+    nch = max(1, min(components,
+                     (_VMEM_WINDOW_BYTES - win_bytes - ohx_bytes) // per_ch))
 
     # Static upper bounds for any per-tile origin (ry0 <= align8(H-1) etc.).
     Hp = (-(-height // 8) * 8) + D_y
@@ -243,14 +249,14 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
         components=components, height=height, width=width,
         nheight=nheight, nwidth=nwidth, ntr=ntr, ntc=ntc,
         D_y=D_y, D_x=D_x, D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y,
-        Hp=Hp, Wp=Wp,
+        Hp=Hp, Wp=Wp, nch=int(nch),
     )
     return statics, coltab, rowtab, aggtab
 
 
 def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
                    *, components, height, width, nheight, nwidth, ntr, ntc,
-                   D_y, D_x, D_g, D_xr, K_x, K_y, Hp, Wp):
+                   D_y, D_x, D_g, D_xr, K_x, K_y, Hp, Wp, nch):
     f = jnp.float32
     C = components
     ti = pl.program_id(0)
@@ -420,36 +426,58 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
                   for ky in range(K_y)] for rr in range(R)]
 
         ohx_bf = ohx.astype(jnp.bfloat16)
-        for ch in range(C):
-            win_slice = win_ref[slot, ch, pl.ds(pyb * 8, D_g),
-                                pl.ds(pxb * 128, D_xr)]          # [D_g, D_xr]
+        # Channels batched `nch` per selection matmul (sublane-stacked:
+        # [nch*D_g, D_xr]): fewer MXU dispatches at a taller M dimension,
+        # one bf16 split per chunk instead of per channel; nch is sized by
+        # rotate_plan's VMEM budget (1 = the original per-channel loop).
+        for c0 in range(0, C, nch):
+            chs = list(range(c0, min(c0 + nch, C)))
+            nc = len(chs)
+            if nc > 1:
+                win4 = jnp.concatenate(
+                    [win_ref[slot, ch, pl.ds(pyb * 8, D_g),
+                             pl.ds(pxb * 128, D_xr)] for ch in chs],
+                    axis=0)                            # [nc*D_g, D_xr]
+            else:
+                win4 = win_ref[slot, chs[0], pl.ds(pyb * 8, D_g),
+                               pl.ds(pxb * 128, D_xr)]
             # Manual 3-term bf16 split: hi+mid+lo reconstructs every f32
             # exactly (24 <= 3x8 mantissa bits), each bf16 x {0,1} product
             # is exact, and each output column has at most one hot -- so
             # three native-rate bf16 matmuls give bit-exact selection at
             # half the passes of Precision.HIGHEST.
-            hi = win_slice.astype(jnp.bfloat16)
-            r1 = win_slice - hi.astype(f)
+            hi = win4.astype(jnp.bfloat16)
+            r1 = win4 - hi.astype(f)
             mid = r1.astype(jnp.bfloat16)
             lo = (r1 - mid.astype(f)).astype(jnp.bfloat16)
             gsel = None
             for part in (hi, mid, lo):
                 d = jax.lax.dot_general(
                     part, ohx_bf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f)          # [D_g, R*K_x*TC]
+                    preferred_element_type=f)          # [nc*D_g, R*K_x*TC]
                 gsel = d if gsel is None else gsel + d
             for rr in range(R):
-                acc = jnp.zeros((TC,), f)
+                seg = gsel[:, rr * K_x * TC:(rr + 1) * K_x * TC]
+                accs = [jnp.zeros((TC,), f) for _ in chs]
                 for ky in range(K_y):
-                    m = masks[rr][ky]
-                    for kx in range(K_x):
-                        seg = gsel[:, (rr * K_x + kx) * TC:
-                                   (rr * K_x + kx + 1) * TC]     # [D_g, TC]
-                        val = jnp.sum(seg * m, axis=0)           # [TC]
-                        acc = acc + ws[rr][ky][kx] * val
+                    # One wide masked reduction per (rr, ky) covering every
+                    # kx offset and chunk channel: the y-selection mask is
+                    # kx- and channel-independent, so tiling it beats
+                    # K_x*nc narrow reduce ops (the 45-degree hot loop).
+                    m_t = jnp.tile(masks[rr][ky], (nc, K_x))
+                    prod = seg * m_t                   # [nc*D_g, K_x*TC]
+                    for ci in range(nc):
+                        vals = jnp.sum(prod[ci * D_g:(ci + 1) * D_g, :],
+                                       axis=0)
+                        acc = accs[ci]
+                        for kx in range(K_x):
+                            acc = acc + ws[rr][ky][kx] \
+                                * vals[kx * TC:(kx + 1) * TC]
+                        accs[ci] = acc
                 cnt = counts[rr]
-                res = jnp.where(cnt > 0.0, acc / cnt, 0.0)
-                out_ref[ch, pl.ds(g * R + rr, 1), :] = res[None, :]
+                for ci, ch in enumerate(chs):
+                    res = jnp.where(cnt > 0.0, accs[ci] / cnt, 0.0)
+                    out_ref[ch, pl.ds(g * R + rr, 1), :] = res[None, :]
         return carry
 
     @pl.when(jnp.logical_not(tile_empty))
@@ -459,16 +487,17 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
 
 @partial(jax.jit, static_argnames=(
     "components", "height", "width", "nheight", "nwidth", "ntr", "ntc",
-    "D_y", "D_x", "D_g", "D_xr", "K_x", "K_y", "Hp", "Wp", "interpret"))
+    "D_y", "D_x", "D_g", "D_xr", "K_x", "K_y", "Hp", "Wp", "nch",
+    "interpret"))
 def _rotate_jit(src_chw, coltab, rowtab, aggtab, *, components, height, width,
                 nheight, nwidth, ntr, ntc, D_y, D_x, D_g, D_xr, K_x, K_y,
-                Hp, Wp, interpret):
+                Hp, Wp, nch, interpret):
     C = components
     src_p = jnp.pad(src_chw, ((0, 0), (0, Hp - height), (0, Wp - width)))
     kernel = partial(
         _rotate_kernel, components=C, height=height, width=width,
         nheight=nheight, nwidth=nwidth, ntr=ntr, ntc=ntc, D_y=D_y, D_x=D_x,
-        D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y, Hp=Hp, Wp=Wp)
+        D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y, Hp=Hp, Wp=Wp, nch=nch)
     out = pl.pallas_call(
         kernel,
         grid=(ntr, ntc),

@@ -143,120 +143,145 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
     _, tyr_max = tile_minmax(tyr, ntr, TH)
     fxr_min, _ = tile_minmax(fxr, ntr, TH)
     _, txr_max = tile_minmax(txr, ntr, TH)
-    fyc_min, _ = tile_minmax(fyc, ntc, TC)
-    _, tyc_max = tile_minmax(tyc, ntc, TC)
-    fxc_min, _ = tile_minmax(fxc, ntc, TC)
-    _, txc_max = tile_minmax(txc, ntc, TC)
 
-    # Per-tile window bounds (floor/sat are monotone, so separable min/max of
-    # the 1-D terms bound the per-pixel from/to exactly). The kernel derives
-    # the same origins from the SMEM aggregate table -> exact, no margins.
-    ymin = _sat_np(fyr_min[:, None] + fyc_min[None, :], height - 1)
-    ymax = _sat_np(tyr_max[:, None] + tyc_max[None, :], height - 1)
-    ymax = np.maximum(ymax, ymin)
-    xmin = _sat_np(fxr_min[:, None] + fxc_min[None, :], width - 1)
-    xmax = _sat_np(txr_max[:, None] + txc_max[None, :], width - 1)
-    xmax = np.maximum(xmax, xmin)
-    ry0 = (ymin // 8) * 8
-    rx0 = (xmin // 128) * 128
-    D_y = -(-(int((ymax - ry0).max()) + 1) // 8) * 8
-    D_x = -(-(int((xmax - rx0).max()) + 1) // 128) * 128
+    def body(TC):
+        ntc = -(-nwidth // TC)
+        fyc_min, _ = tile_minmax(fyc, ntc, TC)
+        _, tyc_max = tile_minmax(tyc, ntc, TC)
+        fxc_min, _ = tile_minmax(fxc, ntc, TC)
+        _, txc_max = tile_minmax(txc, ntc, TC)
 
-    # Per-row-GROUP sub-window extents (the kernel slices [D_g, D_xr] out of
-    # the tile window per group, 8/128-aligned down from the group minima).
-    n_groups = ntr * ngr
-    fy_g, _ = tile_minmax(fyr, n_groups, R)
-    _, ty_g = tile_minmax(tyr, n_groups, R)
-    fx_g, _ = tile_minmax(fxr, n_groups, R)
-    _, tx_g = tile_minmax(txr, n_groups, R)
-    gy_min = _sat_np(fy_g[:, None] + fyc_min[None, :], height - 1)
-    gy_max = np.maximum(_sat_np(ty_g[:, None] + tyc_max[None, :], height - 1),
-                        gy_min)
-    gx_min = _sat_np(fx_g[:, None] + fxc_min[None, :], width - 1)
-    gx_max = np.maximum(_sat_np(tx_g[:, None] + txc_max[None, :], width - 1),
-                        gx_min)
-    D_g = -(-(int((gy_max - (gy_min // 8) * 8).max()) + 1) // 8) * 8
-    D_xr = -(-(int((gx_max - (gx_min // 128) * 128).max()) + 1) // 128) * 128
+        # Per-tile window bounds (floor/sat are monotone, so separable min/max of
+        # the 1-D terms bound the per-pixel from/to exactly). The kernel derives
+        # the same origins from the SMEM aggregate table -> exact, no margins.
+        ymin = _sat_np(fyr_min[:, None] + fyc_min[None, :], height - 1)
+        ymax = _sat_np(tyr_max[:, None] + tyc_max[None, :], height - 1)
+        ymax = np.maximum(ymax, ymin)
+        xmin = _sat_np(fxr_min[:, None] + fxc_min[None, :], width - 1)
+        xmax = _sat_np(txr_max[:, None] + txc_max[None, :], width - 1)
+        xmax = np.maximum(xmax, xmin)
+        ry0 = (ymin // 8) * 8
+        rx0 = (xmin // 128) * 128
+        D_y = -(-(int((ymax - ry0).max()) + 1) // 8) * 8
+        D_x = -(-(int((xmax - rx0).max()) + 1) // 128) * 128
 
-    # Bucket the window extents so one compiled kernel covers a range of
-    # angles: the jit signature is shapes+buckets only (the geometry lives
-    # in runtime tables), so an interactive rotation slider re-jits a
-    # handful of times, not per angle.
-    D_g = -(-D_g // 32) * 32
-    D_y = -(-D_y // 64) * 64
-    D_g = min(D_g, D_y)
-    D_xr = min(D_xr, D_x)
+        # Per-row-GROUP sub-window extents (the kernel slices [D_g, D_xr] out of
+        # the tile window per group, 8/128-aligned down from the group minima).
+        n_groups = ntr * ngr
+        fy_g, _ = tile_minmax(fyr, n_groups, R)
+        _, ty_g = tile_minmax(tyr, n_groups, R)
+        fx_g, _ = tile_minmax(fxr, n_groups, R)
+        _, tx_g = tile_minmax(txr, n_groups, R)
+        gy_min = _sat_np(fy_g[:, None] + fyc_min[None, :], height - 1)
+        gy_max = np.maximum(_sat_np(ty_g[:, None] + tyc_max[None, :], height - 1),
+                            gy_min)
+        gx_min = _sat_np(fx_g[:, None] + fxc_min[None, :], width - 1)
+        gx_max = np.maximum(_sat_np(tx_g[:, None] + txc_max[None, :], width - 1),
+                            gx_min)
+        D_g = -(-(int((gy_max - (gy_min // 8) * 8).max()) + 1) // 8) * 8
+        D_xr = -(-(int((gx_max - (gx_min // 128) * 128).max()) + 1) // 128) * 128
 
-    win_bytes = 2 * components * D_y * D_x * 4
-    ohx_bytes = D_xr * R * K_x * TC * 4
-    if win_bytes + ohx_bytes > _VMEM_WINDOW_BYTES:
-        return None
-    # Channel-batched selection holds gsel + its masked product in VMEM
-    # ([nch*D_g, R*K_x*TC] f32 each); batch as many channels per matmul as
-    # the leftover budget allows (1 = the original per-channel loop).
-    per_ch = 2 * D_g * R * K_x * TC * 4
-    nch = max(1, min(components,
-                     (_VMEM_WINDOW_BYTES - win_bytes - ohx_bytes) // per_ch))
+        # Bucket the window extents so one compiled kernel covers a range of
+        # angles: the jit signature is shapes+buckets only (the geometry lives
+        # in runtime tables), so an interactive rotation slider re-jits a
+        # handful of times, not per angle.
+        D_g = -(-D_g // 32) * 32
+        D_y = -(-D_y // 64) * 64
+        D_g = min(D_g, D_y)
+        D_xr = min(D_xr, D_x)
 
-    # Static upper bounds for any per-tile origin (ry0 <= align8(H-1) etc.).
-    Hp = (-(-height // 8) * 8) + D_y
-    Wp = (-(-width // 128) * 128) + D_x
+        win_bytes = 2 * components * D_y * D_x * 4
+        ohx_bytes = D_xr * R * K_x * TC * 4
+        if win_bytes + ohx_bytes > _VMEM_WINDOW_BYTES:
+            return None
+        # Channel-batched selection holds gsel + its masked product in VMEM
+        # ([nch*D_g, R*K_x*TC] f32 each); batch as many channels per matmul as
+        # the leftover budget allows (1 = the original per-channel loop).
+        per_ch = 2 * D_g * R * K_x * TC * 4
+        nch = max(1, min(components,
+                         (_VMEM_WINDOW_BYTES - win_bytes - ohx_bytes) // per_ch))
 
-    nw_pad = ntc * TC
-    cpad = np.minimum(np.arange(nw_pad), nwidth - 1).astype(_f32)
-    half_x = _f32(sxx / _f32(2.0))
-    half_y = _f32(sxy / _f32(2.0))
-    coltab = np.stack([
-        sxx * cpad,                      # fxc
-        sxx * (cpad + _f32(1.0)),        # txc
-        sxy * cpad,                      # fyc
-        sxy * (cpad + _f32(1.0)),        # tyc
-        sxx * cpad + half_x,             # cxc (scaling.py line order)
-        sxy * cpad + half_y,             # cyc
-    ]).astype(_f32)                      # [6, nw_pad]
+        # Static upper bounds for any per-tile origin (ry0 <= align8(H-1) etc.).
+        Hp = (-(-height // 8) * 8) + D_y
+        Wp = (-(-width // 128) * 128) + D_x
 
-    # Per-row f32 terms in SMEM: exact host two-rounding values the kernel
-    # reads as scalars -- device-side `tl + skip*r` could contract into an
-    # FMA whose single rounding flips floor() at window boundaries (the trap
-    # documented for scaling.py's host tables).
-    nh_pad = ntr * TH
-    rpad = np.minimum(np.arange(nh_pad), nheight - 1).astype(_f32)
-    rowtab = np.stack([
-        tl1 + syy * rpad,                                       # fyr
-        tl1 + syy * (rpad + _f32(1.0)),                         # tyr
-        tl0 + syx * rpad,                                       # fxr
-        tl0 + syx * (rpad + _f32(1.0)),                         # txr
-        tl1 + syy * rpad + _f32(syy / _f32(2.0)) - _f32(0.5),   # cyr
-        tl0 + syx * rpad + _f32(syx / _f32(2.0)) - _f32(0.5),   # cxr
-        np.zeros(nh_pad, _f32),
-        np.zeros(nh_pad, _f32),
-    ]).astype(_f32).T.copy()             # [nh_pad, 8] (SMEM block layout)
+        nw_pad = ntc * TC
+        cpad = np.minimum(np.arange(nw_pad), nwidth - 1).astype(_f32)
+        half_x = _f32(sxx / _f32(2.0))
+        half_y = _f32(sxy / _f32(2.0))
+        coltab = np.stack([
+            sxx * cpad,                      # fxc
+            sxx * (cpad + _f32(1.0)),        # txc
+            sxy * cpad,                      # fyc
+            sxy * (cpad + _f32(1.0)),        # tyc
+            sxx * cpad + half_x,             # cxc (scaling.py line order)
+            sxy * cpad + half_y,             # cyc
+        ]).astype(_f32)                      # [6, nw_pad]
+        if TC < 128:
+            # Mosaic requires block lane dims %128 or == the array dim;
+            # sub-128 tiles make TC the actual last dim (tile-major).
+            coltab = coltab.reshape(6, ntc, TC).swapaxes(0, 1).copy()
 
-    # Geometry params + per-tile-row and per-group aggregates (exact f32
-    # minima/maxima of the row terms) for window origins:
-    # [1 + ntr + n_groups, 8] f32 SMEM, whole-array. Row 0 carries the skip
-    # scalars so they are runtime data, not jit statics.
-    prm = np.array([[tl0, tl1, sxx, sxy, syx, syy, 0.0, 0.0]], _f32)
-    ragg = np.stack([fyr_min, tyr_max, fxr_min, txr_max,
-                     np.zeros(ntr, _f32), np.zeros(ntr, _f32),
-                     np.zeros(ntr, _f32), np.zeros(ntr, _f32)]).T
-    gagg = np.stack([fy_g, ty_g, fx_g, tx_g,
-                     np.zeros(n_groups, _f32), np.zeros(n_groups, _f32),
-                     np.zeros(n_groups, _f32), np.zeros(n_groups, _f32)]).T
-    aggtab = np.concatenate([prm, ragg, gagg], axis=0).astype(_f32)
+        # Per-row f32 terms in SMEM: exact host two-rounding values the kernel
+        # reads as scalars -- device-side `tl + skip*r` could contract into an
+        # FMA whose single rounding flips floor() at window boundaries (the trap
+        # documented for scaling.py's host tables).
+        nh_pad = ntr * TH
+        rpad = np.minimum(np.arange(nh_pad), nheight - 1).astype(_f32)
+        rowtab = np.stack([
+            tl1 + syy * rpad,                                       # fyr
+            tl1 + syy * (rpad + _f32(1.0)),                         # tyr
+            tl0 + syx * rpad,                                       # fxr
+            tl0 + syx * (rpad + _f32(1.0)),                         # txr
+            tl1 + syy * rpad + _f32(syy / _f32(2.0)) - _f32(0.5),   # cyr
+            tl0 + syx * rpad + _f32(syx / _f32(2.0)) - _f32(0.5),   # cxr
+            np.zeros(nh_pad, _f32),
+            np.zeros(nh_pad, _f32),
+        ]).astype(_f32).T.copy()             # [nh_pad, 8] (SMEM block layout)
 
-    statics = dict(
-        components=components, height=height, width=width,
-        nheight=nheight, nwidth=nwidth, ntr=ntr, ntc=ntc,
-        D_y=D_y, D_x=D_x, D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y,
-        Hp=Hp, Wp=Wp, nch=int(nch),
-    )
-    return statics, coltab, rowtab, aggtab
+        # Geometry params + per-tile-row and per-group aggregates (exact f32
+        # minima/maxima of the row terms) for window origins:
+        # [1 + ntr + n_groups, 8] f32 SMEM, whole-array. Row 0 carries the skip
+        # scalars so they are runtime data, not jit statics.
+        prm = np.array([[tl0, tl1, sxx, sxy, syx, syy, 0.0, 0.0]], _f32)
+        ragg = np.stack([fyr_min, tyr_max, fxr_min, txr_max,
+                         np.zeros(ntr, _f32), np.zeros(ntr, _f32),
+                         np.zeros(ntr, _f32), np.zeros(ntr, _f32)]).T
+        gagg = np.stack([fy_g, ty_g, fx_g, tx_g,
+                         np.zeros(n_groups, _f32), np.zeros(n_groups, _f32),
+                         np.zeros(n_groups, _f32), np.zeros(n_groups, _f32)]).T
+        aggtab = np.concatenate([prm, ragg, gagg], axis=0).astype(_f32)
+
+        statics = dict(
+            components=components, height=height, width=width,
+            nheight=nheight, nwidth=nwidth, ntr=ntr, ntc=ntc,
+            D_y=D_y, D_x=D_x, D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y,
+            Hp=Hp, Wp=Wp, nch=int(nch), tc=int(TC),
+        )
+        # Cost model for the tile-width choice: selection MACs (3 bf16 passes,
+        # MXU ~32x VPU element rate) + the mask-mult-reduce VPU elements.
+        ntiles = ntr * ntc * ngr
+        mxu = ntiles * components * D_g * D_xr * R * K_x * TC * 3 / 32.0
+        vpu = ntiles * components * R * K_y * D_g * K_x * TC
+        return (mxu + vpu), (statics, coltab, rowtab, aggtab)
+
+    # Angle-adaptive tile width: the group sub-window scales with
+    # TC*sin(angle) on BOTH axes, so selection FLOPs per output pixel
+    # grow ~TC^2 at large angles; a 64-lane tile quarters them there
+    # (at the cost of half-empty vector lanes). Pick by cost model with
+    # hysteresis toward the proven 128-lane default.
+    best = body(TC)
+    cand = body(64)
+    if cand is not None and (best is None or cand[0] < 0.75 * best[0]):
+        best = cand
+    return None if best is None else best[1]
 
 
 def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
                    *, components, height, width, nheight, nwidth, ntr, ntc,
-                   D_y, D_x, D_g, D_xr, K_x, K_y, Hp, Wp, nch):
+                   D_y, D_x, D_g, D_xr, K_x, K_y, Hp, Wp, nch, tc):
+    TC = tc          # angle-adaptive tile width (shadows the module default)
+    tile_fmt = tc < 128  # sub-128: tile-major table/output layouts
     f = jnp.float32
     C = components
     ti = pl.program_id(0)
@@ -336,15 +361,20 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
 
     @pl.when(tile_empty)
     def _():
-        out_ref[...] = jnp.zeros((C, TH, TC), f)
+        if tile_fmt:
+            out_ref[...] = jnp.zeros((C, 1, TH, TC), f)
+        else:
+            out_ref[...] = jnp.zeros((C, TH, TC), f)
 
-    # Column terms for this tile's TC output columns ([6, TC] table block).
-    fxc = tab_ref[0, :]
-    txc = tab_ref[1, :]
-    fyc = tab_ref[2, :]
-    tyc = tab_ref[3, :]
-    cxc = tab_ref[4, :]
-    cyc = tab_ref[5, :]
+    # Column terms for this tile's TC output columns ([6, TC] table block;
+    # tile-major [1, 6, TC] when sub-128).
+    tab = (lambda k: tab_ref[0, k, :]) if tile_fmt else (lambda k: tab_ref[k, :])
+    fxc = tab(0)
+    txc = tab(1)
+    fyc = tab(2)
+    tyc = tab(3)
+    cxc = tab(4)
+    cyc = tab(5)
 
     def sat_v(v, maxv):
         v = jnp.floor(v)
@@ -477,7 +507,10 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
                 cnt = counts[rr]
                 for ci, ch in enumerate(chs):
                     res = jnp.where(cnt > 0.0, accs[ci] / cnt, 0.0)
-                    out_ref[ch, pl.ds(g * R + rr, 1), :] = res[None, :]
+                    if tile_fmt:
+                        out_ref[ch, 0, pl.ds(g * R + rr, 1), :] = res[None, :]
+                    else:
+                        out_ref[ch, pl.ds(g * R + rr, 1), :] = res[None, :]
         return carry
 
     @pl.when(jnp.logical_not(tile_empty))
@@ -487,37 +520,55 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
 
 @partial(jax.jit, static_argnames=(
     "components", "height", "width", "nheight", "nwidth", "ntr", "ntc",
-    "D_y", "D_x", "D_g", "D_xr", "K_x", "K_y", "Hp", "Wp", "nch",
+    "D_y", "D_x", "D_g", "D_xr", "K_x", "K_y", "Hp", "Wp", "nch", "tc",
     "interpret"))
 def _rotate_jit(src_chw, coltab, rowtab, aggtab, *, components, height, width,
                 nheight, nwidth, ntr, ntc, D_y, D_x, D_g, D_xr, K_x, K_y,
-                Hp, Wp, nch, interpret):
+                Hp, Wp, nch, tc, interpret):
+    TC = tc
     C = components
     src_p = jnp.pad(src_chw, ((0, 0), (0, Hp - height), (0, Wp - width)))
     kernel = partial(
         _rotate_kernel, components=C, height=height, width=width,
         nheight=nheight, nwidth=nwidth, ntr=ntr, ntc=ntc, D_y=D_y, D_x=D_x,
-        D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y, Hp=Hp, Wp=Wp, nch=nch)
+        D_g=D_g, D_xr=D_xr, K_x=K_x, K_y=K_y, Hp=Hp, Wp=Wp, nch=nch,
+        tc=tc)
+    if TC < 128:
+        # Tile-major layouts (TC is the actual last array dim; Mosaic
+        # requires block lane dims %128 or == the array dim).
+        colspec = pl.BlockSpec((1, 6, TC), lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        outspec = pl.BlockSpec((C, 1, TH, TC), lambda i, j: (0, j, i, 0),
+                               memory_space=pltpu.VMEM)
+        outshape = jax.ShapeDtypeStruct((C, ntc, nheight, TC), jnp.float32)
+    else:
+        colspec = pl.BlockSpec((6, TC), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+        outspec = pl.BlockSpec((C, TH, TC), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM)
+        outshape = jax.ShapeDtypeStruct((C, nheight, nwidth), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(ntr, ntc),
         in_specs=[
-            pl.BlockSpec((6, TC), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),   # column tables
+            colspec,                                 # column tables
             pl.BlockSpec((TH, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),   # row tables (scalars)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tile/group aggregates
             pl.BlockSpec(memory_space=pltpu.ANY),    # padded source (HBM)
         ],
-        out_specs=pl.BlockSpec((C, TH, TC), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, nheight, nwidth), jnp.float32),
+        out_specs=outspec,
+        out_shape=outshape,
         scratch_shapes=[
             pltpu.VMEM((2, C, D_y, D_x), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(coltab, rowtab, aggtab, src_p)
+    if TC < 128:
+        # [C, ntc, nh, TC] -> [C, nh, ntc*TC] -> crop to nw.
+        out = jnp.swapaxes(out, 1, 2).reshape(C, nheight, ntc * TC)
+        out = out[:, :, :nwidth]
     return out
 
 

@@ -183,7 +183,7 @@ def test_rotate_tile_empty_check_is_conservative():
     regression that motivated this used skip*c instead of skip*(c+1) for
     the 'to' terms and zeroed real pixels."""
     rng = np.random.default_rng(5)
-    TH, TC = rp.TH, rp.TC
+    TH = rp.TH
     checked = flagged = 0
     for trial in range(60):
         w, h = int(rng.integers(80, 400)), int(rng.integers(80, 400))
@@ -197,6 +197,9 @@ def test_rotate_tile_empty_check_is_conservative():
         checked += 1
         statics, coltab, rowtab, aggtab = plan
         ntr, ntc = statics["ntr"], statics["ntc"]
+        TC = statics["tc"]     # angle-adaptive tile width
+        if coltab.ndim == 3:   # sub-128 tile-major layout -> flat [6, nw_pad]
+            coltab = coltab.swapaxes(0, 1).reshape(6, -1)
         sxx, sxy = f32(aggtab[0, 2]), f32(aggtab[0, 3])  # params row
 
         def sat(v, maxv):

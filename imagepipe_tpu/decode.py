@@ -144,8 +144,25 @@ def _decode_raf(path: str) -> Optional[RawImage]:
     return read_raf(path)
 
 
+def _decode_orf(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".orf"):
+        return None
+    from .vendor import read_orf
+
+    return read_orf(path)
+
+
+def _decode_pef(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".pef"):
+        return None
+    from .vendor import read_pef
+
+    return read_pef(path)
+
+
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
-                      _decode_nef, _decode_cr2, _decode_arw, _decode_raf])
+                      _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
+                      _decode_orf, _decode_pef])
 
 
 def decode_file(path) -> ImageSource:

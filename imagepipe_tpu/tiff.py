@@ -100,7 +100,7 @@ class TiffFile:
     offsets are relative to the note, not the file).
     """
 
-    def __init__(self, buf: bytes, base: int = 0):
+    def __init__(self, buf: bytes, base: int = 0, magics=(42,)):
         self.buf = buf
         self.base = base
         if len(buf) < base + 8:
@@ -113,7 +113,9 @@ class TiffFile:
         else:
             raise ValueError("TIFF: bad byte-order mark")
         magic, first = struct.unpack_from(self.endian + "HI", buf, base + 2)
-        if magic != 42:
+        # Some vendors stamp their own magic into an otherwise-standard
+        # TIFF header (ORF: 0x4F52 'RO' / 0x5352 'RS').
+        if magic not in magics:
             raise ValueError(f"TIFF: bad magic {magic}")
         self.ifds: list[Ifd] = []
         self._walk(first)

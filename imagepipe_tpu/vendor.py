@@ -34,7 +34,8 @@ from .tiff import (TiffFile, Ifd, exif_to_orientation,
                    T_ROWS_PER_STRIP, T_STRIP_BYTECOUNTS, T_CFA_REPEAT,
                    T_CFA_PATTERN)
 
-__all__ = ["read_nef", "read_cr2", "read_arw"]
+__all__ = ["read_nef", "read_cr2", "read_arw", "read_orf", "read_pef",
+           "register_vendor_levels", "register_orf_pattern"]
 
 _CFA_LETTERS = "RGBE"
 
@@ -459,5 +460,144 @@ def read_arw(path: str) -> RawImage:
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
         blacklevels=(black,) * 4, whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
+        make=make, model=model)
+
+
+# ---------------------------------------------------------------------------
+# ORF (Olympus) and PEF (Pentax) — the uncompressed / plain-packed flavors.
+# ---------------------------------------------------------------------------
+
+# model (uppercased) -> (black, white) overrides for bodies whose files
+# carry no level tags (same pattern as raf.raf_levels_for).
+_VENDOR_LEVELS: dict[str, tuple[int, int]] = {}
+
+
+def register_vendor_levels(model: str, black: int, white: int) -> None:
+    _VENDOR_LEVELS[model.strip().upper()] = (int(black), int(white))
+
+
+def _vendor_levels(model: str, bits: int) -> tuple[int, int]:
+    return _VENDOR_LEVELS.get((model or "").strip().upper(),
+                              (0, (1 << bits) - 1))
+
+
+# model (uppercased) -> CFA for ORFs (their raw IFD carries no CFA tags).
+_ORF_PATTERNS: dict[str, CFA] = {}
+
+
+def register_orf_pattern(model: str, pattern: str) -> None:
+    _ORF_PATTERNS[model.strip().upper()] = CFA(pattern)
+
+
+def _olympus_makernote_wb(tf: TiffFile):
+    """Olympus maker-note WB: tags 0x1017/0x1018 (red/blue balance, x256)
+    from the classic 'OLYMP\\0' note (a bare IFD with FILE-relative
+    offsets, like Canon's). The newer 'OLYMPUS\\0II' note uses
+    note-relative offsets inside nested sub-IFDs; WB stays NaN there
+    (neutral-estimate fallback) rather than risking a misread."""
+    for ifd in tf.ifds:
+        if 37500 not in ifd.entries:
+            continue
+        typ, count, off = ifd.entries[37500]
+        head = bytes(tf.buf[off:off + 8])
+        if not head.startswith(b"OLYMP\0"):
+            return None
+        try:
+            entries, _ = tf._read_ifd(off + 8 - tf.base)
+            mn_ifd = Ifd(tf, entries, off)
+        except ValueError:
+            return None
+        red = mn_ifd.get(0x1017)
+        blue = mn_ifd.get(0x1018)
+        if red and blue and float(red[0]) > 0 and float(blue[0]) > 0:
+            return (float(red[0]) / 256.0, 1.0, float(blue[0]) / 256.0,
+                    float("nan"))
+    return None
+
+
+def read_orf(path: str) -> RawImage:
+    """Olympus ORF: a TIFF container with vendor magic ('RO'/'RS') whose
+    raw IFD holds plain 16-bit or 12-bit-packed little-endian sensor data.
+    Olympus-compressed payloads raise a clear error. The raw IFD carries
+    no CFA tags; the pattern comes from the per-model registry
+    (register_orf_pattern) -- refusing beats guessing a mosaic."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf, magics=(42, 0x4F52, 0x5352))
+    make, model = _make_model(tf)
+    if "OLYMPUS" not in make.upper():
+        raise ValueError("not an Olympus ORF")
+
+    cands = [e for e in tf.ifds
+             if T_STRIP_OFFSETS in e and (e.get1(T_WIDTH, 0) or 0) > 0]
+    if not cands:
+        raise ValueError("ORF: no raw IFD with strip data")
+    ifd = max(cands, key=lambda e: (e.get1(T_WIDTH, 0) or 0)
+              * (e.get1(T_LENGTH, 0) or 0))
+    width = ifd.get1(T_WIDTH)
+    height = ifd.get1(T_LENGTH)
+    if not width or not height or width * height > 500_000_000:
+        raise ValueError("ORF: missing/implausible raw dimensions")
+    compression = ifd.get1(T_COMPRESSION, 1)
+    if compression != 1:
+        raise ValueError(f"ORF: olympus-compressed payloads (compression "
+                         f"{compression}) are not supported")
+    counts = ifd.get(T_STRIP_BYTECOUNTS) or []
+    npix = width * height
+    # Plain 16-bit LE when the strips hold 2 bytes/pixel; else the classic
+    # 12-bit packed little-endian stream (2 pixels in 3 bytes).
+    bits = 16 if sum(int(c) for c in counts) >= npix * 2 else 12
+    data = _read_strips(tf, ifd, height, width, bits, "le")
+
+    if ifd.get1(T_PHOTOMETRIC) == 32803:
+        cfa = _cfa_from_ifd(ifd)
+    else:
+        cfa = _ORF_PATTERNS.get((model or "").strip().upper())
+        if cfa is None:
+            raise ValueError(
+                "ORF: raw IFD carries no CFA tags and no pattern is "
+                "registered for this body (register_orf_pattern)")
+    wb = _olympus_makernote_wb(tf) or (float("nan"),) * 4
+    black, white = _vendor_levels(model, 12 if bits == 12 else 16)
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=cfa, data=data,
+        make=make, model=model)
+
+
+def read_pef(path: str) -> RawImage:
+    """Pentax PEF: standard TIFF-EP with a CFA raw IFD; the uncompressed
+    flavor (compression 1, 16-bit or 12/14-bit big-endian packed).
+    Pentax-compressed (65535) raises a clear error. WB rationals are in
+    encrypted maker-note blocks on most bodies, so WB falls back to the
+    neutral estimate (the image still develops; shoot DNG on Pentax
+    bodies for full calibration -- they all offer it natively)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf)
+    make, model = _make_model(tf)
+    if "PENTAX" not in make.upper() and "RICOH" not in make.upper():
+        raise ValueError("not a Pentax PEF")
+
+    ifd = _raw_cfa_ifd(tf)
+    width = ifd.get1(T_WIDTH)
+    height = ifd.get1(T_LENGTH)
+    if not width or not height or width * height > 500_000_000:
+        raise ValueError("PEF: missing/implausible raw dimensions")
+    bits = ifd.get1(T_BITS, 16)
+    compression = ifd.get1(T_COMPRESSION, 1)
+    if compression != 1:
+        raise ValueError(f"PEF: pentax-compressed payloads (compression "
+                         f"{compression}) are not supported; shoot DNG")
+    packing = "be" if bits in (12, 14) or tf.endian == ">" else "le"
+    data = _read_strips(tf, ifd, height, width, bits, packing)
+    black, white = _vendor_levels(model, bits)
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=(float("nan"),) * 4, xyz_to_cam=xyz_to_cam_for(make, model),
         orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
         make=make, model=model)

@@ -455,3 +455,154 @@ def test_vendor_truncated_files_raise(tmp_path):
                 f.write(blob[:cut])
             with pytest.raises(ValueError):
                 decode_file(path)
+
+
+# ---------------------------------------------------------------------------
+# ORF (Olympus) / PEF (Pentax)
+# ---------------------------------------------------------------------------
+
+
+def make_orf(data, model="E-M1MarkII", wb=None, bits=12,
+             with_cfa_tags=False, compression=1) -> bytes:
+    from tests.tiffgen import pack_12le
+
+    h, w = data.shape
+    b = TiffBuilder("<")
+    if bits == 12:
+        payload = pack_12le(data)
+    else:
+        payload = data.astype("<u2").tobytes()
+    strip = b.add_blob(payload)
+
+    exif_ifd = None
+    if wb is not None:
+        # Old-style Olympus note: "OLYMP\0\0\0" + bare IFD, file-relative.
+        prefix = b.add_blob(b"OLYMP\0\0\0")
+        b.add_ifd([(0x1017, 3, [int(wb[0] * 256), 256]),
+                   (0x1018, 3, [int(wb[2] * 256), 256])], chain=False)
+        exif_ifd = b.add_ifd([(37500, 7, ("ptr", 64, prefix))], chain=False)
+
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]),
+        (259, 3, [compression]),
+        (271, 2, "OLYMPUS CORPORATION"), (272, 2, model), (274, 3, [1]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+    ]
+    if with_cfa_tags:
+        entries += [(262, 3, [32803]), (33421, 3, [2, 2]),
+                    (33422, 1, [0, 1, 1, 2])]
+    if exif_ifd is not None:
+        entries.append((34665, 4, [exif_ifd]))
+    b.add_ifd(entries)
+    blob = bytearray(b.bytes())
+    import struct as _s
+    _s.pack_into("<H", blob, 2, 0x4F52)     # 'RO' vendor magic
+    return bytes(blob)
+
+
+def test_orf_decode_12bit_packed(tmp_path):
+    from imagepipe_tpu.vendor import register_orf_pattern
+
+    data = _sensor(24, 64, seed=31, bits=12)
+    register_orf_pattern("E-M1MarkII", "RGGB")
+    path = str(tmp_path / "shot.orf")
+    with open(path, "wb") as f:
+        f.write(make_orf(data, wb=(2.1, 1.0, 1.6, float("nan"))))
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.cfa.name == "RGGB"
+    assert raw.whitelevels[0] == 4095
+    assert raw.wb_coeffs[0] == pytest.approx(2.1, abs=1e-2)
+    assert raw.wb_coeffs[2] == pytest.approx(1.6, abs=1e-2)
+
+
+def test_orf_16bit_with_cfa_tags(tmp_path):
+    data = _sensor(16, 32, seed=32, bits=16)
+    path = str(tmp_path / "shot16.orf")
+    with open(path, "wb") as f:
+        f.write(make_orf(data, bits=16, with_cfa_tags=True))
+    from imagepipe_tpu.vendor import read_orf
+
+    raw = read_orf(path)
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.cfa.name == "RGGB"
+
+
+def test_orf_unregistered_pattern_rejected(tmp_path):
+    data = _sensor(8, 32, seed=33, bits=12)
+    path = str(tmp_path / "mystery.orf")
+    with open(path, "wb") as f:
+        f.write(make_orf(data, model="E-UNKNOWN"))
+    from imagepipe_tpu.vendor import read_orf
+
+    with pytest.raises(ValueError, match="pattern"):
+        read_orf(path)
+
+
+def test_orf_compressed_rejected(tmp_path):
+    data = _sensor(8, 32, seed=34, bits=12)
+    path = str(tmp_path / "comp.orf")
+    with open(path, "wb") as f:
+        f.write(make_orf(data, compression=65535, with_cfa_tags=True))
+    from imagepipe_tpu.vendor import read_orf
+
+    with pytest.raises(ValueError, match="compressed"):
+        read_orf(path)
+
+
+def make_pef(data, model="PENTAX K-1", bits=14, compression=1) -> bytes:
+    h, w = data.shape
+    b = TiffBuilder(">")
+    payload = pack_14be(data) if bits == 14 else data.astype(">u2").tobytes()
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]),
+        (259, 3, [compression]), (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.add_ifd([
+        (271, 2, "PENTAX Corporation"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]),
+    ])
+    return b.bytes()
+
+
+def test_pef_decode(tmp_path):
+    data = _sensor(24, 48, seed=35)
+    path = str(tmp_path / "shot.pef")
+    with open(path, "wb") as f:
+        f.write(make_pef(data))
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.cfa.name == "RGGB"
+    assert raw.whitelevels[0] == (1 << 14) - 1
+    assert all(np.isnan(v) for v in raw.wb_coeffs[:3])  # neutral fallback
+
+
+def test_pef_compressed_rejected(tmp_path):
+    data = _sensor(8, 16, seed=36)
+    path = str(tmp_path / "comp.pef")
+    with open(path, "wb") as f:
+        f.write(make_pef(data, compression=65535))
+    from imagepipe_tpu.vendor import read_pef
+
+    with pytest.raises(ValueError, match="compressed"):
+        read_pef(path)
+
+
+def test_vendor_levels_registry(tmp_path):
+    from imagepipe_tpu.vendor import register_vendor_levels
+
+    data = _sensor(8, 32, seed=37)
+    register_vendor_levels("PENTAX K-70", 64, 16000)
+    path = str(tmp_path / "k70.pef")
+    with open(path, "wb") as f:
+        f.write(make_pef(data, model="PENTAX K-70"))
+    from imagepipe_tpu.vendor import read_pef
+
+    raw = read_pef(path)
+    assert raw.blacklevels == (64,) * 4
+    assert raw.whitelevels == (16000,) * 4

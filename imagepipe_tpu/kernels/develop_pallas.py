@@ -710,6 +710,23 @@ def plan_tables(plan):
     return cmap, scal, spline, statics
 
 
+def plan_tables_device(plan):
+    """plan_tables with the table arrays device-resident, memoized on the
+    plan: interactive single-shot develops must not re-upload calibration
+    per call (each small host->device put costs a tunnel round-trip on
+    this dev setup, and a dispatch everywhere)."""
+    hit = getattr(plan, "_pallas_tables_dev", None)
+    if hit is not None:
+        return hit
+    cmap, scal, spline, statics = plan_tables(plan)
+    dev = (jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline), statics)
+    try:
+        plan._pallas_tables_dev = dev
+    except AttributeError:
+        pass
+    return dev
+
+
 def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
     """Develop one sensor plane through the megakernel. plane: [H0,W0] u16/f32
     raw counts (full sensor; plan's crop applied at staging), or the output
@@ -722,10 +739,9 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
 
         return develop_scaled(plan, plane, interpret=interpret, staged=staged)
     plane = plane if staged else stage_plane_pallas(plan, plane)
-    cmap, scal, spline, statics = plan_tables(plan)
+    cmap, scal, spline, statics = plan_tables_device(plan)
     return _develop_pallas_jit(
-        plane, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
-        interpret=interpret, **statics)
+        plane, cmap, scal, spline, interpret=interpret, **statics)
 
 
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",

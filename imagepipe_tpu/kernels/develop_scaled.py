@@ -416,9 +416,11 @@ def _tables_device(sp: ScaledPlan):
 
 
 def _statics_for(plan, sp: ScaledPlan, plane_dtype, interpret):
-    from .develop_pallas import plan_tables
+    """Static config + calibration tables (device-resident, memoized on the
+    plan -- single-shot develops must not re-upload per call)."""
+    from .develop_pallas import plan_tables_device
 
-    _, scal, spline, mk_statics = plan_tables(plan)
+    _, scal, spline, mk_statics = plan_tables_device(plan)
     st = dict(sp.statics)
     st.update(in_f32=(np.dtype(plane_dtype) != np.dtype(np.uint16)),
               apply_curve=plan.apply_curve, n_knots=mk_statics["n_knots"],

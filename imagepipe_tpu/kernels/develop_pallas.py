@@ -109,9 +109,9 @@ def pallas_supported(plan) -> bool:
     if plan.dem_path == "full":
         return True
     if plan.dem_path == "scaled":
-        from .develop_scaled import scaled_plan_for
+        from .develop_scaled import scaled_supported
 
-        return scaled_plan_for(plan) is not None
+        return scaled_supported(plan)
     return False
 
 

@@ -83,6 +83,23 @@ class ScaledPlan:
 _GEOM_CACHE: dict = {}
 
 
+def scaled_supported(plan) -> bool:
+    """Cheap support probe: 1-D window math only -- building the full
+    geometry tables (~H*W*5 bytes of numpy work) as a side effect of a
+    routing predicate would penalize every XLA-routed thumbnail plan."""
+    if plan.mode != "cfa" or plan.dem_path != "scaled":
+        return False
+    H, W = plan.height, plan.width
+    nh, nw = plan.dem_h, plan.dem_w
+    if nh <= 1 or nw <= 1:
+        return False
+    key = (H, W, nh, nw, plan.cfa_name)
+    if key in _GEOM_CACHE:
+        return True
+    probe = _build_geometry(plan, probe_only=True)
+    return probe is not None
+
+
 def scaled_plan_for(plan):
     """ScaledPlan for a dem_path=='scaled' DevelopPlan, or None when the
     geometry falls outside this kernel's envelope (caller falls back to the
@@ -105,7 +122,7 @@ def scaled_plan_for(plan):
     return sp
 
 
-def _build_geometry(plan):
+def _build_geometry(plan, probe_only: bool = False):
     H, W = plan.height, plan.width
     nh, nw = plan.dem_h, plan.dem_w
     cfa = CFA(plan.cfa_name)
@@ -166,6 +183,9 @@ def _build_geometry(plan):
     else:
         return None
 
+    if probe_only:
+        return True      # envelope fits; tables built lazily on first use
+
     Hp = int(ry0.max()) + D_y
     Wp = int(rx0.max()) + D_x
 
@@ -223,7 +243,7 @@ def _build_geometry(plan):
     return ScaledPlan(
         statics=statics, ohy=ohy.astype(bf16), ohx=ohx.astype(bf16),
         w_off=w_off, col_off=col_off, cnt=cnt, orig=orig,
-        crop_x=plan.crop_x, crop_y=plan.crop_y, H=H, W=W)
+        H=H, W=W)
 
 
 def _scaled_kernel(scal_ref, spline_ref, orig_ref, plane_hbm, ohy_ref,
@@ -378,9 +398,13 @@ def _develop_scaled_jit(plane_padded, ohy, ohx, w_off, col_off, cnt, orig,
 
 
 def stage_scaled_np(plan, plane, sp: ScaledPlan) -> np.ndarray:
-    """Host-side staging: crop + zero-pad one sensor plane to [Hp, Wp]."""
+    """Host-side staging: crop + zero-pad one sensor plane to [Hp, Wp].
+    Crop offsets come from the PLAN, not the cached geometry: ScaledPlans
+    are shared across plans whose cropped dims and CFA phase match, and
+    those may sit at different sensor offsets."""
     plane = np.asarray(plane)
-    plane = plane[sp.crop_y:sp.crop_y + sp.H, sp.crop_x:sp.crop_x + sp.W]
+    plane = plane[plan.crop_y:plan.crop_y + sp.H,
+                  plan.crop_x:plan.crop_x + sp.W]
     st = sp.statics
     return np.pad(plane, ((0, st["Hp"] - sp.H), (0, st["Wp"] - sp.W)))
 
@@ -389,7 +413,8 @@ def staged_scaled_cached(plan, raw, sp: ScaledPlan):
     """Staged+uploaded plane cached on the RawImage (interactive re-renders
     must not re-pad/re-upload per develop; mirrors staged_plane_cached)."""
     st = sp.statics
-    key = ("scaled", sp.crop_y, sp.crop_x, sp.H, sp.W, st["Hp"], st["Wp"])
+    key = ("scaled", plan.crop_y, plan.crop_x, sp.H, sp.W,
+           st["Hp"], st["Wp"])
     hit = getattr(raw, "_pallas_staged_scaled", None)
     if hit is not None and hit[0] == key:
         return hit[1]

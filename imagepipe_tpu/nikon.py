@@ -167,8 +167,12 @@ def _decode_python(payload, width, height, tree, vpred, curve, split):
                 bit = (data[p >> 3] >> (7 - (p & 7))) & 1 if p < nbits else 0
                 chunk = (chunk << 1) | bit
             leaf, length = int(cur[chunk, 0]), int(cur[chunk, 1])
-            if length < 0 or pos + length > nbits + 16:
-                raise ValueError("NEF 34713: bad Huffman code")
+            # Strict end handling, matching the native decoder: consuming
+            # any bit past the payload (even for a code completed by the
+            # zero padding) rejects the stream.
+            if length < 0 or pos + length > nbits:
+                raise ValueError("NEF 34713: bad Huffman code / "
+                                 "bitstream exhausted")
             pos += length
             lenb = leaf & 15
             shl = leaf >> 4

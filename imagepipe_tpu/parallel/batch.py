@@ -117,9 +117,14 @@ class BatchEngine:
         covers generic CFAs too); executor='pallas' forces it."""
         from ..kernels.develop_pallas import pallas_preferred, pallas_supported
 
-        ok = pallas_supported(plan) and plan.numerics == "direct"
+        # Cheap gates first: pallas_supported probes kernel envelopes, so
+        # it should not run at all for plans the numerics/mesh rules will
+        # route to XLA anyway.
+        if plan.numerics != "direct":
+            return False
         if plan.dem_path == "scaled" and self.mesh.shape["spatial"] != 1:
-            ok = False    # thumbnail outputs are tiny; no width sharding
+            return False  # thumbnail outputs are tiny; no width sharding
+        ok = pallas_supported(plan)
         if self.executor == "pallas":
             return ok
         return self.executor == "auto" and ok and pallas_preferred(plan)

@@ -213,9 +213,20 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
 # public rawloader/dcraw per-body tables (14-bit X-Trans: black 1022,
 # white 16383).
 _LEVELS: dict[str, tuple[int, int]] = {
+    # X-Trans III family (24MP, 14-bit).
     "X-T2": (1022, 16383),
     "X-PRO2": (1022, 16383),
+    "X-T20": (1022, 16383),
+    "X-E3": (1022, 16383),
+    "X-H1": (1022, 16383),
+    "X100F": (1022, 16383),
+    # X-Trans IV family (26MP, 14-bit).
     "X-T30": (1022, 16383),
+    "X-T3": (1022, 16383),
+    "X-T4": (1022, 16383),
+    "X-PRO3": (1022, 16383),
+    "X-S10": (1022, 16383),
+    "X100V": (1022, 16383),
 }
 
 

@@ -173,9 +173,15 @@ def read_nef(path: str) -> RawImage:
         cnts = ifd.get(T_STRIP_BYTECOUNTS)
         if not offs or not cnts:
             raise ValueError("NEF 34713: raw IFD has no strip layout")
-        off, cnt = int(offs[0]), int(cnts[0])
-        tf._check(off, cnt, "NEF 34713 strip")
-        data, white = decode_34713(bytes(buf[off:off + cnt]), width, height,
+        # The Huffman stream is one logical payload; concatenate all strips
+        # (files are single-strip in practice, but a split layout must not
+        # silently truncate the bitstream).
+        parts = []
+        for off, cnt in zip(offs, cnts):
+            off, cnt = int(off), int(cnt)
+            tf._check(off, cnt, "NEF 34713 strip")
+            parts.append(bytes(buf[off:off + cnt]))
+        data, white = decode_34713(b"".join(parts), width, height,
                                    bits, meta)
     elif compression == 1:
         # Nikon packs 12/14-bit big-endian regardless of container
@@ -545,10 +551,16 @@ def read_orf(path: str) -> RawImage:
                          f"{compression}) are not supported")
     counts = ifd.get(T_STRIP_BYTECOUNTS) or []
     npix = width * height
-    # Plain 16-bit LE when the strips hold 2 bytes/pixel; else the classic
-    # 12-bit packed little-endian stream (2 pixels in 3 bytes).
-    bits = 16 if sum(int(c) for c in counts) >= npix * 2 else 12
-    data = _read_strips(tf, ifd, height, width, bits, "le")
+    # STORAGE layout from the strip byte counts: 2 bytes/pixel = plain
+    # 16-bit LE words, else the classic 12-bit packed stream (2 pixels in
+    # 3 bytes). SAMPLE depth (the white level) comes from BitsPerSample:
+    # 12-bit data stored in 16-bit words is the common Olympus layout, and
+    # white=65535 there would develop ~16x too dark.
+    storage = 16 if sum(int(c) for c in counts) >= npix * 2 else 12
+    bits = int(ifd.get1(T_BITS, storage) or storage)
+    if not 8 <= bits <= 16:
+        raise ValueError(f"ORF: implausible BitsPerSample {bits}")
+    data = _read_strips(tf, ifd, height, width, storage, "le")
 
     if ifd.get1(T_PHOTOMETRIC) == 32803:
         cfa = _cfa_from_ifd(ifd)
@@ -559,7 +571,7 @@ def read_orf(path: str) -> RawImage:
                 "ORF: raw IFD carries no CFA tags and no pattern is "
                 "registered for this body (register_orf_pattern)")
     wb = _olympus_makernote_wb(tf) or (float("nan"),) * 4
-    black, white = _vendor_levels(model, 12 if bits == 12 else 16)
+    black, white = _vendor_levels(model, bits)
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
         blacklevels=(black,) * 4, whitelevels=(white,) * 4,

@@ -221,6 +221,35 @@ def test_camera_registry_aliases_and_dng_growth(tmp_path):
     np.testing.assert_allclose(got[:3], m[:3], atol=1e-4)
 
 
+def test_nef_34713_multi_strip_concatenates(tmp_path):
+    """A compressed payload split across strips is one logical bitstream."""
+    from imagepipe_tpu.decode import decode_file
+
+    data = _rng(6).integers(0, 1 << 14, (32, 48)).astype(np.uint16)
+    payload, meta = encode_34713(data, bits=14)
+    cut = (len(payload) // 2) & ~1
+    b = TiffBuilder(">")
+    s1 = b.add_blob(payload[:cut])
+    s2 = b.add_blob(payload[cut:])
+    raw_ifd = b.add_ifd([
+        (256, 4, [48]), (257, 4, [32]), (258, 3, [14]), (259, 3, [34713]),
+        (262, 3, [32803]),
+        (273, 4, [s1, s2]), (279, 4, [cut, len(payload) - cut]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    note = TiffBuilder("<")
+    note.add_ifd([(0x0096, 7, meta)])
+    note_blob = b"Nikon\0" + b"\x02\x11\x00\x00" + note.bytes()
+    exif_ifd = b.add_ifd([(37500, 7, note_blob)], chain=False)
+    b.add_ifd([(271, 2, "NIKON CORPORATION"), (272, 2, "NIKON D850"),
+               (274, 3, [1]), (330, 4, [raw_ifd]), (34665, 4, [exif_ifd])])
+    path = str(tmp_path / "multistrip.nef")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    raw = decode_file(path).raw
+    np.testing.assert_array_equal(raw.data, data)
+
+
 def test_nef_34713_missing_meta_rejected(tmp_path):
     data = _rng(5).integers(0, 1 << 14, (8, 16)).astype(np.uint16)
     payload, _ = encode_34713(data, bits=14)

@@ -104,6 +104,41 @@ def test_scaled_batch_per_image_params():
         assert (diff != 0).mean() < 0.02, i
 
 
+def test_scaled_geometry_cache_respects_crop_origin():
+    """Two images with identical cropped dims but different crop origins
+    share a geometry cache entry; staging must crop at each PLAN's own
+    offsets (review finding: the cached plan's origin was used)."""
+    raw_a = synthetic_bayer(1208, 804, seed=11)
+    raw_a.crops = (2, 6, 2, 2)       # top, right, bottom, left
+    raw_b = synthetic_bayer(1208, 804, seed=12)
+    raw_b.crops = (0, 2, 4, 6)       # same cropped dims, shifted origin
+    plan_a = _plan(raw_a, 192)
+    plan_b = _plan(raw_b, 192)
+    assert (plan_a.height, plan_a.width) == (plan_b.height, plan_b.width)
+    assert (plan_a.crop_y, plan_a.crop_x) != (plan_b.crop_y, plan_b.crop_x)
+    assert plan_a.cfa_name == plan_b.cfa_name   # same CFA phase -> same key
+    for raw, plan in ((raw_a, plan_a), (raw_b, plan_b)):
+        want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+        got = np.asarray(develop_pallas(plan, raw.data,
+                                        interpret=True)).astype(int)
+        diff = np.abs(want - got)
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 0.02
+
+
+def test_scaled_supported_probe_is_cheap_and_consistent():
+    from imagepipe_tpu.kernels.develop_scaled import (_GEOM_CACHE,
+                                                      scaled_supported)
+
+    raw = synthetic_bayer(1200, 800, seed=13)
+    plan = _plan(raw, 160)
+    _GEOM_CACHE.clear()
+    assert scaled_supported(plan)
+    assert not _GEOM_CACHE        # the probe must not build tables
+    assert pallas_supported(plan)
+    assert not _GEOM_CACHE
+
+
 def test_scaled_unsupported_fulldown():
     """scale < minscale -> 'fulldown' (full demosaic + plain downscale):
     stays on the XLA engine."""

@@ -529,6 +529,27 @@ def test_orf_16bit_with_cfa_tags(tmp_path):
     assert raw.cfa.name == "RGGB"
 
 
+def test_orf_12bit_data_in_16bit_words(tmp_path):
+    """BitsPerSample=12 with 2-byte storage (the common Olympus layout):
+    white level must be 4095, not 65535 (review finding)."""
+    data = _sensor(16, 32, seed=38, bits=12)
+    path = str(tmp_path / "w16b12.orf")
+    blob = make_orf(data, bits=16, with_cfa_tags=True)
+    # Rewrite BitsPerSample (258) to 12 while keeping 16-bit storage.
+    import struct as _s
+    b = bytearray(blob)
+    i = b.find(_s.pack("<HH", 258, 3))
+    assert i > 0
+    _s.pack_into("<I", b, i + 8, 12)
+    with open(path, "wb") as f:
+        f.write(bytes(b))
+    from imagepipe_tpu.vendor import read_orf
+
+    raw = read_orf(path)
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.whitelevels[0] == 4095
+
+
 def test_orf_unregistered_pattern_rejected(tmp_path):
     data = _sensor(8, 32, seed=33, bits=12)
     path = str(tmp_path / "mystery.orf")

@@ -263,11 +263,30 @@ class Pipeline:
                 and s.use_fastpath
                 and self.ops.rotatecrop._noop())
 
+    def _fused_plan_cached(self, out_bits: int):
+        """make_develop_plan memoized on the current (settings, ops) state:
+        interactive render loops call output_8bit repeatedly, and a fresh
+        DevelopPlan per call would defeat the per-plan device-table and
+        staging caches (each rebuild re-uploads calibration)."""
+        from .engine import make_develop_plan
+
+        hasher = BufHasher()
+        self.globals.settings.hash(hasher)
+        for op in self.ops.all_ops():
+            op.hash(hasher)
+        key = (out_bits, self.globals.settings.linear, hasher.result())
+        cached = getattr(self, "_fused_plan", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        plan = make_develop_plan(self, out_bits=out_bits)
+        self._fused_plan = (key, plan)
+        return plan
+
     def _run_fused(self, out_bits: int):
-        from .engine import make_develop_plan, develop_fused, planar_to_hwc
+        from .engine import develop_fused, planar_to_hwc
         from .sources import staged_raw_plane
 
-        plan = make_develop_plan(self, out_bits=out_bits)
+        plan = self._fused_plan_cached(out_bits)
         # On accelerators the Pallas megakernel is the production executor
         # for supported direct-numerics plans (2x the XLA fused engine,
         # within the <=1 LSB cross-path contract). CPU keeps the XLA route

@@ -160,9 +160,31 @@ def _decode_pef(path: str) -> Optional[RawImage]:
     return read_pef(path)
 
 
+def _decode_known_unsupported(path: str) -> Optional[RawImage]:
+    """Recognize RAW containers whose codecs are not implemented and name
+    the gap, instead of letting them fall through to a baffling PIL
+    'cannot identify image' error."""
+    low = path.lower()
+    if low.endswith(".cr3"):
+        with open(path, "rb") as f:
+            head = f.read(16)
+        if head[4:8] == b"ftyp" and head[8:12] in (b"crx ", b"crx\0"):
+            raise ValueError(
+                "CR3: Canon's crx codec is not supported; convert to DNG "
+                "or shoot CR2/DNG")
+    if low.endswith(".rw2"):
+        with open(path, "rb") as f:
+            head = f.read(4)
+        if head in (b"IIU\0", b"IIU\x18"):
+            raise ValueError(
+                "RW2: Panasonic-compressed payloads are not supported; "
+                "convert to DNG")
+    return None
+
+
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
-                      _decode_orf, _decode_pef])
+                      _decode_orf, _decode_pef, _decode_known_unsupported])
 
 
 def decode_file(path) -> ImageSource:

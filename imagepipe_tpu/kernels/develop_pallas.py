@@ -51,12 +51,10 @@ HALO_X = 128
 BAYER_CLOSED_FORM = True
 
 # Specialize interior tiles (constant counts, no validity masking) behind a
-# pl.when branch. The r3 sweep (scripts/exp_sweep_r3.py; BASELINE.md) could
-# not distinguish it from the masked-always path under the shared chip's
-# +-1.5 ms measurement noise, so the proven r2 code path stays the default;
-# the specialization is bit-identical on interior tiles and kept toggleable
-# for a quieter-chip retest. Clear _develop_pallas_jit's cache after
-# flipping.
+# pl.when branch. Measured SLOWER on the stable batched A/B (2.33-2.40 vs
+# 2.04-2.26 ms/img, scripts/exp_r3b.py; single-dispatch slopes were too
+# noisy to call) -- the duplicated branch bodies cost more than the mask
+# arithmetic they save. Kept as a documented tested-and-rejected lever.
 INTERIOR_SPLIT = False
 
 # DMA pipeline depth (2 = classic double buffering; 3-deep measured no

@@ -126,10 +126,21 @@ def bench_all():
     if pallas_supported(tplan):
         from imagepipe_tpu.kernels.develop_pallas import (
             develop_pallas as _dp, staged_plane_cached)
+        from imagepipe_tpu.kernels.develop_scaled import (
+            develop_scaled_batch, scaled_plan_for, stage_scaled_np)
 
         tstaged = staged_plane_cached(tplan, raw)
         dt = _timed(lambda: _dp(tplan, tstaged, staged=True), iters=4)
         results.append({"metric": "24MP->1024px thumbnail develop (pallas scaled kernel)",
+                        "value": round(mp24 / dt, 1), "unit": "source MP/s",
+                        "vs_baseline": None})
+        # Batched serving shape (the BatchEngine route): kernel chained per
+        # image inside one jit, per-call overhead amortized.
+        tsp = scaled_plan_for(tplan)
+        tb = jnp.asarray(np.stack([stage_scaled_np(tplan, raw.data, tsp)] * 8))
+        dt = _timed(lambda: develop_scaled_batch(tplan, tb, staged=True),
+                    iters=4) / 8
+        results.append({"metric": "24MP->1024px thumbnail develop (pallas scaled kernel, batch 8)",
                         "value": round(mp24 / dt, 1), "unit": "source MP/s",
                         "vs_baseline": None})
     dt = _timed(lambda: tp.output_8bit(None), iters=4, sync=lambda x: x)

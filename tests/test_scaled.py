@@ -148,6 +148,34 @@ def test_scaled_unsupported_fulldown():
     assert not pallas_supported(plan)
 
 
+def test_scaled_random_geometry_sweep():
+    """Random source sizes and maxsizes through the scaled kernel vs the
+    XLA path: ragged edge tiles, sub-tile thumbnails (nw < 128, nh < TH),
+    and non-2 aspect ratios must all agree within the cross-path
+    contract."""
+    rng = np.random.default_rng(55)
+    ran = 0
+    for trial in range(8):
+        w = int(rng.integers(400, 1400)) & ~1
+        h = int(rng.integers(300, 900)) & ~1
+        # Scale within the kernel envelope (window span <= 16): 2.5x-10x.
+        mw = int(rng.integers(max(w // 10, 40), max(w // 2 - 60, 60)))
+        raw = synthetic_bayer(w, h, seed=100 + trial)
+        plan = _plan(raw, mw)
+        if plan.dem_path != "scaled" or not pallas_supported(plan):
+            continue
+        ran += 1
+        want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+        got = np.asarray(develop_pallas(plan, raw.data,
+                                        interpret=True)).astype(int)
+        msg = f"trial {trial}: {w}x{h} -> max {mw}"
+        assert got.shape == want.shape, msg
+        diff = np.abs(want - got)
+        assert diff.max() <= 1, msg
+        assert (diff != 0).mean() < 0.02, msg
+    assert ran >= 5
+
+
 def test_scaled_batch_engine_routing(tmp_path):
     """BatchEngine with a maxsize routes thumbnail plans to the scaled
     Pallas executor and matches the XLA engine (r2 verdict next #1)."""

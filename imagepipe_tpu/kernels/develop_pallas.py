@@ -674,13 +674,13 @@ def staged_plane_cached(plan, raw):
     return dev
 
 
-def plan_tables(plan):
-    """(cmap, scal, spline, statics) for the kernel: calibration packed into
-    SMEM-friendly [8,16]/[5,16] f32 tables plus the static config dict."""
+def calib_tables(plan):
+    """(scal, spline, n_knots): per-image calibration packed into the
+    SMEM-friendly [8,16]/[5,16] f32 tables shared by the full-size
+    megakernel and the scaled-demosaic kernel (develop_scaled.py) -- the
+    scaled path needs these without the cmap strip / tile geometry."""
     import numpy as _np
 
-    cfa = CFA(plan.cfa_name)
-    tile_h, tile_w = _tiles_for(plan)
     p = plan.params
     scal = _np.zeros((8, 16), _np.float32)
     scal[0, 0] = _np.asarray(p["mins"])[0]
@@ -697,7 +697,30 @@ def plan_tables(plan):
         spline[2, :n_knots] = _np.asarray(p["spline_c1"])
         spline[3, :n_knots - 1] = _np.asarray(p["spline_c2"])
         spline[4, :n_knots - 1] = _np.asarray(p["spline_c3"])
+    return scal, spline, n_knots
 
+
+def calib_tables_device(plan):
+    """calib_tables with the two arrays device-resident, memoized on the
+    plan (single-shot develops must not re-upload calibration per call)."""
+    hit = getattr(plan, "_calib_tables_dev", None)
+    if hit is not None:
+        return hit
+    scal, spline, n_knots = calib_tables(plan)
+    dev = (jnp.asarray(scal), jnp.asarray(spline), n_knots)
+    try:
+        plan._calib_tables_dev = dev
+    except AttributeError:
+        pass
+    return dev
+
+
+def plan_tables(plan):
+    """(cmap, scal, spline, statics) for the kernel: calibration packed into
+    SMEM-friendly [8,16]/[5,16] f32 tables plus the static config dict."""
+    cfa = CFA(plan.cfa_name)
+    tile_h, tile_w = _tiles_for(plan)
+    scal, spline, n_knots = calib_tables(plan)
     cmap = _cmap_strip(cfa, tile_h, tile_w)
     statics = dict(
         cfa_name=plan.cfa_name, height=plan.height, width=plan.width,

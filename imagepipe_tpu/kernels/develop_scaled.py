@@ -66,10 +66,7 @@ def _align(v: int, m: int) -> int:
     return -(-int(v) // m) * m
 
 
-def _sat_np(v, maxv):
-    v = np.floor(v)
-    v = np.where(np.isnan(v), 0.0, v)
-    return np.clip(v, 0.0, maxv).astype(np.int64)
+from ..scaling import sat_floor_np as _sat_np  # shared two-rounding helper
 
 
 class ScaledPlan:
@@ -441,18 +438,16 @@ def _tables_device(sp: ScaledPlan):
 
 
 def _statics_for(plan, sp: ScaledPlan, plane_dtype, interpret):
-    """Static config + calibration tables (device-resident, memoized on the
-    plan -- single-shot develops must not re-upload per call)."""
-    from .develop_pallas import plan_tables_device
-
-    _, scal, spline, mk_statics = plan_tables_device(plan)
+    """Static config dict for the scaled-kernel jit (no table uploads --
+    callers that need scal/spline fetch them via calib_tables[_device])."""
     st = dict(sp.statics)
     st.update(in_f32=(np.dtype(plane_dtype) != np.dtype(np.uint16)),
-              apply_curve=plan.apply_curve, n_knots=mk_statics["n_knots"],
+              apply_curve=plan.apply_curve,
+              n_knots=plan.n_knots if plan.apply_curve else 0,
               linear=plan.linear, out_bits=plan.out_bits,
               orientation_flips=tuple(plan.orientation_flips),
               interpret=interpret)
-    return scal, spline, st
+    return st
 
 
 def develop_scaled(plan, plane, interpret: bool = False, staged: bool = False,
@@ -460,9 +455,12 @@ def develop_scaled(plan, plane, interpret: bool = False, staged: bool = False,
     """Develop one sensor plane through the fused scaled-demosaic kernel.
     plane: [H0, W0] raw counts (or the stage_scaled_np output when
     staged=True). Returns planar [3, nh, nw] quantized."""
+    from .develop_pallas import calib_tables_device
+
     sp = sp if sp is not None else scaled_plan_for(plan)
     assert sp is not None, "unsupported plan for the scaled pallas executor"
-    scal, spline, st = _statics_for(plan, sp, plane.dtype, interpret)
+    scal, spline, _ = calib_tables_device(plan)
+    st = _statics_for(plan, sp, plane.dtype, interpret)
     if not staged:
         plane = stage_scaled_np(plan, np.asarray(plane), sp)
     tabs = _tables_device(sp)
@@ -495,15 +493,19 @@ def develop_scaled_batch(plan, planes, interpret: bool = False,
     if not staged:
         planes = np.stack([stage_scaled_np(plan, np.asarray(p), sp)
                            for p in planes])
-    scal, spline, st = _statics_for(plan, sp, planes.dtype, interpret)
+    st = _statics_for(plan, sp, planes.dtype, interpret)
     interp = st.pop("interpret")
     per_image = param_plans is not None
     if per_image:
-        from .develop_pallas import plan_tables
+        from .develop_pallas import calib_tables
 
-        tabs = [plan_tables(pp) for pp in param_plans]
-        scal = np.stack([t[1] for t in tabs])
-        spline = np.stack([t[2] for t in tabs])
+        tabs = [calib_tables(pp) for pp in param_plans]
+        scal = np.stack([t[0] for t in tabs])
+        spline = np.stack([t[1] for t in tabs])
+    else:
+        from .develop_pallas import calib_tables_device
+
+        scal, spline, _ = calib_tables_device(plan)
     tabs_d = _tables_device(sp)
     return _develop_scaled_batch_jit(
         jnp.asarray(planes), *tabs_d, jnp.asarray(scal), jnp.asarray(spline),

@@ -85,10 +85,7 @@ def _bound(a, b, width, height):
     return max(1, min(int(math.ceil(s)) + 2, max(width, height)))
 
 
-def _sat_np(v, maxv):
-    v = np.floor(v)
-    v = np.where(np.isnan(v), 0.0, v)
-    return np.clip(v, 0.0, maxv).astype(np.int64)
+from ..scaling import sat_floor_np as _sat_np  # shared two-rounding helper
 
 
 def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,

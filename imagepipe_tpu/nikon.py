@@ -67,8 +67,10 @@ def _codes(tree_idx: int):
     vi = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            # dcraw pads short value lists with zeros; stop cleanly instead
-            # of emitting duplicate zero leaves the encoder could pick.
+            # dcraw's make_decoder pads short value lists with zero leaves
+            # (tree 0 has 14 counts vs 13 values) and real streams may use
+            # the padded deepest code, so emit it here too; the ENCODER
+            # never picks a duplicate leaf (encode_34713's first-wins map).
             v = values[vi] if vi < len(values) else 0
             codes.append((code, length, v))
             code += 1
@@ -127,13 +129,21 @@ def parse_linearization(meta: bytes, bits: int):
                         + curve_l[np.minimum(lo + step, 0xFFFF)] * (i % step)) // step
         if len(meta) >= 564:
             (split,) = struct.unpack_from(">H", meta, 562)
-    elif ver0 == 0x44:
-        # Lossy "type 2" (ver1 0x40, D90-era onward) scales its curve
-        # differently; decoding it with the generic branch would silently
-        # garble shadows -- refuse with the variant named instead.
+    elif ver0 == 0x44 and ver1 == 0x40:
+        # Lossy "type 2" (D90-era onward) scales its curve differently;
+        # decoding it with the generic branch would silently garble
+        # shadows -- refuse with the variant named instead.
         raise ValueError(
             f"NEF 34713: lossy variant {ver0:#x}/{ver1:#x} not supported; "
             "shoot lossless-compressed or convert to DNG")
+    elif ver0 == 0x44:
+        # Remaining 0x44 shapes (0x20 with a degenerate step, unknown
+        # ver1): dcraw would fall through to the direct curve read, but we
+        # have never seen such a stream to pin -- refuse rather than guess.
+        raise ValueError(
+            f"NEF 34713: unrecognized linearization variant "
+            f"{ver0:#x}/{ver1:#x} (csize {csize}); refusing rather than "
+            "guessing the curve layout")
     elif ver0 != 0x46 and csize <= 0x4001:
         if pos + 2 * csize > len(meta):
             raise ValueError("NEF 34713: truncated tone curve")

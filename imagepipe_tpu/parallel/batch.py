@@ -161,20 +161,23 @@ class BatchEngine:
         On a dp x sp mesh each image is additionally width-sharded with an
         on-device halo exchange (_sp_local_develop)."""
         from ..kernels.develop_pallas import (
-            _develop_pallas_batch_jit, _sp_local_develop, plan_tables,
-            sp_width_pad, stage_plane_np, stage_plane_rows_np)
+            _develop_pallas_batch_jit, _sp_local_develop, calib_tables,
+            plan_tables, sp_width_pad, stage_plane_np, stage_plane_rows_np)
 
         plan = chunk[0][2]
         sp = self.mesh.shape["spatial"]
-        tabs = [plan_tables(chunk[i][2]) for i in sel]
-        cmap, _, _, statics = tabs[0]
-        scal = np.stack([t[1] for t in tabs])
-        spline = np.stack([t[2] for t in tabs])
+        # Per-image calibration only; the cmap strip / tile statics are
+        # bucket-invariant (bucket keys include the plan statics) and the
+        # scaled route never needs them.
+        ctabs = [calib_tables(chunk[i][2]) for i in sel]
+        scal = np.stack([t[0] for t in ctabs])
+        spline = np.stack([t[1] for t in ctabs])
         interpret = jax.default_backend() == "cpu"
 
         if plan.dem_path == "scaled":
             return self._dispatch_pallas_scaled(chunk, sel, plan, scal,
                                                 spline, interpret)
+        cmap, _, _, statics = plan_tables(plan)
         cmap_d = jnp.asarray(cmap)
 
         if sp == 1:
@@ -245,7 +248,7 @@ class BatchEngine:
         staged = np.stack([
             stage_scaled_np(chunk[i][2], chunk[i][1].raw.data, spn)
             for i in sel])
-        _, _, st = _statics_for(plan, spn, staged.dtype, interpret)
+        st = _statics_for(plan, spn, staged.dtype, interpret)
         interp = st.pop("interpret")
         statics_key = tuple(sorted(st.items()))
         tabs_d = _tables_device(spn)

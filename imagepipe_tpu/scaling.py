@@ -32,6 +32,18 @@ __all__ = [
 _f32 = np.float32
 
 
+def sat_floor_np(v, maxv, dtype=np.int64):
+    """floor -> NaN->0 -> clip[0, maxv]: the host-side f32 two-rounding
+    window-index helper (reference scaling.rs from/to semantics). Lives
+    here so every consumer (_transform_aligned_impl, rotate_pallas,
+    develop_scaled) shares ONE definition -- the index math MUST stay in
+    host numpy f32 because XLA's FMA contraction changes the rounding
+    that feeds this floor (see module notes)."""
+    v = np.floor(v)
+    v = np.where(np.isnan(v), 0.0, v)
+    return np.clip(v, 0.0, maxv).astype(dtype)
+
+
 def calculate_scaling_total(width: int, height: int, maxwidth: int, maxheight: int):
     """Aspect-preserving fit that never upscales (scaling.rs:8-23). All the
     arithmetic is float32 to match the reference bit-for-bit."""
@@ -210,9 +222,7 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
     cols_np = np.arange(nwidth, dtype=_f32)
 
     def sat_np(v, maxv):
-        v = np.floor(v)
-        v = np.where(np.isnan(v), 0.0, v)
-        return np.minimum(np.maximum(v, 0.0), maxv).astype(np.int32)
+        return sat_floor_np(v, maxv, dtype=np.int32)
 
     # Host-side f32 two-rounding index math (see _transform_impl notes).
     with np.errstate(invalid="ignore"):
@@ -385,6 +395,15 @@ def _rotate_pallas_hwc(src, width, height, topleft, topright, bottomleft,
     return jnp.clip(jnp.trunc(out), info.min, info.max).astype(out_dtype)
 
 
+def _cfa_args(cfa):
+    """(cfa_tile, cfa_key) jit args for the _transform_* impls: the device
+    pattern tile plus its static cache key (None -> non-CFA mode with a
+    dummy tile; the impls only read the tile when cfa_key is not None)."""
+    if cfa is not None:
+        return jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8), cfa.name
+    return jnp.zeros((48, 48), dtype=jnp.uint8), None
+
+
 def transform_buffer(src, width, height, topleft, topright, bottomleft,
                      nwidth, nheight, components, cfa=None, out_dtype=jnp.float32):
     """General inverse-mapped affine resampler (scaling.rs:51-130).
@@ -393,12 +412,7 @@ def transform_buffer(src, width, height, topleft, topright, bottomleft,
     in by the wrappers). cfa: optional CFA whose pattern makes accumulation
     color-aware (the fused demosaic-downscale path).
     """
-    if cfa is not None:
-        cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
-        cfa_key = cfa.name
-    else:
-        cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
-        cfa_key = None
+    cfa_tile, cfa_key = _cfa_args(cfa)
     # Axis-aligned geometry (every scale-down / pure-crop path) uses the
     # MXU selection formulation; rotation uses the Pallas MXU kernel with
     # the gather loop as fallback.
@@ -427,12 +441,7 @@ def scale_down_planar(src_chw, nwidth, nheight, components, cfa=None):
     fused engine -- avoids HWC intermediates entirely. src_chw: [C, H, W]
     (C=1 with cfa for the fused demosaic-downscale)."""
     _, height, width = src_chw.shape
-    if cfa is not None:
-        cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
-        cfa_key = cfa.name
-    else:
-        cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
-        cfa_key = None
+    cfa_tile, cfa_key = _cfa_args(cfa)
     return _transform_aligned_impl(
         src_chw, cfa_tile,
         width=int(width), height=int(height),
@@ -458,12 +467,7 @@ def transform_buffer_planar(src_chw, width, height, topleft, topright,
                and int(bottomleft[0]) == int(topleft[0])
                and nwidth > 1 and nheight > 1)
     if aligned:
-        if cfa is not None:
-            cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
-            cfa_key = cfa.name
-        else:
-            cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
-            cfa_key = None
+        cfa_tile, cfa_key = _cfa_args(cfa)
         return _transform_aligned_impl(
             src_chw, cfa_tile,
             width=int(width), height=int(height),
@@ -487,12 +491,7 @@ def transform_buffer_planar(src_chw, width, height, topleft, topright,
     # Unsupported-geometry fallback: go straight to the gather impl (the
     # rotate plan was already computed and rejected above; routing through
     # transform_buffer would rebuild the identical plan).
-    if cfa is not None:
-        cfa_tile = jnp.asarray(cfa.pattern_tile(), dtype=jnp.uint8)
-        cfa_key = cfa.name
-    else:
-        cfa_tile = jnp.zeros((48, 48), dtype=jnp.uint8)
-        cfa_key = None
+    cfa_tile, cfa_key = _cfa_args(cfa)
     out_hwc = _transform_impl(
         jnp.moveaxis(src_chw, 0, -1), cfa_tile,
         width=int(width), height=int(height),

@@ -7,8 +7,10 @@ solid uncompressed-DNG path plus the pluggable decoder registry
 (decode.register_raw_decoder) covers real camera files; 12/14-bit packed
 bitstreams unpack through the native host library (native/host_pack.cc).
 
-Reader surface: strips or tiles, Compression 1 (uncompressed) or 7
-(lossless JPEG), BitsPerSample 8/12/14/16 integer plus 32-bit float
+Reader surface: strips or tiles, Compression 1 (uncompressed), 7
+(lossless JPEG), or 8 (Deflate/ZIP per DNG 1.4 with TIFF Predictor
+1/2/3 -- the shape Adobe tools write for compressed integer and float/HDR
+DNGs), BitsPerSample 8/12/14/16 integer plus 16/32-bit float
 payloads (SampleFormat 3), CFA (PhotometricInterpretation 32803) or linear
 gray; pulls the DNG calibration tags the pipeline needs (ColorMatrix1 ==
 xyz_to_cam, AsShotNeutral -> wb_coeffs, BlackLevel/BlackLevelRepeatDim/
@@ -37,6 +39,7 @@ __all__ = ["read_dng", "write_dng"]
 # TIFF tag ids.
 T_NEWSUBFILETYPE = 254
 T_SAMPLES_PER_PIXEL = 277
+T_PREDICTOR = 317
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
@@ -86,9 +89,10 @@ def read_dng(path: str) -> RawImage:
     height = get(e, T_LENGTH)[0]
     bits = get(e, T_BITS, [16])[0]
     compression = get(e, T_COMPRESSION, [1])[0]
-    if compression not in (1, 7):
+    if compression not in (1, 7, 8):
         raise ValueError(
-            f"unsupported DNG compression {compression} (uncompressed=1 and lossless JPEG=7)")
+            f"unsupported DNG compression {compression} "
+            "(uncompressed=1, lossless JPEG=7, Deflate=8)")
     spp = get(e, T_SAMPLES_PER_PIXEL, [1])[0]
     if spp != 1:
         raise ValueError("only 1 sample/pixel CFA or gray DNGs supported")
@@ -96,16 +100,38 @@ def read_dng(path: str) -> RawImage:
     is_float = sample_format == 3
     if sample_format not in (1, 3):
         raise ValueError(f"unsupported DNG SampleFormat {sample_format}")
-    if is_float and (compression != 1 or bits != 32):
-        raise ValueError("float DNG supported only uncompressed at 32-bit "
-                         f"(got compression {compression}, {bits}-bit)")
+    if is_float:
+        if compression not in (1, 8):
+            raise ValueError(f"float DNG with compression {compression} "
+                             "unsupported (uncompressed or Deflate)")
+        if bits not in (16, 32):
+            raise ValueError(f"float DNG at {bits}-bit unsupported "
+                             "(16/32 supported; fp24 is a known gap)")
+
+    # TIFF Predictor (DNG 1.4 ships Deflate with horizontal differencing on
+    # integers and the byte-planar floating-point predictor on floats; the
+    # DNG-1.4 predictor codes 34892+ are refused by name).
+    predictor = get(e, T_PREDICTOR, [1])[0]
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported TIFF Predictor {predictor} "
+                         "(1/2/3 supported; DNG 1.4 34892+ are not)")
+    if predictor != 1 and compression != 8:
+        raise ValueError(f"Predictor {predictor} with compression "
+                         f"{compression} unsupported (Deflate only)")
+    if predictor == 2 and (is_float or bits not in (8, 16)):
+        raise ValueError("horizontal Predictor 2 supported only for "
+                         f"8/16-bit integer samples (got {bits}-bit, "
+                         f"SampleFormat {sample_format})")
+    if predictor == 3 and not is_float:
+        raise ValueError("floating-point Predictor 3 on integer DNG data")
 
     def decode_uncompressed(chunk, npix):
         if is_float:
-            fmt = "<f4" if endian == "<" else ">f4"
-            if chunk.size < npix * 4:
+            bsz = bits // 8
+            fmt = ("<" if endian == "<" else ">") + ("f4" if bits == 32 else "f2")
+            if chunk.size < npix * bsz:
                 raise ValueError("truncated float DNG strip/tile")
-            return np.frombuffer(chunk[: npix * 4].tobytes(), fmt).astype(np.float32)
+            return np.frombuffer(chunk[: npix * bsz].tobytes(), fmt).astype(np.float32)
         if bits == 16:
             if chunk.size < npix * 2:
                 raise ValueError("truncated 16-bit DNG strip/tile")
@@ -128,6 +154,49 @@ def read_dng(path: str) -> RawImage:
             return chunk[:npix].astype(np.uint16)
         raise ValueError(f"unsupported BitsPerSample {bits}")
 
+    def decode_deflated(chunk, nrows, ncols, what):
+        import zlib
+
+        try:
+            payload = zlib.decompress(chunk.tobytes())
+        except zlib.error as ex:
+            raise ValueError(f"corrupt Deflate stream in DNG {what}: {ex}") from ex
+        if predictor == 1:
+            # Plain inflate: the byte stream is the uncompressed layout
+            # (any bit depth, incl. 12/14-bit packed).
+            return decode_uncompressed(
+                np.frombuffer(payload, np.uint8), nrows * ncols).reshape(nrows, ncols)
+        bsz = bits // 8
+        need = nrows * ncols * bsz
+        if len(payload) < need:
+            raise ValueError(f"truncated inflated DNG {what}")
+        if predictor == 2:
+            # Horizontal differencing on samples, per row, modulo 2^bits.
+            fmt = ("<" if endian == "<" else ">") + ("u2" if bits == 16 else "u1")
+            vals = np.frombuffer(payload, fmt, nrows * ncols).reshape(nrows, ncols)
+            vals = np.cumsum(vals.astype(np.int64), axis=1) & ((1 << bits) - 1)
+            return vals.astype(np.uint16)
+        # Predictor 3 (TIFF TechNote 3): each row holds MSB-first byte
+        # planes of the samples, byte-differenced; undo the differencing
+        # then reassemble big-endian samples (plane order is independent
+        # of the file byte order).
+        arr = np.frombuffer(payload, np.uint8, need).reshape(nrows, ncols * bsz)
+        acc = (np.cumsum(arr, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
+        planes = acc.reshape(nrows, bsz, ncols)
+        be = np.ascontiguousarray(np.moveaxis(planes, 1, 2))
+        fmt = ">f4" if bits == 32 else ">f2"
+        vals = np.frombuffer(be.tobytes(), fmt).reshape(nrows, ncols)
+        return vals.astype(np.float32)
+
+    def decode_chunk(chunk, nrows, ncols, what):
+        if compression == 7:
+            from .lj92 import decode as lj92_decode
+
+            return lj92_decode(chunk.tobytes()).reshape(nrows, ncols)
+        if compression == 8:
+            return decode_deflated(chunk, nrows, ncols, what)
+        return decode_uncompressed(chunk, nrows * ncols).reshape(nrows, ncols)
+
     payload_dtype = np.float32 if is_float else np.uint16
     if T_TILE_OFFSETS in e:
         # Tiled layout (the common shape for Compression=7 DNGs).
@@ -141,13 +210,7 @@ def read_dng(path: str) -> RawImage:
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             tf._check(off, cnt, "tile data")
             chunk = np.frombuffer(buf, np.uint8, cnt, off)
-            if compression == 7:
-                from .lj92 import decode as lj92_decode
-
-                tile = lj92_decode(chunk.tobytes())
-                tile = tile.reshape(tl, tw)
-            else:
-                tile = decode_uncompressed(chunk, tl * tw).reshape(tl, tw)
+            tile = decode_chunk(chunk, tl, tw, "tile data")
             ty, tx = divmod(ti, tiles_x)
             data[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
         data = data[:height, :width]
@@ -158,16 +221,9 @@ def read_dng(path: str) -> RawImage:
         rows = []
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, height - si * rows_per_strip)
-            npix = nrows * width
             tf._check(off, cnt, "strip data")
             chunk = np.frombuffer(buf, np.uint8, cnt, off)
-            if compression == 7:
-                from .lj92 import decode as lj92_decode
-
-                vals = lj92_decode(chunk.tobytes()).reshape(nrows, width)
-            else:
-                vals = decode_uncompressed(chunk, npix).reshape(nrows, width)
-            rows.append(vals)
+            rows.append(decode_chunk(chunk, nrows, width, "strip data"))
         data = np.concatenate(rows, axis=0)
     if data.shape != (height, width):
         raise ValueError(f"DNG payload {data.shape} != {(height, width)}")
@@ -258,11 +314,27 @@ def read_dng(path: str) -> RawImage:
 # ---------------------------------------------------------------------------
 
 
-def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
-    """compression: 1 = uncompressed 16-bit, 7 = lossless JPEG (LJ92)."""
+def write_dng(path: str, raw: RawImage, compression: int = 1,
+              predictor: int | None = None) -> None:
+    """compression: 1 = uncompressed, 7 = lossless JPEG (LJ92, 16-bit
+    integer), 8 = Deflate (DNG 1.4). Float32 payloads write SampleFormat 3
+    (the HDR-DNG shape). With Deflate, predictor defaults to the shape
+    Adobe tools emit: 2 (horizontal) for integers, 3 (floating-point
+    byte-planar) for floats; pass predictor=1 for plain inflate."""
     assert raw.cpp == 1, "writer supports single-plane CFA/gray"
-    assert compression in (1, 7)
-    data = np.ascontiguousarray(np.asarray(raw.data, np.uint16).reshape(raw.height, raw.width))
+    assert compression in (1, 7, 8)
+    is_float = np.asarray(raw.data).dtype == np.float32
+    if is_float:
+        assert compression in (1, 8), "float DNG writes uncompressed or Deflate"
+        data = np.ascontiguousarray(
+            np.asarray(raw.data, np.float32).reshape(raw.height, raw.width))
+    else:
+        data = np.ascontiguousarray(
+            np.asarray(raw.data, np.uint16).reshape(raw.height, raw.width))
+    if predictor is None:
+        predictor = (3 if is_float else 2) if compression == 8 else 1
+    assert predictor in (1, 2, 3) and (predictor == 1 or compression == 8)
+    assert (predictor != 2 or not is_float) and (predictor != 3 or is_float)
     is_cfa = raw.cfa.is_valid()
     if compression == 7:
         from .lj92 import encode as lj92_encode
@@ -271,6 +343,27 @@ def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
         # encoders): each component then predicts from its own color plane.
         ncomp = 2 if (is_cfa and raw.width % 2 == 0) else 1
         payload = lj92_encode(data, ncomp=ncomp, precision=16)
+    elif compression == 8:
+        import zlib
+
+        h, w = raw.height, raw.width
+        if predictor == 3:
+            # TIFF TechNote 3 float predictor: per row, MSB-first byte
+            # planes of the big-endian samples, then byte differencing.
+            be = data.astype(">f4").view(np.uint8).reshape(h, w, 4)
+            rowsb = np.moveaxis(be, 2, 1).reshape(h, 4 * w).astype(np.int16)
+            rowsb[:, 1:] = (rowsb[:, 1:] - rowsb[:, :-1]) & 0xFF
+            payload = zlib.compress(rowsb.astype(np.uint8).tobytes())
+        elif predictor == 2:
+            d = data.astype(np.int32)
+            d[:, 1:] = (d[:, 1:] - d[:, :-1]) & 0xFFFF
+            payload = zlib.compress(d.astype("<u2").tobytes())
+        elif is_float:
+            payload = zlib.compress(data.astype("<f4").tobytes())
+        else:
+            payload = zlib.compress(data.astype("<u2").tobytes())
+    elif is_float:
+        payload = data.astype("<f4").tobytes()
     else:
         payload = data.astype("<u2").tobytes()
 
@@ -282,8 +375,12 @@ def write_dng(path: str, raw: RawImage, compression: int = 1) -> None:
     add(T_NEWSUBFILETYPE, 4, [0])
     add(T_WIDTH, 4, [raw.width])
     add(T_LENGTH, 4, [raw.height])
-    add(T_BITS, 3, [16])
+    add(T_BITS, 3, [32 if is_float else 16])
     add(T_COMPRESSION, 3, [compression])
+    if is_float:
+        add(T_SAMPLE_FORMAT, 3, [3])
+    if predictor != 1:
+        add(T_PREDICTOR, 3, [predictor])
     add(T_PHOTOMETRIC, 3, [32803 if is_cfa else 34892])
     add(T_ORIENTATION, 3, [_ORIENTATION_TO_EXIF.get(raw.orientation, 1)])
     if raw.make:

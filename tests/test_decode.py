@@ -373,14 +373,14 @@ def test_cfa_explicit_dims():
 
 
 def _dng_builder_ifd(entries_extra, data_payload, w, h, bits=16, endian="<",
-                     sample_format=None):
+                     sample_format=None, compression=1):
     """Minimal single-IFD DNG via tiffgen for robustness tests."""
     from tiffgen import TiffBuilder
 
     b = TiffBuilder(endian)
     strip = b.add_blob(data_payload)
     entries = [
-        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]), (259, 3, [1]),
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]), (259, 3, [compression]),
         (262, 3, [32803]), (273, 4, [strip]), (278, 4, [h]),
         (279, 4, [len(data_payload)]),
         (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
@@ -517,3 +517,194 @@ def test_dng_ifd_fuzz_truncation_and_loops(tmp_path):
         f.write(bytes(bomb))
     with pytest.raises(ValueError, match="IFD count"):
         read_dng(p)
+
+
+# ---------------------------------------------------------------------------
+# DNG Deflate (compression 8, DNG 1.4) — reference surface: rawloader's DNG
+# decoder behind /root/reference/src/pipeline.rs:264 handles the same
+# Adobe-written deflate shapes.
+# ---------------------------------------------------------------------------
+
+
+def test_dng_deflate_integer_roundtrip(tmp_path):
+    """16-bit CFA Deflate round-trip at every supported predictor."""
+    raw = synthetic_bayer(64, 48, seed=21)
+    for pred in (None, 1, 2):
+        path = str(tmp_path / f"z{pred}.dng")
+        write_dng(path, raw, compression=8, predictor=pred)
+        back = read_dng(path)
+        np.testing.assert_array_equal(np.asarray(back.data),
+                                      np.asarray(raw.data))
+        assert back.cfa.name == raw.cfa.name
+        assert back.blacklevels == raw.blacklevels
+
+
+def test_dng_deflate_float_roundtrip(tmp_path):
+    """Float32 (HDR-shape) DNG: SampleFormat 3 + Deflate, predictors 1/3."""
+    base = synthetic_bayer(64, 48, seed=22)
+    rng = np.random.default_rng(22)
+    fdata = (rng.uniform(0.0, 1.0, (48, 64)).astype(np.float32)
+             * np.float32(4.7))
+    import dataclasses
+    raw = dataclasses.replace(base, data=fdata, blacklevels=(0, 0, 0, 0),
+                              whitelevels=(1, 1, 1, 1))
+    for pred in (None, 1, 3):
+        path = str(tmp_path / f"f{pred}.dng")
+        write_dng(path, raw, compression=8, predictor=pred)
+        back = read_dng(path)
+        assert back.data.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(back.data), fdata)
+    # Uncompressed float writer path too.
+    path = str(tmp_path / "fu.dng")
+    write_dng(path, raw, compression=1)
+    np.testing.assert_array_equal(np.asarray(read_dng(path).data), fdata)
+
+
+def test_dng_deflate_reader_vs_pil_encoder(tmp_path):
+    """Independent-oracle direction 1: PIL's libtiff-free TIFF encoder
+    produces the deflate streams; our reader must reproduce PIL's pixels
+    for both 16-bit integer and float32 payloads."""
+    from PIL import Image
+
+    rng = np.random.default_rng(23)
+    a16 = rng.integers(0, 65536, (40, 56), dtype=np.uint16)
+    p16 = str(tmp_path / "pil16.tif")
+    Image.fromarray(a16).save(p16, format="TIFF",
+                              compression="tiff_adobe_deflate")
+    back = read_dng(p16)  # non-CFA TIFF: largest-main-image fallback
+    np.testing.assert_array_equal(np.asarray(back.data), a16)
+
+    af = rng.uniform(-2.0, 2.0, (40, 56)).astype(np.float32)
+    pf = str(tmp_path / "pilf.tif")
+    Image.fromarray(af, mode="F").save(pf, format="TIFF",
+                                       compression="tiff_adobe_deflate")
+    backf = read_dng(pf)
+    assert backf.data.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(backf.data), af)
+
+
+def test_dng_deflate_writer_vs_pil_decoder(tmp_path):
+    """Independent-oracle direction 2: our predictor-2/3 ENCODED strips,
+    relabeled with a PIL-readable photometric, must decode identically in
+    PIL (whose TIFF reader undoes both predictors itself)."""
+    from PIL import Image
+    from imagepipe_tpu.tiff import TiffFile
+
+    def strip_as_classic_tiff(dng_path, w, h, bits, pred, sfmt):
+        with open(dng_path, "rb") as f:
+            buf = f.read()
+        ifd = TiffFile(buf).ifds[0]
+        (off,), (cnt,) = ifd.get(273), ifd.get(279)
+        payload = buf[off:off + cnt]
+        from tiffgen import TiffBuilder
+
+        b = TiffBuilder("<")
+        strip = b.add_blob(payload)
+        b.add_ifd([(256, 4, [w]), (257, 4, [h]), (258, 3, [bits]),
+                   (259, 3, [8]), (262, 3, [1]), (273, 4, [strip]),
+                   (277, 3, [1]), (278, 4, [h]), (279, 4, [len(payload)]),
+                   (317, 3, [pred]), (339, 3, [sfmt])])
+        return b.bytes()
+
+    raw = synthetic_bayer(64, 48, seed=24)
+    pi = str(tmp_path / "ours_i.dng")
+    write_dng(pi, raw, compression=8)  # predictor 2
+    blob = strip_as_classic_tiff(pi, 64, 48, 16, 2, 1)
+    p = str(tmp_path / "ours_i.tif")
+    with open(p, "wb") as f:
+        f.write(blob)
+    got = np.array(Image.open(p)).astype(np.uint16)
+    np.testing.assert_array_equal(got, np.asarray(raw.data))
+
+    rng = np.random.default_rng(24)
+    fdata = rng.uniform(0.0, 3.0, (48, 64)).astype(np.float32)
+    import dataclasses
+    fraw = dataclasses.replace(raw, data=fdata, blacklevels=(0, 0, 0, 0),
+                               whitelevels=(1, 1, 1, 1))
+    pf = str(tmp_path / "ours_f.dng")
+    write_dng(pf, fraw, compression=8)  # predictor 3
+    blobf = strip_as_classic_tiff(pf, 64, 48, 32, 3, 3)
+    p2 = str(tmp_path / "ours_f.tif")
+    with open(p2, "wb") as f:
+        f.write(blobf)
+    gotf = np.array(Image.open(p2))
+    np.testing.assert_array_equal(gotf, fdata)
+
+
+def test_dng_fp16_payloads(tmp_path):
+    """fp16 float DNGs (common HDR-merge output): uncompressed and
+    Deflate+predictor-3 streams decode, widened to f32."""
+    import zlib
+
+    rng = np.random.default_rng(25)
+    h, w = 24, 32
+    f16 = rng.uniform(0.0, 1.0, (h, w)).astype(np.float16)
+    blob = _dng_builder_ifd([(50717, 3, [1])], f16.astype("<f2").tobytes(),
+                            w, h, bits=16, sample_format=3)
+    p = str(tmp_path / "h.dng")
+    with open(p, "wb") as f:
+        f.write(blob)
+    raw = read_dng(p)
+    assert raw.data.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(raw.data), f16.astype(np.float32))
+
+    # Deflate + predictor 3 on fp16: 2-byte MSB-first planes.
+    be = f16.astype(">f2").view(np.uint8).reshape(h, w, 2)
+    rowsb = np.moveaxis(be, 2, 1).reshape(h, 2 * w).astype(np.int16)
+    rowsb[:, 1:] = (rowsb[:, 1:] - rowsb[:, :-1]) & 0xFF
+    payload = zlib.compress(rowsb.astype(np.uint8).tobytes())
+    blob2 = _dng_builder_ifd([(50717, 3, [1]), (317, 3, [3])], payload,
+                             w, h, bits=16, sample_format=3, compression=8)
+    p2 = str(tmp_path / "hz.dng")
+    with open(p2, "wb") as f:
+        f.write(blob2)
+    raw2 = read_dng(p2)
+    np.testing.assert_array_equal(np.asarray(raw2.data), f16.astype(np.float32))
+
+
+def test_dng_deflate_rejects_bad_streams(tmp_path):
+    """Named refusals: corrupt deflate bytes, truncated inflated payload,
+    DNG-1.4 predictor codes, predictor/sample-format mismatches."""
+    import zlib
+
+    w, h = 32, 24
+    good = np.arange(h * w, dtype=np.uint16).reshape(h, w)
+
+    def build(payload, extra, **kw):
+        return _dng_builder_ifd([(50717, 3, [65535])] + extra, payload,
+                                w, h, compression=8, **kw)
+
+    def expect(blob, match):
+        p = str(tmp_path / "x.dng")
+        with open(p, "wb") as f:
+            f.write(blob)
+        with pytest.raises(ValueError, match=match):
+            read_dng(p)
+
+    expect(build(b"\x00not-deflate", []), "corrupt Deflate")
+    short = zlib.compress(good.astype("<u2").tobytes()[:100])
+    expect(build(short, [(317, 3, [2])]), "truncated inflated")
+    ok = zlib.compress(good.astype("<u2").tobytes())
+    expect(build(ok, [(317, 3, [34892])]), "Predictor 34892")
+    expect(build(ok, [(317, 3, [3])]), "Predictor 3 on integer")
+    fpay = zlib.compress(good.astype("<f4").tobytes())
+    expect(build(fpay, [(317, 3, [2])], bits=32, sample_format=3),
+           "Predictor 2 supported only")
+    # Predictor on a non-deflate container is refused too.
+    expect(_dng_builder_ifd([(50717, 3, [65535]), (317, 3, [2])],
+                            good.astype("<u2").tobytes(), w, h),
+           "Deflate only")
+
+
+def test_dng_deflate_through_pipeline(tmp_path):
+    """A deflate CFA DNG develops end-to-end identically to its
+    uncompressed twin."""
+    from imagepipe_tpu import simple_decode_8bit
+
+    raw = synthetic_bayer(64, 48, seed=26)
+    pz = str(tmp_path / "z.dng")
+    pu = str(tmp_path / "u.dng")
+    write_dng(pz, raw, compression=8)
+    write_dng(pu, raw, compression=1)
+    np.testing.assert_array_equal(simple_decode_8bit(pz).data,
+                                  simple_decode_8bit(pu).data)

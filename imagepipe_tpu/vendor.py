@@ -524,9 +524,10 @@ def _olympus_makernote_wb(tf: TiffFile):
 
 def read_orf(path: str) -> RawImage:
     """Olympus ORF: a TIFF container with vendor magic ('RO'/'RS') whose
-    raw IFD holds plain 16-bit or 12-bit-packed little-endian sensor data.
-    Olympus-compressed payloads raise a clear error. The raw IFD carries
-    no CFA tags; the pattern comes from the per-model registry
+    raw IFD holds plain 16-bit, 12-bit-packed little-endian, or
+    Olympus-compressed sensor data (the predictive bitstream every body
+    since ~2004 writes; decoded by olympus.decode_olympus). The raw IFD
+    carries no CFA tags; the pattern comes from the per-model registry
     (register_orf_pattern) -- refusing beats guessing a mosaic."""
     with open(path, "rb") as f:
         buf = f.read()
@@ -547,20 +548,45 @@ def read_orf(path: str) -> RawImage:
         raise ValueError("ORF: missing/implausible raw dimensions")
     compression = ifd.get1(T_COMPRESSION, 1)
     if compression != 1:
-        raise ValueError(f"ORF: olympus-compressed payloads (compression "
-                         f"{compression}) are not supported")
+        raise ValueError(f"ORF: unrecognized ORF compression tag "
+                         f"{compression} (Olympus writes 1 even for its "
+                         "compressed stream)")
     counts = ifd.get(T_STRIP_BYTECOUNTS) or []
+    offsets = ifd.get(T_STRIP_OFFSETS) or []
+    total = sum(int(c) for c in counts)
     npix = width * height
-    # STORAGE layout from the strip byte counts: 2 bytes/pixel = plain
-    # 16-bit LE words, else the classic 12-bit packed stream (2 pixels in
-    # 3 bytes). SAMPLE depth (the white level) comes from BitsPerSample:
+    rps = int(ifd.get1(T_ROWS_PER_STRIP, height) or height)
+    packed_need = sum((min(rps, height - i * rps) * width + 1) // 2 * 3
+                      for i in range((height + rps - 1) // rps))
+    # STORAGE layout from the strip byte counts (rawloader's ORF decoder
+    # discriminates the same way -- bodies write exact counts for
+    # uncompressed strips): exactly 2 bytes/pixel = plain 16-bit LE words;
+    # exactly the packed extent = the classic 12-bit stream (2 pixels in 3
+    # bytes); anything else is the Olympus-compressed predictive
+    # bitstream. SAMPLE depth (the white level) comes from BitsPerSample:
     # 12-bit data stored in 16-bit words is the common Olympus layout, and
     # white=65535 there would develop ~16x too dark.
-    storage = 16 if sum(int(c) for c in counts) >= npix * 2 else 12
-    bits = int(ifd.get1(T_BITS, storage) or storage)
+    if total == npix * 2:
+        storage = 16
+    elif total == packed_need:
+        storage = 12
+    else:
+        storage = 0  # olympus-compressed
+    bits = int(ifd.get1(T_BITS, storage or 12) or storage or 12)
     if not 8 <= bits <= 16:
         raise ValueError(f"ORF: implausible BitsPerSample {bits}")
-    data = _read_strips(tf, ifd, height, width, storage, "le")
+    if storage:
+        data = _read_strips(tf, ifd, height, width, storage, "le")
+    else:
+        # Compressed ORFs are single-strip in practice and their byte
+        # counts are unreliable (bodies write short counts); read from the
+        # strip offset to end-of-file and let the bit reader consume what
+        # the stream needs.
+        from .olympus import decode_olympus
+        off = int(offsets[0])
+        if not 0 <= off < len(tf.buf):
+            raise ValueError("ORF: strip offset out of range")
+        data = decode_olympus(bytes(tf.buf[off:]), width, height)
 
     if ifd.get1(T_PHOTOMETRIC) == 32803:
         cfa = _cfa_from_ifd(ifd)

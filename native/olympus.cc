@@ -1,0 +1,112 @@
+// Olympus ORF compressed-stream decoder (fast path for
+// imagepipe_tpu/olympus.py; the 7-byte preamble is stripped host-side).
+//
+// Mirrors the public dcraw `olympus_load_raw` semantics the Python
+// reference implementation documents: MSB-first bitstream; per pixel a
+// 3-bit sign+low field, a unary magnitude class (v zeros then a 1 for
+// v<=11, 12 zeros escaping to an explicit 16-nbits field whose LSB is
+// dropped), and an adaptive-width mantissa driven by the per-column-parity
+// carry state; gradient-medium spatial predictor over same-parity
+// W/N/NW neighbors. Must stay bit-identical to olympus.py::_decode_python
+// (tests/test_olympus.py runs a differential fuzz across both).
+
+#include <cstdint>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t pos = 0;  // bit position
+  bool overrun = false;
+
+  // Peek `n` (<= 57) bits, zero-padded past the end.
+  inline uint64_t peek(int n) {
+    int64_t byte = pos >> 3;
+    uint64_t acc = 0;
+    for (int i = 0; i < 8; i++) {
+      acc = (acc << 8) | (byte + i < nbytes ? data[byte + i] : 0);
+    }
+    acc <<= (pos & 7);
+    return (acc >> (64 - n)) & ((1ull << n) - 1);
+  }
+
+  inline void skip(int n) {
+    pos += n;
+    if (pos > nbytes * 8) overrun = true;
+  }
+
+  inline uint32_t get(int n) {
+    if (n <= 0) return 0;
+    uint64_t v = peek(n);
+    skip(n);
+    return static_cast<uint32_t>(v);
+  }
+
+  // Unary class: count of leading zeros before a 1, capped at 12
+  // (12 zeros carry no terminator).
+  inline int unary12() {
+    uint32_t win = static_cast<uint32_t>(peek(12));
+    if (win == 0) {
+      skip(12);
+      return 12;
+    }
+    int v = __builtin_clz(win) - 20;  // leading zeros within the 12-bit window
+    skip(v + 1);
+    return v;
+  }
+};
+
+inline int32_t iabs(int32_t v) { return v < 0 ? -v : v; }
+
+}  // namespace
+
+extern "C" int olympus_decode(const char* payload, int64_t nbytes, int width,
+                              int height, uint16_t* out) {
+  if (width <= 0 || height <= 0 || nbytes <= 0) return 1;
+  BitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
+  for (int row = 0; row < height; row++) {
+    int32_t carry[2][3] = {{0, 0, 0}, {0, 0, 0}};
+    for (int col = 0; col < width; col++) {
+      int32_t* c = carry[col & 1];
+      int i2 = (c[2] < 3) ? 2 : 0;
+      int nbits = 2 + i2;
+      while (static_cast<uint16_t>(c[0]) >> (nbits + i2)) nbits++;
+      uint32_t b3 = br.get(3);
+      int32_t low = static_cast<int32_t>(b3 & 3);
+      int32_t sign = (b3 & 4) ? -1 : 0;
+      int high = br.unary12();
+      if (high == 12) high = static_cast<int>(br.get(16 - nbits) >> 1);
+      int32_t c0 = (static_cast<int32_t>(high) << nbits) |
+                   static_cast<int32_t>(br.get(nbits));
+      int32_t diff = (c0 ^ sign) + c[1];
+      c[1] = (diff * 3 + c[1]) >> 5;
+      c[2] = (c0 > 16) ? 0 : c[2] + 1;
+      c[0] = c0;
+      int32_t pred;
+      const int64_t at = static_cast<int64_t>(row) * width + col;
+      if (row < 2 && col < 2) {
+        pred = 0;
+      } else if (row < 2) {
+        pred = out[at - 2];
+      } else if (col < 2) {
+        pred = out[at - 2 * width];
+      } else {
+        int32_t w = out[at - 2];
+        int32_t n = out[at - 2 * width];
+        int32_t nw = out[at - 2 * width - 2];
+        if ((w < nw && nw < n) || (n < nw && nw < w)) {
+          if (iabs(w - nw) > 32 || iabs(n - nw) > 32)
+            pred = w + n - nw;
+          else
+            pred = (w + n) >> 1;
+        } else {
+          pred = iabs(w - nw) > iabs(n - nw) ? w : n;
+        }
+      }
+      out[at] = static_cast<uint16_t>(pred + diff * 4 + low);
+    }
+    if (br.overrun) return 3;  // exhausted mid-image
+  }
+  return 0;
+}

@@ -24,7 +24,8 @@ import numpy as np
 import pytest
 
 _DIR = os.environ.get("IMAGEPIPE_REALFILE_DIR", "")
-_RAW_EXTS = (".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf", ".pgm")
+_RAW_EXTS = (".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf",
+             ".orf", ".pef", ".pgm")
 
 
 def _pairs():

@@ -463,12 +463,14 @@ def test_vendor_truncated_files_raise(tmp_path):
 
 
 def make_orf(data, model="E-M1MarkII", wb=None, bits=12,
-             with_cfa_tags=False, compression=1) -> bytes:
+             with_cfa_tags=False, compression=1, payload=None) -> bytes:
     from tests.tiffgen import pack_12le
 
     h, w = data.shape
     b = TiffBuilder("<")
-    if bits == 12:
+    if payload is not None:
+        pass  # caller supplies the strip bytes (e.g. olympus-compressed)
+    elif bits == 12:
         payload = pack_12le(data)
     else:
         payload = data.astype("<u2").tobytes()

@@ -32,7 +32,7 @@ from .tiff import (TiffFile, Ifd, exif_to_orientation,
                    T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC,
                    T_MAKE, T_MODEL, T_STRIP_OFFSETS, T_ORIENTATION,
                    T_ROWS_PER_STRIP, T_STRIP_BYTECOUNTS, T_CFA_REPEAT,
-                   T_CFA_PATTERN)
+                   T_CFA_PATTERN, T_MAKERNOTE)
 
 __all__ = ["read_nef", "read_cr2", "read_arw", "read_orf", "read_pef",
            "register_vendor_levels", "register_orf_pattern"]
@@ -606,13 +606,72 @@ def read_orf(path: str) -> RawImage:
         make=make, model=model)
 
 
+def _pentax_makernote(tf: TiffFile):
+    """The Pentax maker note as (Ifd, endian), or None.
+
+    Two public header flavors: classic 'AOC\\0' + 2 bytes (the IFD starts
+    at note+6, offsets are FILE-relative, container byte order) and newer
+    'PENTAX \\0' + 'II'/'MM' (the IFD starts at note+10, offsets are
+    NOTE-relative, own byte order)."""
+    for ifd in tf.ifds:
+        if T_MAKERNOTE not in ifd.entries:
+            continue
+        typ, count, off = ifd.entries[T_MAKERNOTE]
+        head = bytes(tf.buf[off:off + 10])
+        try:
+            if head.startswith(b"AOC\0"):
+                entries, _ = tf._read_ifd(off + 6 - tf.base)
+                return Ifd(tf, entries, off), tf.endian
+            if head.startswith(b"PENTAX \0"):
+                order = {b"II": "<", b"MM": ">"}.get(head[8:10])
+                if order is None:
+                    return None
+                sub = object.__new__(TiffFile)
+                sub.buf = tf.buf
+                sub.base = off
+                sub.endian = order
+                sub.ifds = []
+                entries, _ = sub._read_ifd(10)
+                return Ifd(sub, entries, off), order
+        except ValueError:
+            return None  # bounds-checked walk failed: ignore the note
+    return None
+
+
+def _pentax_calibration(tf: TiffFile):
+    """(wb_coeffs, blacklevels|None, huff_spec_bytes|None, endian) from
+    the Pentax maker note: tag 0x0201 white point (4 u16, stored R G G B),
+    0x0200 black point (4 u16, same order), 0x0220 the compressed-stream
+    Huffman table."""
+    found = _pentax_makernote(tf)
+    wb = (float("nan"),) * 4
+    blacks = None
+    spec = None
+    endian = tf.endian
+    if found is None:
+        return wb, blacks, spec, endian
+    mn, endian = found
+    wp = mn.get(0x0201)
+    if wp and len(wp) >= 4 and float(wp[1]) > 0:
+        g = float(wp[1])
+        wb = (float(wp[0]) / g, 1.0, float(wp[3]) / g, float("nan"))
+    bp = mn.get(0x0200)
+    if bp and len(bp) >= 4:
+        # stored R G1 G2 B -> (R, G1, B, G2); gofloat uses channel 0
+        blacks = (int(bp[0]), int(bp[1]), int(bp[3]), int(bp[2]))
+    spec = mn.raw_bytes(0x0220)
+    return wb, blacks, spec, endian
+
+
 def read_pef(path: str) -> RawImage:
-    """Pentax PEF: standard TIFF-EP with a CFA raw IFD; the uncompressed
-    flavor (compression 1, 16-bit or 12/14-bit big-endian packed).
-    Pentax-compressed (65535) raises a clear error. WB rationals are in
-    encrypted maker-note blocks on most bodies, so WB falls back to the
-    neutral estimate (the image still develops; shoot DNG on Pentax
-    bodies for full calibration -- they all offer it natively)."""
+    """Pentax PEF: standard TIFF-EP with a CFA raw IFD. Uncompressed
+    (compression 1, 16-bit or 12/14-bit big-endian packed) and
+    pentax-compressed (65535, the Huffman predictive bitstream --
+    pentax.decode_pentax; the per-body table ships in maker-note tag
+    0x0220, table-less bodies use the public default tree). WB and black
+    points come from maker-note tags 0x0201/0x0200 where present (the
+    classic unencrypted blocks); otherwise WB falls back to the neutral
+    estimate."""
     with open(path, "rb") as f:
         buf = f.read()
     tf = TiffFile(buf)
@@ -627,15 +686,34 @@ def read_pef(path: str) -> RawImage:
         raise ValueError("PEF: missing/implausible raw dimensions")
     bits = ifd.get1(T_BITS, 16)
     compression = ifd.get1(T_COMPRESSION, 1)
-    if compression != 1:
-        raise ValueError(f"PEF: pentax-compressed payloads (compression "
-                         f"{compression}) are not supported; shoot DNG")
-    packing = "be" if bits in (12, 14) or tf.endian == ">" else "le"
-    data = _read_strips(tf, ifd, height, width, bits, packing)
+    wb, mn_blacks, huff_spec, mn_endian = _pentax_calibration(tf)
+    if compression == 1:
+        packing = "be" if bits in (12, 14) or tf.endian == ">" else "le"
+        data = _read_strips(tf, ifd, height, width, bits, packing)
+    elif compression == 65535:
+        from .pentax import PentaxHuff, decode_pentax
+        huff = (PentaxHuff.from_spec(huff_spec, mn_endian)
+                if huff_spec else PentaxHuff.default())
+        offsets = ifd.get(T_STRIP_OFFSETS) or []
+        if not offsets:
+            raise ValueError("PEF: compressed strip has no offset")
+        off = int(offsets[0])
+        if not 0 <= off < len(tf.buf):
+            raise ValueError("PEF: strip offset out of range")
+        # Single strip in practice; byte counts can undershoot the
+        # stream, so read to end-of-file and let the bit reader consume
+        # what it needs (dcraw seeks and reads the same way).
+        data = decode_pentax(bytes(tf.buf[off:]), width, height, huff)
+    else:
+        raise ValueError(f"PEF: unrecognized compression {compression}")
     black, white = _vendor_levels(model, bits)
+    if mn_blacks is not None and black == 0:
+        blacks = mn_blacks
+    else:
+        blacks = (black,) * 4
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
-        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
-        wb_coeffs=(float("nan"),) * 4, xyz_to_cam=xyz_to_cam_for(make, model),
+        blacklevels=blacks, whitelevels=(white,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
         orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
         make=make, model=model)

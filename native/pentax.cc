@@ -1,0 +1,87 @@
+// Pentax PEF compressed-stream decoder (fast path for
+// imagepipe_tpu/pentax.py; the Huffman table is parsed host-side into a
+// 4096-entry 12-bit-window lookup, value `len<<8 | category`).
+//
+// Mirrors the public dcraw `pentax_load_raw` semantics the Python
+// reference implementation documents: MSB-first bitstream; per pixel a
+// Huffman-coded JPEG difference category then that many mantissa bits,
+// sign-extended (category 0 -> 0, 16 -> -32768, no mantissa); the first
+// two columns of each row predict vertically per row parity (two rows
+// up), the rest horizontally per column parity (two columns left);
+// predictors wrap at 16 bits. Must stay bit-identical to
+// pentax.py::_decode_python (tests/test_pentax.py runs a differential
+// fuzz across both).
+
+#include <cstdint>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t pos = 0;  // bit position
+  bool overrun = false;
+
+  // Peek `n` (<= 57) bits, zero-padded past the end.
+  inline uint64_t peek(int n) {
+    int64_t byte = pos >> 3;
+    uint64_t acc = 0;
+    for (int i = 0; i < 8; i++) {
+      acc = (acc << 8) | (byte + i < nbytes ? data[byte + i] : 0);
+    }
+    acc <<= (pos & 7);
+    return (acc >> (64 - n)) & ((1ull << n) - 1);
+  }
+
+  inline void skip(int n) {
+    pos += n;
+    if (pos > nbytes * 8) overrun = true;
+  }
+
+  inline uint32_t get(int n) {
+    if (n <= 0) return 0;
+    uint64_t v = peek(n);
+    skip(n);
+    return static_cast<uint32_t>(v);
+  }
+};
+
+}  // namespace
+
+extern "C" int pentax_decode(const char* payload, int64_t nbytes, int width,
+                             int height, const uint16_t* table,
+                             uint16_t* out) {
+  if (width <= 0 || height <= 0 || nbytes <= 0) return 1;
+  BitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
+  uint16_t vpred[2][2] = {{0, 0}, {0, 0}};
+  for (int row = 0; row < height; row++) {
+    uint16_t hpred[2] = {0, 0};
+    for (int col = 0; col < width; col++) {
+      uint16_t ent = table[br.peek(12)];
+      int length = ent >> 8;
+      if (length == 0) return 2;  // window not covered (corrupt table)
+      br.skip(length);
+      int c = ent & 0xFF;
+      int32_t diff;
+      if (c == 0) {
+        diff = 0;
+      } else if (c == 16) {
+        diff = -32768;
+      } else {
+        uint32_t mant = br.get(c);
+        diff = (mant & (1u << (c - 1)))
+                   ? static_cast<int32_t>(mant)
+                   : static_cast<int32_t>(mant) - (1 << c) + 1;
+      }
+      if (br.overrun) return 3;
+      if (col < 2) {
+        vpred[row & 1][col] = static_cast<uint16_t>(vpred[row & 1][col] + diff);
+        hpred[col] = vpred[row & 1][col];
+      } else {
+        hpred[col & 1] = static_cast<uint16_t>(hpred[col & 1] + diff);
+      }
+      out[static_cast<int64_t>(row) * width + col] = hpred[col & 1];
+    }
+  }
+  return 0;
+}

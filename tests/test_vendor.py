@@ -574,21 +574,75 @@ def test_orf_compressed_rejected(tmp_path):
         read_orf(path)
 
 
-def make_pef(data, model="PENTAX K-1", bits=14, compression=1) -> bytes:
+def _pentax_style_note(entries) -> bytes:
+    """Assemble a newer-style Pentax maker note: 'PENTAX \\0' + 'II',
+    IFD at note offset 10, note-relative offsets, little-endian.
+    entries: (tag, typ, values) with typ in {1/7: bytes, 3: u16 list}."""
+    import struct as _s
+
+    head = b"PENTAX \0II"
+    n = len(entries)
+    data_off = 10 + 2 + 12 * n + 4
+    body = b""
+    rows = b""
+    for tag, typ, vals in sorted(entries):
+        if typ in (1, 7):
+            payload = bytes(vals)
+            count = len(payload)
+        elif typ == 3:
+            payload = b"".join(_s.pack("<H", v) for v in vals)
+            count = len(vals)
+        else:
+            raise AssertionError(f"unsupported note type {typ}")
+        if len(payload) <= 4:
+            val = payload + b"\0" * (4 - len(payload))
+        else:
+            val = _s.pack("<I", data_off + len(body))
+            body += payload
+        rows += _s.pack("<HHI", tag, typ, count) + val
+    return (head + _s.pack("<H", n) + rows + _s.pack("<I", 0) + body)
+
+
+def make_pef(data, model="PENTAX K-1", bits=14, compression=1,
+             payload=None, makernote=None, mn_style="AOC") -> bytes:
+    """`makernote`: optional list of (tag, typ, values) for a Pentax
+    note — 'AOC' style (file-relative offsets, container order) or
+    'PENTAX' style (note-relative offsets, own 'II' order)."""
     h, w = data.shape
     b = TiffBuilder(">")
-    payload = pack_14be(data) if bits == 14 else data.astype(">u2").tobytes()
+    if payload is None:
+        payload = pack_14be(data) if bits == 14 \
+            else data.astype(">u2").tobytes()
     strip = b.add_blob(payload)
+    exif_ifd = None
+    if makernote is not None:
+        if mn_style == "AOC":
+            # 'AOC\0' + 2 pad bytes, bare IFD follows, offsets
+            # file-relative in the container's (big-endian) order.
+            prefix = b.add_blob(b"AOC\0\0\0")
+            b.add_ifd(makernote, chain=False)
+            exif_ifd = b.add_ifd([(37500, 7, ("ptr", 256, prefix))],
+                                 chain=False)
+        else:
+            # 'PENTAX \0' + 'II' + an IFD at note offset 10 whose
+            # offsets are note-relative, in its own (LE) byte order.
+            note = _pentax_style_note(makernote)
+            prefix = b.add_blob(note)
+            exif_ifd = b.add_ifd([(37500, 7, ("ptr", len(note), prefix))],
+                                 chain=False)
     raw_ifd = b.add_ifd([
         (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]),
         (259, 3, [compression]), (262, 3, [32803]),
         (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
         (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
     ], chain=False)
-    b.add_ifd([
+    root = [
         (271, 2, "PENTAX Corporation"), (272, 2, model), (274, 3, [1]),
         (330, 4, [raw_ifd]),
-    ])
+    ]
+    if exif_ifd is not None:
+        root.append((34665, 4, [exif_ifd]))
+    b.add_ifd(root)
     return b.bytes()
 
 
@@ -605,15 +659,22 @@ def test_pef_decode(tmp_path):
     assert all(np.isnan(v) for v in raw.wb_coeffs[:3])  # neutral fallback
 
 
-def test_pef_compressed_rejected(tmp_path):
+def test_pef_garbage_compressed_stream_never_crashes(tmp_path):
+    # Compression 65535 with a payload that is NOT a valid Huffman
+    # stream must either raise ValueError (exhausted) or decode to
+    # bounded garbage like dcraw — never crash (test_pentax.py covers
+    # real streams, truncation, and byte fuzz).
     data = _sensor(8, 16, seed=36)
     path = str(tmp_path / "comp.pef")
     with open(path, "wb") as f:
         f.write(make_pef(data, compression=65535))
     from imagepipe_tpu.vendor import read_pef
 
-    with pytest.raises(ValueError, match="compressed"):
-        read_pef(path)
+    try:
+        raw = read_pef(path)
+        assert raw.data.shape == (8, 16)
+    except ValueError:
+        pass
 
 
 def test_known_unsupported_formats_named(tmp_path):

@@ -160,6 +160,14 @@ def _decode_pef(path: str) -> Optional[RawImage]:
     return read_pef(path)
 
 
+def _decode_rw2(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".rw2"):
+        return None
+    from .rw2 import read_rw2
+
+    return read_rw2(path)
+
+
 def _decode_known_unsupported(path: str) -> Optional[RawImage]:
     """Recognize RAW containers whose codecs are not implemented and name
     the gap, instead of letting them fall through to a baffling PIL
@@ -172,19 +180,13 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
             raise ValueError(
                 "CR3: Canon's crx codec is not supported; convert to DNG "
                 "or shoot CR2/DNG")
-    if low.endswith(".rw2"):
-        with open(path, "rb") as f:
-            head = f.read(4)
-        if head in (b"IIU\0", b"IIU\x18"):
-            raise ValueError(
-                "RW2: Panasonic-compressed payloads are not supported; "
-                "convert to DNG")
     return None
 
 
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
-                      _decode_orf, _decode_pef, _decode_known_unsupported])
+                      _decode_orf, _decode_pef, _decode_rw2,
+                      _decode_known_unsupported])
 
 
 def decode_file(path) -> ImageSource:

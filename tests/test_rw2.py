@@ -1,0 +1,255 @@
+"""Panasonic RW2 (imagepipe_tpu/rw2.py + native/rw2.cc).
+
+Strategy mirrors the other vendor codecs: the test encoder pins every
+stream mechanism by round-trip (establishment, repeat, rebased steps at
+every shift, group resets, multi-section rotation), the native decoder
+is differential-fuzzed against the Python one, and the container
+integration goes through read_rw2/decode_file. The reference reaches
+Panasonic bodies through rawloader (/root/reference/src/pipeline.rs:264)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu import native
+from imagepipe_tpu.decode import decode_file
+from imagepipe_tpu.rw2 import (_decode_native, _decode_python, _derotate,
+                               decode_panasonic, encode_panasonic, read_rw2)
+from tests.tiffgen import TiffBuilder
+from tests.test_vendor import _sensor
+
+_HAVE_NATIVE = native.have_native() and hasattr(native._lib, "rw2_decode")
+
+
+def _smooth(h, w, seed=0, lo=400, amp=8):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (lo + (yy * 9 + xx * 3) % 3000
+            + rng.integers(0, amp, (h, w))).astype(np.uint16)
+
+
+def _roundtrip(img):
+    blob, snapped = encode_panasonic(img, snap=True)
+    out = decode_panasonic(blob, img.shape[1], img.shape[0])
+    np.testing.assert_array_equal(out, snapped)
+    return blob, snapped
+
+
+def test_roundtrip_smooth_exact():
+    img = _smooth(20, 42)
+    blob, snapped = _roundtrip(img)
+    np.testing.assert_array_equal(snapped, img)  # no snapping needed
+
+
+def test_roundtrip_flat_and_extremes():
+    for v in (16, 1000, 4095):
+        img = np.full((8, 28), v, np.uint16)
+        blob, snapped = _roundtrip(img)
+        np.testing.assert_array_equal(snapped, img)
+
+
+def test_roundtrip_random_snapped():
+    # Random 12-bit data is not exactly representable (steps quantize by
+    # the shift); the snapped image must round-trip exactly and sit
+    # within the sh=4 quantization radius of the input.
+    rng = np.random.default_rng(1)
+    img = rng.integers(150, 4096, (16, 56), dtype=np.uint16)
+    blob, snapped = _roundtrip(img)
+    assert np.abs(snapped.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_width_alignment_invariant():
+    # Partial tail groups would break the 128-bit chunk alignment
+    # dcraw's addressing assumes (real v4 raw widths are multiples of
+    # 14); the encoder refuses rather than emitting a corrupt stream.
+    with pytest.raises(ValueError, match="multiple of 14"):
+        encode_panasonic(_smooth(6, 15))
+
+
+def test_multi_section_rotation():
+    # >16384 pixels crosses 0x4000-byte sections, exercising the
+    # per-section 0x2008 rotation and the 128-bit group alignment.
+    img = (500 + (np.add.outer(np.arange(28) * 5, np.arange(1400)) % 700)
+           ).astype(np.uint16)
+    blob, snapped = _roundtrip(img)
+    assert len(blob) % 0x4000 == 0 and len(blob) >= 3 * 0x4000
+
+
+def test_truncated_stream_raises():
+    img = _smooth(20, 42)
+    blob, _ = encode_panasonic(img, snap=True)
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_panasonic(b"", 42, 20)
+    # Cutting at a section boundary: the decoder needs more sections
+    # than exist for this many pixels.
+    big = _smooth(28, 1400)
+    bblob, _ = encode_panasonic(big, snap=True)
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_panasonic(bblob[:0x4000], 1400, 28)
+
+
+@pytest.mark.skipif(not _HAVE_NATIVE, reason="native library not built")
+def test_native_matches_python_differential():
+    rng = np.random.default_rng(77)
+    for trial in range(10):
+        h = int(rng.integers(2, 24))
+        w = 14 * int(rng.integers(1, 5))
+        img = rng.integers(16, 4096, (h, w), dtype=np.uint16)
+        blob, snapped = encode_panasonic(img, snap=True)
+        logical = _derotate(blob)
+        a = _decode_python(logical, w, h)
+        b = _decode_native(logical, w, h)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, snapped)
+
+
+def test_fuzz_decoders_never_crash_and_agree():
+    rng = np.random.default_rng(5)
+    img = _smooth(10, 28, seed=40)
+    blob, _ = encode_panasonic(img, snap=True)
+    for _ in range(40):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        logical = _derotate(bytes(b))
+        try:
+            py = _decode_python(logical, 28, 10)
+        except ValueError:
+            py = None
+        if _HAVE_NATIVE:
+            try:
+                nat = _decode_native(logical, 28, 10)
+            except ValueError:
+                nat = None
+            assert (py is None) == (nat is None)
+            if py is not None:
+                np.testing.assert_array_equal(py, nat)
+
+
+def make_rw2(data, payload=None, model="DMC-GH4", cfa_code=1, bits=12,
+             borders=None, blacks=(128, 127, 129), wb=(470, 256, 380),
+             rawformat=None, uncompressed=False) -> bytes:
+    """An RW2 container: TIFF with vendor magic 0x55 and Panasonic's
+    private IFD0 tags; the raw payload offset rides tag 0x0118."""
+    h, w = data.shape
+    b = TiffBuilder("<")
+    if payload is None:
+        if uncompressed:
+            payload = data.astype("<u2").tobytes()
+        else:
+            payload = encode_panasonic(data)
+    strip = b.add_blob(payload)
+    if borders is None:
+        borders = (0, 0, h, w)  # top, left, bottom, right
+    entries = [
+        (0x0002, 3, [w]), (0x0003, 3, [h]),
+        (0x0004, 3, [borders[0]]), (0x0005, 3, [borders[1]]),
+        (0x0006, 3, [borders[2]]), (0x0007, 3, [borders[3]]),
+        (0x0009, 3, [cfa_code]), (0x000A, 3, [bits]),
+        (0x001C, 3, [blacks[0]]), (0x001D, 3, [blacks[1]]),
+        (0x001E, 3, [blacks[2]]),
+        (0x0024, 3, [wb[0]]), (0x0025, 3, [wb[1]]), (0x0026, 3, [wb[2]]),
+        (0x0118, 4, [strip]),
+        (271, 2, "Panasonic"), (272, 2, model), (274, 3, [1]),
+    ]
+    if rawformat is not None:
+        entries.append((0x002D, 3, [rawformat]))
+    b.add_ifd(entries)
+    blob = bytearray(b.bytes())
+    struct.pack_into("<H", blob, 2, 0x55)  # RW2 vendor magic
+    return bytes(blob)
+
+
+def test_rw2_container_compressed_decodes(tmp_path):
+    # Big enough that the compressed stream (sections of 16 KB) stays
+    # under width*height*2 bytes — the reader's storage discriminator.
+    img = _smooth(64, 224, seed=3)
+    path = str(tmp_path / "shot.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img))
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, img)
+    assert raw.cfa.name == "RGGB"
+    assert raw.whitelevels[0] == 4095
+    # Stored black + 15 (the public RawSpeed/rawloader convention).
+    assert raw.blacklevels == (143, 142, 144, 142)
+    assert raw.wb_coeffs[0] == pytest.approx(470 / 256)
+    assert raw.wb_coeffs[2] == pytest.approx(380 / 256)
+
+
+def test_rw2_container_uncompressed_decodes(tmp_path):
+    img = _sensor(12, 20, seed=9, bits=12)
+    path = str(tmp_path / "plain.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, uncompressed=True))
+    raw = read_rw2(path)
+    np.testing.assert_array_equal(raw.data, img)
+
+
+def test_rw2_cfa_codes(tmp_path):
+    img = _smooth(64, 224, seed=4)
+    for code, name in ((1, "RGGB"), (2, "GRBG"), (3, "GBRG"), (4, "BGGR")):
+        path = str(tmp_path / f"cfa{code}.rw2")
+        with open(path, "wb") as f:
+            f.write(make_rw2(img, cfa_code=code))
+        assert read_rw2(path).cfa.name == name
+    path = str(tmp_path / "cfa9.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, cfa_code=9))
+    with pytest.raises(ValueError, match="CFA pattern code"):
+        read_rw2(path)
+
+
+def test_rw2_borders_to_crops(tmp_path):
+    img = _smooth(64, 224, seed=5)
+    path = str(tmp_path / "crop.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, borders=(2, 4, 60, 220)))
+    raw = read_rw2(path)
+    # crops order [top, right, bottom, left]
+    assert raw.crops == (2, 224 - 220, 64 - 60, 4)
+
+
+def test_rw2_fallback_balance_tags(tmp_path):
+    img = _smooth(64, 224, seed=6)
+    h, w = img.shape
+    b = TiffBuilder("<")
+    strip = b.add_blob(encode_panasonic(img))
+    b.add_ifd([
+        (0x0002, 3, [w]), (0x0003, 3, [h]), (0x0009, 3, [1]),
+        (0x000A, 3, [12]), (0x0011, 3, [520]), (0x0012, 3, [370]),
+        (0x0118, 4, [strip]), (271, 2, "Panasonic"), (272, 2, "DMC-LX3"),
+    ])
+    blob = bytearray(b.bytes())
+    struct.pack_into("<H", blob, 2, 0x55)
+    path = str(tmp_path / "old.rw2")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    raw = read_rw2(path)
+    assert raw.wb_coeffs[0] == pytest.approx(520 / 256)
+    assert raw.wb_coeffs[2] == pytest.approx(370 / 256)
+    assert raw.blacklevels == (0, 0, 0, 0)  # no black tags -> none
+
+
+def test_rw2_newer_codec_named(tmp_path):
+    img = _smooth(8, 28, seed=7)
+    path = str(tmp_path / "v6.rw2")
+    with open(path, "wb") as f:
+        # A short garbage payload with RawFormat 6 (newer 14-bit codec).
+        f.write(make_rw2(img, payload=b"\0" * 64, rawformat=6))
+    with pytest.raises(ValueError, match="RawFormat 6"):
+        read_rw2(path)
+
+
+def test_rw2_develops_end_to_end(tmp_path):
+    from imagepipe_tpu.pipeline import Pipeline
+
+    img = _smooth(64, 224, seed=8)
+    path = str(tmp_path / "dev.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img))
+    out = Pipeline.new_from_file(path).output_8bit()
+    assert out.data.shape == (64, 224, 3)
+    assert out.data.std() > 0

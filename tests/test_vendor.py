@@ -678,15 +678,13 @@ def test_pef_garbage_compressed_stream_never_crashes(tmp_path):
 
 
 def test_known_unsupported_formats_named(tmp_path):
-    """CR3/RW2 containers fail with the codec gap named, not a PIL error."""
+    """CR3 containers fail with the codec gap named, not a PIL error
+    (RW2 decodes natively now; its RawFormat>=5 gap test lives in
+    test_rw2.py)."""
     cr3 = tmp_path / "shot.cr3"
     cr3.write_bytes(b"\x00\x00\x00\x18ftypcrx \x00\x00\x00\x01" + b"\0" * 64)
     with pytest.raises(ValueError, match="crx"):
         decode_file(str(cr3))
-    rw2 = tmp_path / "shot.rw2"
-    rw2.write_bytes(b"IIU\0\x08\x00\x00\x00" + b"\0" * 64)
-    with pytest.raises(ValueError, match="Panasonic"):
-        decode_file(str(rw2))
 
 
 def test_vendor_levels_registry(tmp_path):

@@ -168,6 +168,14 @@ def _decode_rw2(path: str) -> Optional[RawImage]:
     return read_rw2(path)
 
 
+def _decode_mrw(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".mrw"):
+        return None
+    from .mrw import read_mrw
+
+    return read_mrw(path)
+
+
 def _decode_known_unsupported(path: str) -> Optional[RawImage]:
     """Recognize RAW containers whose codecs are not implemented and name
     the gap, instead of letting them fall through to a baffling PIL
@@ -185,7 +193,7 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
 
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
-                      _decode_orf, _decode_pef, _decode_rw2,
+                      _decode_orf, _decode_pef, _decode_rw2, _decode_mrw,
                       _decode_known_unsupported])
 
 

@@ -25,7 +25,7 @@ import pytest
 
 _DIR = os.environ.get("IMAGEPIPE_REALFILE_DIR", "")
 _RAW_EXTS = (".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf",
-             ".orf", ".pef", ".rw2", ".pgm")
+             ".orf", ".pef", ".rw2", ".mrw", ".pgm")
 
 
 def _pairs():

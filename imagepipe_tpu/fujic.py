@@ -1,0 +1,698 @@
+"""Fujifilm lossless-compressed RAF codec (X-Trans and Bayer).
+
+Every modern Fuji body (X-T3 onward, GFX) writes this stream by default;
+the reference reaches it through rawloader at
+/root/reference/src/pipeline.rs:264. The scheme is fixed and public --
+this implementation follows the widely-documented libraw/RawSpeed
+`fuji_compressed` semantics (Alexey Danilchenko's reverse engineering,
+mirrored by rawloader's RAF decoder):
+
+  * a 16-byte big-endian header (signature 0x4953, version 1, raw type
+    16 = X-Trans / 0 = Bayer, bit depth, dims, stripe width, stripe
+    count, band count), then a table of per-stripe byte sizes, then the
+    independent per-stripe MSB-first bitstreams;
+  * each stripe decodes bands of 6 raw rows as 12 color "lines"
+    (3 R + 6 G + 3 B, `line_width` samples each) in six fixed passes of
+    interleaved even/odd samples (odd lags even by 8 positions), with
+    three even/odd gradient-context sets shared across passes;
+  * per sample: a same-color neighborhood (Ra..Rg) yields a predictor
+    and a quantized-gradient context (9*q(Rb-Rf)+q(Rc-Rb), 41 contexts);
+    the residual is Golomb-ish coded as a unary sample count + an
+    adaptive-width mantissa (width from the context's running magnitude
+    ratio), escaping to a raw value after max_bits-raw_bits-1 zeros;
+    residuals wrap modulo total_values into [0, 2^bits-1];
+  * on X-Trans, 1 in 4 even positions of the R/B lines is not coded at
+    all -- the decoder reproduces it with the same gradient-median
+    interpolation the encoder used.
+
+The per-band line layout, pass order, and interpolation positions are
+exercised end-to-end by round-trip tests (the canonical encoder in this
+module walks the identical structure); real-file cross-validation
+(tests/test_realfiles.py) is the external check, exactly as for the
+Nikon/Olympus/Pentax/Panasonic codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["FujiHeader", "decode_fuji", "encode_fuji"]
+
+_MIN_VALUE = 0x40
+
+
+class FujiHeader:
+    """The 16-byte big-endian stream header."""
+
+    def __init__(self, raw_type, raw_bits, raw_height, raw_rounded_width,
+                 raw_width, block_size, blocks_in_row, total_lines):
+        self.raw_type = raw_type
+        self.raw_bits = raw_bits
+        self.raw_height = raw_height
+        self.raw_rounded_width = raw_rounded_width
+        self.raw_width = raw_width
+        self.block_size = block_size
+        self.blocks_in_row = blocks_in_row
+        self.total_lines = total_lines
+
+    @classmethod
+    def parse(cls, blob: bytes) -> "FujiHeader":
+        if len(blob) < 16:
+            raise ValueError("fuji-compressed: header truncated")
+        signature, version, raw_type, raw_bits = struct.unpack_from(
+            ">HBBB", blob, 0)
+        raw_height, raw_rounded_width, raw_width, block_size = \
+            struct.unpack_from(">HHHH", blob, 5)
+        blocks_in_row = blob[13]
+        (total_lines,) = struct.unpack_from(">H", blob, 14)
+        if signature != 0x4953 or version != 1:
+            raise ValueError("fuji-compressed: bad signature/version")
+        if raw_type not in (16, 0):
+            raise ValueError(f"fuji-compressed: unknown raw type {raw_type}")
+        if raw_bits not in (12, 14, 16):
+            raise ValueError(f"fuji-compressed: unsupported bit depth "
+                             f"{raw_bits}")
+        if (not raw_width or not raw_height or blocks_in_row == 0
+                or block_size == 0 or total_lines == 0
+                or raw_width * raw_height > 500_000_000
+                or blocks_in_row > 64
+                or block_size * blocks_in_row < raw_width
+                or total_lines * 6 < raw_height):
+            raise ValueError("fuji-compressed: implausible header geometry")
+        if raw_type == 16 and block_size % 3:
+            raise ValueError("fuji-compressed: X-Trans stripe width must "
+                             "be a multiple of 3")
+        if raw_type == 0 and block_size % 2:
+            raise ValueError("fuji-compressed: Bayer stripe width must "
+                             "be even")
+        return cls(raw_type, raw_bits, raw_height, raw_rounded_width,
+                   raw_width, block_size, blocks_in_row, total_lines)
+
+    def pack(self) -> bytes:
+        return (struct.pack(">HBBB", 0x4953, 1, self.raw_type,
+                            self.raw_bits)
+                + struct.pack(">HHHH", self.raw_height,
+                              self.raw_rounded_width, self.raw_width,
+                              self.block_size)
+                + bytes([self.blocks_in_row])
+                + struct.pack(">H", self.total_lines))
+
+
+class _Params:
+    def __init__(self, hdr: FujiHeader):
+        self.raw_bits = hdr.raw_bits
+        q4 = (1 << hdr.raw_bits) - 1
+        self.q_point = (0, 0x12, 0x43, 0x114, q4)
+        self.total_values = q4 + 1
+        self.min_value = _MIN_VALUE
+        self.max_bits = 4 * (self.total_values - 1).bit_length()
+        self.max_diff = max(2, (self.total_values + 0x20) >> 6)
+        if hdr.raw_type == 16:
+            self.line_width = (hdr.block_size * 2) // 3
+        else:
+            self.line_width = hdr.block_size >> 1
+        # The odd-sample loop lags the even one by 8 positions (it needs
+        # decoded neighbors); a narrower line could never start it.
+        if self.line_width <= 8:
+            raise ValueError("fuji-compressed: stripe too narrow "
+                             "(line width must exceed 8 samples)")
+        # q_table[x + q4] for x in [-q4, q4]
+        q1, q2, q3 = self.q_point[1], self.q_point[2], self.q_point[3]
+        xs = np.arange(-q4, q4 + 1)
+        qt = np.empty(2 * q4 + 1, np.int8)
+        qt[:] = 4
+        qt[xs < q3] = 3
+        qt[xs < q2] = 2
+        qt[xs < q1] = 1
+        qt[xs == 0] = 0
+        qt[xs < 0] = -1
+        qt[xs <= -q1] = -2
+        qt[xs <= -q2] = -3
+        qt[xs <= -q3] = -4
+        self.q_table = qt
+        self.q4 = q4
+
+    def quant(self, v: int) -> int:
+        return int(self.q_table[v + self.q4])
+
+
+def _bit_diff(value1: int, value2: int) -> int:
+    """Adaptive mantissa width: smallest d with (value2 << d) >= value1,
+    capped at 13 (the reference's pre-increment loop semantics)."""
+    dec_bits = 0
+    if value2 < value1:
+        while dec_bits <= 12:
+            dec_bits += 1
+            if (value2 << dec_bits) >= value1:
+                break
+    return dec_bits
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.nbits = len(data) * 8
+        self.pos = 0
+
+    def zerobits(self) -> int:
+        n = 0
+        d, pos = self.data, self.pos
+        while True:
+            if pos >= self.nbits:
+                raise ValueError("fuji-compressed: bitstream exhausted")
+            bit = (d[pos >> 3] >> (7 - (pos & 7))) & 1
+            pos += 1
+            if bit:
+                self.pos = pos
+                return n
+            n += 1
+            if n > 1024:
+                raise ValueError("fuji-compressed: runaway unary code")
+
+    def read(self, n: int) -> int:
+        if n <= 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("fuji-compressed: bitstream exhausted")
+        v = 0
+        d = self.data
+        pos = self.pos
+        for _ in range(n):
+            v = (v << 1) | ((d[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, n: int, v: int) -> None:
+        if n <= 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.out.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def put_unary(self, zeros: int) -> None:
+        while zeros >= 8:
+            self.put(8, 0)
+            zeros -= 8
+        self.put(zeros + 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.acc <<= pad
+            self.nacc = 8
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nacc = 0
+        return bytes(self.out)
+
+
+# Line indices within a band's working set: 2 carried + new per color.
+_R = [0, 1, 2, 3, 4]          # _R0.._R4
+_G = [5, 6, 7, 8, 9, 10, 11, 12]   # _G0.._G7
+_B = [13, 14, 15, 16, 17]     # _B0.._B4
+_LTOTAL = 18
+
+
+class _Block:
+    """Per-stripe decoder/encoder state: 18 line buffers (line_width+2
+    shorts, sample s of line L at linebuf[L][1+s]) and the three
+    even/odd gradient-context sets."""
+
+    def __init__(self, params: _Params):
+        self.p = params
+        lw = params.line_width
+        self.linebuf = [np.zeros(lw + 2, np.uint16) for _ in range(_LTOTAL)]
+        self.grad_even = [[[params.max_diff, 1] for _ in range(41)]
+                          for _ in range(3)]
+        self.grad_odd = [[[params.max_diff, 1] for _ in range(41)]
+                         for _ in range(3)]
+
+    def extend(self, line: int) -> None:
+        """Borders from the line above (same color): left border from
+        its first sample, right border from its last."""
+        lb = self.linebuf
+        lw = self.p.line_width
+        lb[line][0] = lb[line - 1][1]
+        lb[line][lw + 1] = lb[line - 1][lw]
+
+    def rotate(self) -> None:
+        """Carry the last two lines of each color into the 0/1 slots for
+        the next band."""
+        lb = self.linebuf
+        for base, last in ((_R[0], _R[3]), (_G[0], _G[6]), (_B[0], _B[3])):
+            lb[base][:] = lb[last]
+            lb[base + 1][:] = lb[last + 1]
+
+    # -- shared sample machinery -------------------------------------------
+
+    def _even_context(self, line: int, pos: int):
+        lb = self.linebuf
+        p = self.p
+        Rb = int(lb[line - 1][1 + pos])
+        Rc = int(lb[line - 1][pos])
+        Rd = int(lb[line - 1][2 + pos])
+        Rf = int(lb[line - 2][1 + pos])
+        grad = 9 * p.quant(Rb - Rf) + p.quant(Rc - Rb)
+        d_cb = abs(Rc - Rb)
+        d_fb = abs(Rf - Rb)
+        d_db = abs(Rd - Rb)
+        if d_cb > d_fb and d_cb > d_db:
+            interp = Rf + Rd + 2 * Rb
+        elif d_db > d_cb and d_db > d_fb:
+            interp = Rf + Rc + 2 * Rb
+        else:
+            interp = Rd + Rc + 2 * Rb
+        return grad, interp >> 2
+
+    def _odd_context(self, line: int, pos: int):
+        lb = self.linebuf
+        p = self.p
+        Ra = int(lb[line][pos])          # previous (even) sample, cur line
+        Rb = int(lb[line - 1][1 + pos])
+        Rc = int(lb[line - 1][pos])
+        Rd = int(lb[line - 1][2 + pos])
+        Rg = int(lb[line][2 + pos])      # next (even) sample, cur line
+        grad = 9 * p.quant(Rb - Rc) + p.quant(Rc - Ra)
+        if (Rb > Rc and Rb > Rd) or (Rb < Rc and Rb < Rd):
+            interp = (Rg + Ra + 2 * Rb) >> 2
+        else:
+            interp = (Ra + Rg) >> 1
+        return grad, interp
+
+    def _apply(self, line: int, pos: int, grad: int, base: int,
+               code_signed: int) -> int:
+        p = self.p
+        if grad < 0:
+            val = base - code_signed
+        else:
+            val = base + code_signed
+        if val < 0:
+            val += p.total_values
+        elif val > p.q4:
+            val -= p.total_values
+        val = min(max(val, 0), p.q4)
+        self.linebuf[line][1 + pos] = val
+        return val
+
+    def _grad_update(self, grads, gradient: int, code_signed: int) -> None:
+        g = grads[gradient]
+        g[0] += abs(code_signed)
+        if g[1] == self.p.min_value:
+            g[0] >>= 1
+            g[1] >>= 1
+        g[1] += 1
+
+    def decode_sample(self, reader: _BitReader, line: int, pos: int,
+                      grads, odd: bool) -> None:
+        p = self.p
+        grad, base = (self._odd_context if odd else self._even_context)(
+            line, pos)
+        gradient = abs(grad)
+        sample = reader.zerobits()
+        if sample < p.max_bits - p.raw_bits - 1:
+            dec_bits = _bit_diff(grads[gradient][0], grads[gradient][1])
+            code = (sample << dec_bits) + reader.read(dec_bits)
+        else:
+            code = reader.read(p.raw_bits) + 1
+        if code < 0 or code >= p.total_values:
+            raise ValueError("fuji-compressed: residual out of range")
+        if code & 1:
+            code_signed = -1 - code // 2
+        else:
+            code_signed = code // 2
+        self._grad_update(grads, gradient, code_signed)
+        self._apply(line, pos, grad, base, code_signed)
+
+    def encode_sample(self, writer: _BitWriter, line: int, pos: int,
+                      grads, odd: bool, target: int) -> int:
+        """Emit the code that makes the decoder produce `target` (always
+        possible: residuals wrap modulo total_values). Returns target."""
+        p = self.p
+        grad, base = (self._odd_context if odd else self._even_context)(
+            line, pos)
+        gradient = abs(grad)
+        sign = -1 if grad < 0 else 1
+        # decoder: val = base + sign*c, wrapped once by +-total_values.
+        delta = (target - base) * sign
+        cands = [delta, delta - p.total_values, delta + p.total_values]
+        best = None
+        for c in cands:
+            code = 2 * c if c >= 0 else -2 * c - 1
+            if 0 <= code < p.total_values:
+                val = base + sign * c
+                if val < 0:
+                    val += p.total_values
+                elif val > p.q4:
+                    val -= p.total_values
+                val = min(max(val, 0), p.q4)
+                if val == target and (best is None or code < best[0]):
+                    best = (code, c)
+        if best is None:
+            raise ValueError("fuji-compressed: unencodable residual")
+        code, code_signed = best
+        dec_bits = _bit_diff(grads[gradient][0], grads[gradient][1])
+        sample = code >> dec_bits
+        threshold = p.max_bits - p.raw_bits - 1
+        if sample < threshold:
+            writer.put_unary(sample)
+            writer.put(dec_bits, code & ((1 << dec_bits) - 1))
+        else:
+            if code < 1:
+                raise ValueError("fuji-compressed: escape cannot encode 0")
+            writer.put_unary(threshold)
+            writer.put(p.raw_bits, code - 1)
+        self._grad_update(grads, gradient, code_signed)
+        self._apply(line, pos, grad, base, code_signed)
+        return target
+
+    def interpolate_even(self, line: int, pos: int) -> int:
+        _, base = self._even_context(line, pos)
+        self.linebuf[line][1 + pos] = base
+        return base
+
+
+def _band_passes(params: _Params, xtrans: bool):
+    """The six fixed passes of one band: (c0_line, c1_line, grad_set,
+    interp_line_slot, interp_mask_value). interp_* describe which even
+    positions of the R/B member are interpolated instead of coded
+    (X-Trans only): positions where (pos & 3) == mask."""
+    R, G, B = _R, _G, _B
+    if xtrans:
+        return [
+            (R[2], G[2], 0, None, None),
+            (G[3], B[2], 1, B[2], 0),
+            (R[3], G[4], 2, R[3], 0),
+            (G[5], B[3], 0, B[3], 2),
+            (R[4], G[6], 1, R[4], 2),
+            (G[7], B[4], 2, B[4], 0),
+        ]
+    return [
+        (R[2], G[2], 0, None, None),
+        (G[3], B[2], 1, None, None),
+        (R[3], G[4], 2, None, None),
+        (G[5], B[3], 0, None, None),
+        (R[4], G[6], 1, None, None),
+        (G[7], B[4], 2, None, None),
+    ]
+
+
+def _walk_band(block: _Block, params: _Params, xtrans: bool, visit_even,
+               visit_odd):
+    """Drive the six passes, calling visit_even(line, pos, grads,
+    interp)/visit_odd(line, pos, grads) in exact stream order."""
+    lw = params.line_width
+    for c0, c1, gset, interp_line, interp_mask in _band_passes(
+            params, xtrans):
+        even = [0, 0]
+        odd = [1, 1]
+        ge = block.grad_even[gset]
+        go = block.grad_odd[gset]
+        while even[1] < lw or odd[1] < lw:
+            if even[1] < lw:
+                for k, line in enumerate((c0, c1)):
+                    interp = (line == interp_line
+                              and (even[k] & 3) == interp_mask)
+                    visit_even(line, even[k], ge, interp)
+                    even[k] += 2
+            if even[1] > 8:
+                for k, line in enumerate((c0, c1)):
+                    visit_odd(line, odd[k], go)
+                    odd[k] += 2
+        block.extend(c0)
+        block.extend(c1)
+
+
+def _xtrans_index(pc: np.ndarray) -> np.ndarray:
+    return ((((pc * 2) // 3) & ~1) | (pc % 3 & 1)) + ((pc % 3) >> 1)
+
+
+def _line_for(color: int, row_in_band: int) -> int:
+    if color == 0:
+        return _R[2 + (row_in_band >> 1)]
+    if color == 1:
+        return _G[2 + row_in_band]
+    return _B[2 + (row_in_band >> 1)]
+
+
+def _copy_band_to_image(block: _Block, out: np.ndarray, band: int,
+                        col0: int, block_width: int, cfa_grid: np.ndarray,
+                        xtrans: bool) -> None:
+    height, width = out.shape
+    pc = np.arange(block_width)
+    idx = _xtrans_index(pc) if xtrans else (pc >> 1)
+    for r in range(6):
+        row = band * 6 + r
+        if row >= height:
+            break
+        colors = cfa_grid[row % cfa_grid.shape[0],
+                          (col0 + pc) % cfa_grid.shape[1]]
+        for color in (0, 1, 2):
+            sel = colors == color
+            if not sel.any():
+                continue
+            line = block.linebuf[_line_for(color, r)]
+            out[row, col0 + pc[sel]] = line[1 + idx[sel]]
+
+
+def _band_targets(img: np.ndarray, band: int, col0: int, block_width: int,
+                  cfa_grid: np.ndarray, xtrans: bool, lw: int):
+    """targets[line][sample] and masks from the image for one band; the
+    encoder snaps unconstrained samples to the decoder's natural value."""
+    height = img.shape[0]
+    targets = {line: np.zeros(lw, np.int64) - 1 for line in
+               [_R[2], _R[3], _R[4], _G[2], _G[3], _G[4], _G[5], _G[6],
+                _G[7], _B[2], _B[3], _B[4]]}
+    pc = np.arange(block_width)
+    idx = _xtrans_index(pc) if xtrans else (pc >> 1)
+    for r in range(6):
+        row = band * 6 + r
+        if row >= height:
+            break
+        colors = cfa_grid[row % cfa_grid.shape[0],
+                          (col0 + pc) % cfa_grid.shape[1]]
+        for color in (0, 1, 2):
+            sel = colors == color
+            if not sel.any():
+                continue
+            line = _line_for(color, r)
+            targets[line][idx[sel]] = img[row, col0 + pc[sel]]
+    return targets
+
+
+def decode_fuji(payload: bytes, cfa_grid: np.ndarray | None = None,
+                _force_python: bool = False
+                ) -> tuple[np.ndarray, FujiHeader]:
+    """Decode a complete fuji-compressed blob (header + stripe size
+    table + streams) to a (raw_height, raw_width) u16 plane.
+
+    `cfa_grid` is the sensor's absolute color grid (0=R,1=G,2=B), which
+    drives only the line->pixel mapping (the camera's real pattern, from
+    the container's 0x0131 record); defaults to the canonical X-Trans /
+    RGGB grid for the header's raw type."""
+    hdr = FujiHeader.parse(payload)
+    table_off = 16
+    sizes = []
+    for i in range(hdr.blocks_in_row):
+        if table_off + 4 > len(payload):
+            raise ValueError("fuji-compressed: stripe table truncated")
+        (sz,) = struct.unpack_from(">I", payload, table_off)
+        sizes.append(sz)
+        table_off += 4
+    params = _Params(hdr)
+    xtrans = hdr.raw_type == 16
+    out = np.zeros((hdr.raw_height, hdr.raw_width), np.uint16)
+    if cfa_grid is None:
+        cfa_grid = _XTRANS_GRID if xtrans else _BAYER_GRID
+    from . import native
+    if (not _force_python and native.have_native()
+            and hasattr(native._lib, "fuji_decode")):
+        return _decode_native(payload[table_off:], sizes, hdr,
+                              np.asarray(cfa_grid, np.int8), out), hdr
+    off = table_off
+    for b in range(hdr.blocks_in_row):
+        end = off + sizes[b]
+        if end > len(payload):
+            raise ValueError("fuji-compressed: stripe data truncated")
+        reader = _BitReader(payload[off:end])
+        block = _Block(params)
+        col0 = b * hdr.block_size
+        block_width = min(hdr.block_size, hdr.raw_width - col0)
+        if block_width <= 0:
+            raise ValueError("fuji-compressed: stripe beyond image")
+
+        def visit_even(line, pos, grads, interp):
+            if interp:
+                block.interpolate_even(line, pos)
+            else:
+                block.decode_sample(reader, line, pos, grads, odd=False)
+
+        def visit_odd(line, pos, grads):
+            block.decode_sample(reader, line, pos, grads, odd=True)
+
+        for band in range(hdr.total_lines):
+            _walk_band(block, params, xtrans, visit_even, visit_odd)
+            _copy_band_to_image(block, out, band, col0, block_width,
+                                cfa_grid, xtrans)
+            block.rotate()
+        off = end
+    return out, hdr
+
+
+def encode_fuji(img: np.ndarray, raw_type: int = 16, raw_bits: int = 14,
+                block_size: int | None = None,
+                cfa_grid: np.ndarray | None = None
+                ) -> tuple[bytes, np.ndarray]:
+    """Encode a u16 plane as a fuji-compressed blob. Returns
+    (blob, snapped): interpolated X-Trans positions and padding samples
+    are snapped to the decoder's reproduction — decode(blob) == snapped
+    exactly. Height is padded to a multiple of 6 internally."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("expected a 2-D sensor plane")
+    height, width = img.shape
+    if img.max(initial=0) > (1 << raw_bits) - 1:
+        raise ValueError(f"values exceed {raw_bits}-bit range")
+    xtrans = raw_type == 16
+    unit = 3 if xtrans else 2
+    if block_size is None:
+        block_size = width if width % unit == 0 else \
+            width + (unit - width % unit)
+    if block_size % unit:
+        raise ValueError(f"stripe width must be a multiple of {unit}")
+    blocks_in_row = (width + block_size - 1) // block_size
+    total_lines = (height + 5) // 6
+    hdr = FujiHeader(raw_type, raw_bits, height,
+                     block_size * blocks_in_row, width, block_size,
+                     blocks_in_row, total_lines)
+    params = _Params(hdr)
+    lw = params.line_width
+    if cfa_grid is None:
+        cfa_grid = _XTRANS_GRID if xtrans else _BAYER_GRID
+    snapped = img.astype(np.uint16).copy()
+    streams = []
+    for b in range(blocks_in_row):
+        writer = _BitWriter()
+        block = _Block(params)
+        col0 = b * block_size
+        block_width = min(block_size, width - col0)
+        for band in range(total_lines):
+            targets = _band_targets(snapped, band, col0, block_width,
+                                    cfa_grid, xtrans, lw)
+
+            def visit_even(line, pos, grads, interp):
+                t = targets[line][pos]
+                if interp:
+                    got = block.interpolate_even(line, pos)
+                    if t >= 0:
+                        targets[line][pos] = got  # snap
+                elif t >= 0:
+                    block.encode_sample(writer, line, pos, grads,
+                                        odd=False, target=int(t))
+                else:
+                    # padding sample: encode the cheapest residual (0)
+                    got = _encode_free(block, writer, line, pos, grads,
+                                       odd=False)
+                    targets[line][pos] = got
+
+            def visit_odd(line, pos, grads):
+                t = targets[line][pos]
+                if t >= 0:
+                    block.encode_sample(writer, line, pos, grads,
+                                        odd=True, target=int(t))
+                else:
+                    got = _encode_free(block, writer, line, pos, grads,
+                                       odd=True)
+                    targets[line][pos] = got
+
+            _walk_band(block, params, xtrans, visit_even, visit_odd)
+            # write snapped values back into the image
+            _copy_band_to_image(block, snapped, band, col0, block_width,
+                                cfa_grid, xtrans)
+            block.rotate()
+        streams.append(writer.bytes())
+    blob = hdr.pack()
+    for s in streams:
+        blob += struct.pack(">I", len(s))
+    for s in streams:
+        blob += s
+    return blob, snapped
+
+
+def _decode_native(streams: bytes, sizes, hdr: FujiHeader,
+                   cfa_grid: np.ndarray, out: np.ndarray) -> np.ndarray:
+    import ctypes
+
+    from . import native
+
+    lib = native._lib
+    fn = lib.fuji_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+                   ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                   ctypes.c_int, ctypes.c_int,
+                   ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
+                   ctypes.c_int, ctypes.POINTER(ctypes.c_uint16)]
+    sz = (ctypes.c_uint32 * len(sizes))(*sizes)
+    grid = np.ascontiguousarray(cfa_grid, np.int8)
+    rc = fn(streams, len(streams), sz, hdr.blocks_in_row,
+            hdr.raw_type, hdr.raw_bits, hdr.raw_width, hdr.raw_height,
+            hdr.block_size, hdr.total_lines,
+            grid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            grid.shape[0], grid.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc == 3:
+        raise ValueError("fuji-compressed: stripe data truncated")
+    if rc != 0:
+        raise ValueError(
+            "fuji-compressed: corrupt stream (bitstream exhausted or "
+            "residual out of range)")
+    return out
+
+
+def _decode_python(payload: bytes, cfa_grid: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, FujiHeader]:
+    """The pure-Python walker (differential-fuzz partner of the native
+    decoder; decode_fuji prefers native when built)."""
+    return decode_fuji(payload, cfa_grid, _force_python=True)
+
+
+def _encode_free(block: _Block, writer: _BitWriter, line: int, pos: int,
+                 grads, odd: bool) -> int:
+    """Encode a don't-care sample as residual 0 (predictor value)."""
+    p = block.p
+    grad, base = (block._odd_context if odd else block._even_context)(
+        line, pos)
+    gradient = abs(grad)
+    dec_bits = _bit_diff(grads[gradient][0], grads[gradient][1])
+    writer.put_unary(0)
+    writer.put(dec_bits, 0)
+    block._grad_update(grads, gradient, 0)
+    return block._apply(line, pos, grad, base, 0)
+
+
+# The canonical X-Trans 6x6 (0=R, 1=G, 2=B) and Bayer RGGB grids used
+# for the line->pixel mapping.
+_XTRANS_GRID = np.array([
+    [1, 1, 0, 1, 1, 2],
+    [1, 1, 2, 1, 1, 0],
+    [2, 0, 1, 0, 2, 1],
+    [1, 1, 2, 1, 1, 0],
+    [1, 1, 0, 1, 1, 2],
+    [0, 2, 1, 2, 0, 1],
+], np.int8)
+
+_BAYER_GRID = np.array([[0, 1], [1, 2]], np.int8)

@@ -22,9 +22,11 @@ The meta block is a big-endian record list (u32 count, then
 
 The CFA payload is big-endian u16 raster data in the classic flavor;
 newer bodies wrap an embedded TIFF whose FujiIFD (tag 0xF000) carries
-dims/bits/strips/black level, decoded by _read_tiff_wrapped (uncompressed
-16-bit only). Fuji-compressed RAFs and Bayer/SuperCCD bodies raise a
-clear ValueError naming the gap rather than mis-decoding.
+dims/bits/strips/black level, decoded by _read_tiff_wrapped —
+uncompressed 16-bit strips, or the fuji lossless-compressed stream
+(0x4953 signature; `fujic.py`) that every X-T3-onward body writes by
+default. Bayer/SuperCCD classic records still raise a clear ValueError
+naming the gap rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -139,12 +141,11 @@ _F_BLACK = 0xF00A
 
 def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
     """Newer-body RAF: the CFA section is an embedded TIFF whose FujiIFD
-    (tag 0xF000 in IFD0) carries dims/bits/strips. Uncompressed payloads
-    only; fuji-compressed strips raise a clear error (the codec cannot be
-    verified offline). The CFA pattern must come from the file's 0x0131
-    record or the per-model registry -- no hardcoded fallback (a wrong
-    mosaic silently corrupts colors, the exact failure this module's
-    contract forbids)."""
+    (tag 0xF000 in IFD0) carries dims/bits/strips. Payloads are plain
+    16-bit strips or the fuji lossless-compressed stream (fujic.py).
+    The CFA pattern must come from the file's 0x0131 record or the
+    per-model registry -- no hardcoded fallback (a wrong mosaic silently
+    corrupts colors, the exact failure this module's contract forbids)."""
     from .tiff import TiffFile
 
     if cfa is None:
@@ -169,15 +170,37 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
         raise ValueError("RAF: FujiIFD has no strip layout")
     need = height * width * 2
     if sum(int(c) for c in cnts) < need:
-        # Short strips mean either fuji-compressed payload or a truncated
-        # file; check the layout against the sub-TIFF extent so the error
-        # names the right problem.
+        # Short strips mean fuji-compressed payload (the 0x4953-signature
+        # lossless stream) or a truncated file; check the layout against
+        # the sub-TIFF extent so the error names the right problem.
         if any(int(o) + int(c) > len(sub) for o, c in zip(offs, cnts)):
             raise ValueError("RAF: FujiIFD strips truncated "
                              "(layout extends past the file)")
-        raise ValueError(
-            "RAF: fuji-compressed strips not supported (lossless codec "
-            "unverifiable offline); shoot uncompressed or convert to DNG")
+        from .fujic import decode_fuji
+
+        off0 = int(offs[0])
+        blob = sub[off0:off0 + int(cnts[0])]
+        data, hdr = decode_fuji(blob, cfa_grid=cfa.pattern)
+        if hdr.raw_width < width or hdr.raw_height < height:
+            raise ValueError(
+                f"RAF: compressed stream geometry {hdr.raw_width}x"
+                f"{hdr.raw_height} smaller than FujiIFD dims "
+                f"{width}x{height}")
+        data = np.ascontiguousarray(data[:height, :width])
+        if hdr.raw_bits != bits:
+            bits = hdr.raw_bits  # the stream header is authoritative
+        blk = tf.find(_F_BLACK)
+        if blk:
+            black = int(round(sum(blk[:4]) / len(blk[:4])))
+            white = (1 << bits) - 1
+        else:
+            black, white = raf_levels_for(model)
+        return RawImage(
+            width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+            blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+            wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for("FUJIFILM", model),
+            orientation=Orientation.Normal, cfa=cfa, data=data,
+            make="FUJIFILM", model=model)
     u2 = tf.endian + "u2"  # honor the embedded TIFF's byte order
     parts = []
     got = 0

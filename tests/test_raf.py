@@ -84,17 +84,26 @@ def test_raf_decode(tmp_path):
 
 
 def make_raf_tiff(data, model="X-T30", black=1022, compressed=False,
-                  pattern=XTRANS) -> bytes:
+                  pattern=XTRANS, payload=None) -> bytes:
     """Newer-body RAF: the CFA section is an embedded little-endian TIFF
     whose FujiIFD (tag 0xF000) carries dims/bits/strips/black. Real files
-    keep the classic meta block (pattern + WB records) alongside."""
+    keep the classic meta block (pattern + WB records) alongside.
+    compressed=True encodes the data as a real fuji-compressed stream
+    (pass payload= to override with arbitrary strip bytes)."""
     from tiffgen import TiffBuilder
 
     h, w = data.shape
     b = TiffBuilder("<")
-    payload = data.astype("<u2").tobytes()
-    if compressed:
-        payload = payload[: len(payload) // 3]  # undersized = fuji-compressed
+    if payload is None:
+        if compressed:
+            from imagepipe_tpu.fujic import encode_fuji
+            from imagepipe_tpu.raw import CFA as _CFA
+
+            payload, _snapped = encode_fuji(
+                data, raw_type=16, raw_bits=14,
+                cfa_grid=_CFA(pattern).pattern if pattern else None)
+        else:
+            payload = data.astype("<u2").tobytes()
     strip = b.add_blob(payload)
     fuji_ifd = b.add_ifd([
         (0xF001, 4, [w]), (0xF002, 4, [h]), (0xF003, 4, [14]),
@@ -139,10 +148,35 @@ def test_raf_tiff_wrapped_decode(tmp_path):
     assert out.width == 48 and out.height == 36
 
 
-def test_raf_tiff_wrapped_compressed_rejected(tmp_path):
+def test_raf_tiff_wrapped_compressed_decodes(tmp_path):
+    # The fuji lossless stream (X-T3-onward default). The container must
+    # reproduce exactly what the canonical encoder committed to (the
+    # snapped image: interpolated X-Trans positions take the decoder's
+    # gradient-median value).
+    from imagepipe_tpu.fujic import encode_fuji
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    data = (1500 + yy * 31 + xx * 17).astype(np.uint16)
+    _, snapped = encode_fuji(data, raw_type=16, raw_bits=14,
+                             cfa_grid=CFA(XTRANS).pattern)
     p = tmp_path / "cmp.raf"
-    p.write_bytes(make_raf_tiff(_sensor(24, 24, seed=7), compressed=True))
-    with pytest.raises(ValueError, match="compressed"):
+    p.write_bytes(make_raf_tiff(data, compressed=True))
+    got = read_raf(str(p))
+    np.testing.assert_array_equal(got.data, snapped)
+    assert got.cfa.name == XTRANS
+    assert got.blacklevels == (1022,) * 4
+    out = Pipeline.new_from_source(decode_file(str(p))).output_8bit(None)
+    assert out.width == 24 and out.height == 24
+
+
+def test_raf_tiff_wrapped_garbage_compressed_rejected(tmp_path):
+    # An undersized strip that is NOT a valid fuji stream must raise,
+    # not crash or mis-decode.
+    data = _sensor(24, 24, seed=7)
+    payload = data.astype("<u2").tobytes()[: 24 * 24 // 3]
+    p = tmp_path / "bad.raf"
+    p.write_bytes(make_raf_tiff(data, payload=payload))
+    with pytest.raises(ValueError, match="fuji-compressed"):
         read_raf(str(p))
 
 

@@ -176,6 +176,30 @@ def _decode_mrw(path: str) -> Optional[RawImage]:
     return read_mrw(path)
 
 
+_TIFFEP_EXTS = (".erf", ".rwl", ".srw", ".mef", ".mos", ".kdc", ".dcr",
+                ".3fr")
+
+
+def _decode_tiffep(path: str) -> Optional[RawImage]:
+    """Generic TIFF-EP CFA fallback for TIFF-based raws without a
+    dedicated decoder (uncompressed flavors decode; vendor-compressed
+    payloads fail with the gap named). Leica RWL files are often plain
+    DNGs with a different extension, so try the DNG reader first."""
+    low = path.lower()
+    if not low.endswith(_TIFFEP_EXTS):
+        return None
+    from .vendor import read_tiffep
+
+    if low.endswith(".rwl"):
+        from .dng import read_dng
+
+        try:
+            return read_dng(path)
+        except ValueError:
+            pass
+    return read_tiffep(path)
+
+
 def _decode_known_unsupported(path: str) -> Optional[RawImage]:
     """Recognize RAW containers whose codecs are not implemented and name
     the gap, instead of letting them fall through to a baffling PIL
@@ -194,7 +218,7 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
                       _decode_orf, _decode_pef, _decode_rw2, _decode_mrw,
-                      _decode_known_unsupported])
+                      _decode_tiffep, _decode_known_unsupported])
 
 
 def decode_file(path) -> ImageSource:

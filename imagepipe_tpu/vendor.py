@@ -35,7 +35,7 @@ from .tiff import (TiffFile, Ifd, exif_to_orientation,
                    T_CFA_PATTERN, T_MAKERNOTE)
 
 __all__ = ["read_nef", "read_cr2", "read_arw", "read_orf", "read_pef",
-           "register_vendor_levels", "register_orf_pattern"]
+           "read_tiffep", "register_vendor_levels", "register_orf_pattern"]
 
 _CFA_LETTERS = "RGBE"
 
@@ -715,5 +715,66 @@ def read_pef(path: str) -> RawImage:
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
         blacklevels=blacks, whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
+        make=make, model=model)
+
+
+def read_tiffep(path: str) -> RawImage:
+    """Generic TIFF-EP CFA reader: the standards-compliant fallback for
+    TIFF-based raws without a dedicated decoder (Epson ERF, Leica RWL,
+    Mamiya MEF, Leaf MOS, uncompressed Samsung SRW / Kodak KDC/DCR,
+    Hasselblad 3FR...). Requires a real CFA IFD (photometric 32803 with
+    pattern tags) and an uncompressed layout -- 16-bit words or
+    12/14-bit packed, discriminated by EXACT strip byte extents like the
+    vendor readers. Vendor-compressed payloads raise with the format
+    and compression named (a recognized gap, never a PIL error). WB is
+    left NaN (neutral-estimate fallback): maker-note layouts are vendor
+    specific and a wrong guess silently tints the image.
+
+    The reference covers these bodies through rawloader
+    (/root/reference/src/pipeline.rs:264)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf)
+    make, model = _make_model(tf)
+    ifd = _raw_cfa_ifd(tf)
+    width = ifd.get1(T_WIDTH)
+    height = ifd.get1(T_LENGTH)
+    if not width or not height or width * height > 500_000_000:
+        raise ValueError("TIFF-EP: missing/implausible raw dimensions")
+    compression = ifd.get1(T_COMPRESSION, 1)
+    if compression != 1:
+        raise ValueError(
+            f"TIFF-EP raw ({make} {model}): vendor-compressed payload "
+            f"(compression {compression}) has no decoder here; convert "
+            "to DNG")
+    bits = int(ifd.get1(T_BITS, 16) or 16)
+    if not 8 <= bits <= 16:
+        raise ValueError(f"TIFF-EP: implausible BitsPerSample {bits}")
+    counts = ifd.get(T_STRIP_BYTECOUNTS) or []
+    total = sum(int(c) for c in counts)
+    npix = width * height
+    rps = int(ifd.get1(T_ROWS_PER_STRIP, height) or height)
+    nstrips = (height + rps - 1) // rps
+    packed_need = sum(
+        (min(rps, height - i * rps) * width * bits + 7) // 8
+        for i in range(nstrips))
+    if total >= npix * 2:
+        data = _read_strips(tf, ifd, height, width, 16,
+                            "be" if tf.endian == ">" else "le")
+    elif bits in (12, 14) and total >= packed_need:
+        data = _read_strips(tf, ifd, height, width, bits,
+                            "be" if tf.endian == ">" else "le")
+    else:
+        raise ValueError(
+            f"TIFF-EP raw ({make} {model}): strip extent {total} matches "
+            "neither 16-bit words nor a packed layout (vendor-compressed "
+            "or truncated); convert to DNG")
+    black, white = _vendor_levels(model, bits)
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=(float("nan"),) * 4,
+        xyz_to_cam=xyz_to_cam_for(make, model),
         orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
         make=make, model=model)

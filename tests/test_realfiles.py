@@ -25,7 +25,8 @@ import pytest
 
 _DIR = os.environ.get("IMAGEPIPE_REALFILE_DIR", "")
 _RAW_EXTS = (".dng", ".nef", ".nrw", ".cr2", ".arw", ".sr2", ".raf",
-             ".orf", ".pef", ".rw2", ".mrw", ".pgm")
+             ".orf", ".pef", ".rw2", ".mrw", ".erf", ".rwl", ".srw",
+             ".mef", ".mos", ".kdc", ".dcr", ".3fr", ".pgm")
 
 
 def _pairs():

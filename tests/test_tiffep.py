@@ -1,0 +1,136 @@
+"""Generic TIFF-EP CFA fallback reader (vendor.read_tiffep).
+
+Covers the long tail of TIFF-based raws without dedicated decoders —
+Epson ERF, Leica RWL, Mamiya MEF, Leaf MOS, uncompressed SRW/KDC/DCR,
+3FR — which the reference reaches through rawloader
+(/root/reference/src/pipeline.rs:264)."""
+
+import numpy as np
+import pytest
+
+from imagepipe_tpu.decode import decode_file
+from imagepipe_tpu.vendor import read_tiffep
+from tests.tiffgen import TiffBuilder, pack_12be
+from tests.test_vendor import _sensor
+
+
+def make_tiffep(data, make="SEIKO EPSON CORP.", model="R-D1", bits=16,
+                endian=">", compression=1, cfa=(0, 1, 1, 2),
+                orientation=1) -> bytes:
+    h, w = data.shape
+    b = TiffBuilder(endian)
+    if bits == 12:
+        payload = pack_12be(data)  # big-endian packed
+    else:
+        payload = data.astype(f"{endian}u2").tobytes()
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits]),
+        (259, 3, [compression]), (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, list(cfa)),
+    ], chain=False)
+    b.add_ifd([
+        (271, 2, make), (272, 2, model), (274, 3, [orientation]),
+        (330, 4, [raw_ifd]),
+    ])
+    return b.bytes()
+
+
+def test_erf_16bit_decodes(tmp_path):
+    data = _sensor(16, 24, seed=80)
+    path = str(tmp_path / "shot.erf")
+    with open(path, "wb") as f:
+        f.write(make_tiffep(data))
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.cfa.name == "RGGB"
+    assert raw.make.startswith("SEIKO")
+    assert all(np.isnan(v) for v in raw.wb_coeffs[:3])
+
+
+def test_packed_12bit_bigendian(tmp_path):
+    data = _sensor(8, 32, seed=81, bits=12)
+    path = str(tmp_path / "shot.mef")
+    with open(path, "wb") as f:
+        f.write(make_tiffep(data, make="Mamiya", model="ZD", bits=12))
+    raw = read_tiffep(path)
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.whitelevels[0] == 4095
+
+
+def test_little_endian_16bit(tmp_path):
+    data = _sensor(8, 16, seed=82)
+    path = str(tmp_path / "shot.mos")
+    with open(path, "wb") as f:
+        f.write(make_tiffep(data, make="Leaf", model="Aptus 22",
+                            endian="<"))
+    raw = read_tiffep(path)
+    np.testing.assert_array_equal(raw.data, data)
+
+
+def test_alternate_cfa_order(tmp_path):
+    data = _sensor(8, 16, seed=83)
+    path = str(tmp_path / "shot.srw")
+    with open(path, "wb") as f:
+        f.write(make_tiffep(data, make="SAMSUNG", model="NX100",
+                            cfa=(2, 1, 1, 0)))
+    assert read_tiffep(path).cfa.name == "BGGR"
+
+
+def test_compressed_named_gap(tmp_path):
+    data = _sensor(8, 16, seed=84)
+    path = str(tmp_path / "comp.srw")
+    with open(path, "wb") as f:
+        f.write(make_tiffep(data, make="SAMSUNG", model="NX300",
+                            compression=32770))
+    with pytest.raises(ValueError, match="compression 32770"):
+        read_tiffep(path)
+    # Through the registry too: the error must name the gap.
+    with pytest.raises(ValueError, match="NX300"):
+        decode_file(path)
+
+
+def test_undersized_strips_named(tmp_path):
+    data = _sensor(8, 16, seed=85)
+    blob = bytearray(make_tiffep(data))
+    path = str(tmp_path / "short.3fr")
+    # Build a container whose byte counts undershoot both layouts.
+    b = TiffBuilder(">")
+    payload = data.astype(">u2").tobytes()[: 8 * 16]
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [16]), (257, 4, [8]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [32803]), (273, 4, [strip]), (278, 4, [8]),
+        (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.add_ifd([(271, 2, "Hasselblad"), (272, 2, "CFV-39"),
+               (330, 4, [raw_ifd])])
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    with pytest.raises(ValueError, match="neither 16-bit words nor"):
+        read_tiffep(path)
+
+
+def test_no_cfa_ifd_rejected(tmp_path):
+    b = TiffBuilder(">")
+    b.add_ifd([(271, 2, "Epson"), (272, 2, "R-D1")])
+    path = str(tmp_path / "flat.erf")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    with pytest.raises(ValueError, match="no CFA raw IFD"):
+        read_tiffep(path)
+
+
+def test_develops_end_to_end(tmp_path):
+    from imagepipe_tpu.pipeline import Pipeline
+
+    data = _sensor(32, 48, seed=86)
+    path = str(tmp_path / "dev.erf")
+    with open(path, "wb") as f:
+        f.write(make_tiffep(data))
+    out = Pipeline.new_from_file(path).output_8bit()
+    assert out.data.shape == (32, 48, 3)
+    assert out.data.std() > 0

@@ -391,6 +391,17 @@ def _band_passes(params: _Params, xtrans: bool):
     (X-Trans only): positions where (pos & 3) == mask."""
     R, G, B = _R, _G, _B
     if xtrans:
+        # Interpolation masks are pinned by the X-Trans geometry for four
+        # of the five lines (the interpolated even class is exactly the
+        # class no sensor pixel references): R3->0, B3->2, R4->2, B4->0.
+        # B2 is geometrically unconstrained (rows 0-1 reference only odd
+        # B samples); mask 0 follows the pass-pair symmetry with R3 and
+        # the reference recollection -- it is the single constant the
+        # opt-in real-file harness (tests/test_realfiles.py) still needs
+        # to confirm externally; a wrong value desyncs the bit cursor
+        # within the first band (the residual-range/exhaustion checks
+        # then trip), so the failure mode is a clear error, and the fix
+        # is flipping this one constant.
         return [
             (R[2], G[2], 0, None, None),
             (G[3], B[2], 1, B[2], 0),

@@ -3,7 +3,8 @@
 The reference reaches Minolta bodies through rawloader at
 /root/reference/src/pipeline.rs:264. The container (public, documented
 by dcraw's `parse_minolta` and the widely-mirrored MRW format notes) is
-a sequence of big-endian blocks after a "\\0MRM" magic:
+a sequence of blocks after a "\\0MRM" magic whose 4th byte doubles as a
+byte-order mark ('M' big-endian, 'I' little-endian):
 
   "\\0PRD"  8-byte version string, then u16 sensor height/width, u16
            image height/width, u8 data depth (12 or 16), u8 pixel
@@ -15,8 +16,9 @@ a sequence of big-endian blocks after a "\\0MRM" magic:
   "\\0TTW"  an embedded standard TIFF/EXIF tree (Make/Model/Orientation)
 
 The u32 after the magic is the total header length; sensor data starts
-right after it (12-bit packed big-endian rows, no padding) -- decoded
-with the same native bit-unpackers the NEF path uses.
+right after it (12-bit packed rows in the container's byte order, no
+padding) -- decoded with the same native bit-unpackers the NEF path
+uses.
 """
 
 from __future__ import annotations
@@ -40,9 +42,14 @@ _CFA_BY_CODE = {0x01: "RGGB"}
 def read_mrw(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
-    if len(buf) < 8 or buf[:4] != b"\0MRM":
+    # The magic's 4th byte is a byte-order mark ('M' = big-endian, the
+    # common case; 'I' = little-endian, e.g. DiMAGE A200) governing every
+    # multi-byte integer in the container; block TAGS are plain 4-byte
+    # strings either way (dcraw's parse_minolta semantics).
+    if len(buf) < 8 or buf[:3] != b"\0MR" or buf[3:4] not in (b"M", b"I"):
         raise ValueError("not a Minolta MRW (missing \\0MRM magic)")
-    (header_len,) = struct.unpack_from(">I", buf, 4)
+    en = ">" if buf[3:4] == b"M" else "<"
+    (header_len,) = struct.unpack_from(en + "I", buf, 4)
     data_offset = header_len + 8
     if not 8 < data_offset <= len(buf):
         raise ValueError("MRW: implausible header length")
@@ -58,18 +65,18 @@ def read_mrw(path: str) -> RawImage:
     pos = 8
     while pos + 8 <= data_offset:
         tag = buf[pos:pos + 4]
-        (blen,) = struct.unpack_from(">I", buf, pos + 4)
+        (blen,) = struct.unpack_from(en + "I", buf, pos + 4)
         body_off = pos + 8
         if body_off + blen > len(buf):
             raise ValueError("MRW: block overruns the file")
         if tag == b"\0PRD" and blen >= 24:
-            height, width = struct.unpack_from(">HH", buf, body_off + 8)
+            height, width = struct.unpack_from(en + "HH", buf, body_off + 8)
             depth = buf[body_off + 16]
             storage = buf[body_off + 18]
             cfa_code = buf[body_off + 22]
         elif tag == b"\0WBG" and blen >= 12:
             denoms = struct.unpack_from("4B", buf, body_off)
-            mults = struct.unpack_from(">4H", buf, body_off + 4)
+            mults = struct.unpack_from(en + "4H", buf, body_off + 4)
             # stored R G1 G2 B, each scaled by 1<<(6+denom)
             vals = [m / (1 << (6 + d)) for m, d in zip(mults, denoms)]
             g = (vals[1] + vals[2]) / 2.0
@@ -100,16 +107,17 @@ def read_mrw(path: str) -> RawImage:
 
     npix = width * height
     payload = np.frombuffer(buf, np.uint8, offset=data_offset)
-    if storage == 0x52:  # 12-bit packed big-endian
+    if storage == 0x52:  # 12-bit packed (container byte order)
         need = (npix * 12 + 7) // 8
         if len(payload) < need:
             raise ValueError("MRW: truncated 12-bit packed payload")
-        data = native.unpack_12be(payload[:need], npix).reshape(height, width)
-    elif storage == 0x59:  # plain 16-bit big-endian words
+        unpack = native.unpack_12be if en == ">" else native.unpack_12le
+        data = unpack(payload[:need], npix).reshape(height, width)
+    elif storage == 0x59:  # plain 16-bit words (container byte order)
         if len(payload) < npix * 2:
             raise ValueError("MRW: truncated 16-bit payload")
         data = np.frombuffer(
-            buf, ">u2", count=npix, offset=data_offset
+            buf, en + "u2", count=npix, offset=data_offset
         ).astype(np.uint16).reshape(height, width)
     else:
         raise ValueError(f"MRW: unrecognized storage method {storage:#x}")

@@ -41,11 +41,10 @@ import math
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine import (_develop_batch_perimage_jit, make_develop_plan,
-                      normalize_plane, planar_to_hwc, stack_params)
+                      normalize_plane, stack_params)
 from ..pipeline import Pipeline
 from .batch import BatchError
 
@@ -155,39 +154,50 @@ class MultiHostBatchEngine:
                 entries.append((idx, src, plan))
         entries.sort(key=lambda t: t[0])
 
-        # Collective agreement: one statics key fleet-wide.
+        # Collective agreement: one statics key fleet-wide. EVERY raise
+        # below happens on ALL hosts from the same allgathered evidence —
+        # a unilateral raise while peers proceed into the next collective
+        # would hang the fleet, so local problems are reported into the
+        # gather as sentinels (-1 = empty partition, -2 = mixed statics)
+        # and judged collectively.
+        key_hash = -1
         if entries:
             key = tuple(sorted(entries[0][2].statics().items()))
-            for _, _, plan in entries[1:]:
-                if tuple(sorted(plan.statics().items())) != key:
-                    raise ValueError(
-                        "multi-host batches require uniform plan statics "
-                        "(same sensor geometry/config) per call; split "
-                        "the file list by camera model first")
-            key_hash = int.from_bytes(hashlib.blake2b(
-                repr(key).encode(), digest_size=7).digest(), "little")
-        else:
-            key_hash = -1
+            if any(tuple(sorted(plan.statics().items())) != key
+                   for _, _, plan in entries[1:]):
+                key_hash = -2
+            else:
+                key_hash = int.from_bytes(hashlib.blake2b(
+                    repr(key).encode(), digest_size=7).digest(), "little")
         hashes = _allgather_i64(key_hash)
         real = hashes[hashes >= 0]
+        if (hashes == -2).any():
+            raise ValueError(
+                "multi-host batches require uniform plan statics (same "
+                "sensor geometry/config) per call; split the file list "
+                "by camera model first")
         if real.size and not (real == real[0]).all():
             raise ValueError("hosts disagree on plan statics; split the "
                              "file list by camera model first")
-        if not entries:
-            # A host with zero decodable files cannot build padding rows
-            # (it has no plan); keep the fleet constraint explicit.
-            if real.size:
-                raise ValueError(
-                    "this host's partition has no decodable files while "
-                    "others do; feed at least one file per host")
-            return results
+        if real.size == 0:
+            return results  # nothing decodable anywhere
+        if (hashes == -1).any():
+            # Some host's partition has no decodable files: it cannot
+            # build padding rows (it has no plan), so the whole fleet
+            # refuses together with the same error.
+            raise ValueError(
+                "a host's partition has no decodable files while others "
+                "do; feed at least one decodable file per host")
 
         steps = int(_allgather_i64(
             math.ceil(len(entries) / self.local_dp)).max())
         plan = entries[0][2]
-        spec_plane = P("batch", *([None] * (normalize_plane(
-            plan, entries[0][1].raw.data).ndim)))
-        sh_plane = NamedSharding(self.mesh, spec_plane)
+        # Host-side rank probe: normalize_plane only reshapes [H,W*3]
+        # to [H,W,3] for rgb mode -- no device upload needed here.
+        rank = 3 if (plan.statics().get("mode") == "rgb"
+                     and entries[0][1].raw.data.ndim == 2) \
+            else entries[0][1].raw.data.ndim
+        sh_plane = NamedSharding(self.mesh, P("batch", *([None] * rank)))
 
         inflight = []
         for step in range(steps):
@@ -221,6 +231,5 @@ class MultiHostBatchEngine:
             for k, (idx, _, _) in enumerate(rows):
                 row = self.row0 + k
                 base = max(b for b in shards if b <= row)
-                img = shards[base][row - base]
-                results[idx] = np.asarray(
-                    planar_to_hwc(jnp.asarray(img)[None]))[0]
+                img = shards[base][row - base]  # host numpy [C,h,w]
+                results[idx] = np.moveaxis(img, 0, -1)

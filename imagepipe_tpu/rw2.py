@@ -339,7 +339,14 @@ def read_rw2(path: str) -> RawImage:
     if not 0 <= off < len(buf):
         raise ValueError("RW2: raw data offset out of range")
     avail = len(buf) - off
-    if avail >= width * height * 2:
+    # Uncompressed discrimination is EXACT (rawloader's convention): the
+    # plain-16-bit plane matches width*height*2 bytes precisely, by the
+    # byte-count tag when present or by the data-to-EOF extent. A mere
+    # `>=` would let trailing data after a compressed payload silently
+    # reinterpret the bitstream as pixels.
+    counts = ifd.get(0x0117) or []
+    extent = sum(int(c) for c in counts) if counts else avail
+    if extent == width * height * 2 and avail >= extent:
         data = np.frombuffer(
             buf, "<u2", count=width * height, offset=off
         ).reshape(height, width).copy()

@@ -17,31 +17,36 @@ from tests.test_vendor import _sensor
 
 def make_mrw(data, depth=12, storage=0x52, cfa_code=0x01,
              wb=(2.0, 1.0, 1.0, 1.5), wb_denoms=(1, 1, 1, 1),
-             model="DYNAX 7D", orientation=1, payload=None) -> bytes:
-    """Assemble an MRW: \\0MRM + PRD/WBG/TTW blocks + sensor payload.
-    `wb` is (R, G1, G2, B) gains; stored value = gain * 2^(6+denom)."""
-    h, w = data.shape
+             model="DYNAX 7D", orientation=1, payload=None,
+             endian=">") -> bytes:
+    """Assemble an MRW: \\0MRM (or the little-endian \\0MRI variant) +
+    PRD/WBG/TTW blocks + sensor payload. `wb` is (R, G1, G2, B) gains;
+    stored value = gain * 2^(6+denom)."""
+    from tests.tiffgen import pack_12le
 
+    h, w = data.shape
+    en = endian
     prd = (b"21810002"
-           + struct.pack(">HHHH", h, w, h, w)
+           + struct.pack(en + "HHHH", h, w, h, w)
            + bytes([depth, 12, storage, 0x00, 0x00, 0x00, cfa_code, 0x00]))
     wbg = (bytes(wb_denoms)
-           + b"".join(struct.pack(">H", int(round(g * (1 << (6 + d)))))
+           + b"".join(struct.pack(en + "H", int(round(g * (1 << (6 + d)))))
                       for g, d in zip(wb, wb_denoms)))
     t = TiffBuilder(">")
     t.add_ifd([(271, 2, "KONICA MINOLTA"), (272, 2, model),
                (274, 3, [orientation])])
     ttw = t.bytes()
 
-    blocks = (b"\0PRD" + struct.pack(">I", len(prd)) + prd
-              + b"\0WBG" + struct.pack(">I", len(wbg)) + wbg
-              + b"\0TTW" + struct.pack(">I", len(ttw)) + ttw)
+    blocks = (b"\0PRD" + struct.pack(en + "I", len(prd)) + prd
+              + b"\0WBG" + struct.pack(en + "I", len(wbg)) + wbg
+              + b"\0TTW" + struct.pack(en + "I", len(ttw)) + ttw)
     if payload is None:
         if storage == 0x52:
-            payload = pack_12be(data)
+            payload = pack_12be(data) if en == ">" else pack_12le(data)
         else:
-            payload = data.astype(">u2").tobytes()
-    return b"\0MRM" + struct.pack(">I", len(blocks)) + blocks + payload
+            payload = data.astype(f"{en}u2").tobytes()
+    magic = b"\0MRM" if en == ">" else b"\0MRI"
+    return magic + struct.pack(en + "I", len(blocks)) + blocks + payload
 
 
 def test_mrw_12bit_packed_decodes(tmp_path):
@@ -81,6 +86,20 @@ def test_mrw_wb_denominator_scaling(tmp_path):
     raw = read_mrw(path)
     assert raw.wb_coeffs[0] == pytest.approx(1.75, abs=2e-2)
     assert raw.wb_coeffs[2] == pytest.approx(1.25, abs=2e-2)
+
+
+def test_mrw_little_endian_variant(tmp_path):
+    # The magic's 4th byte is a byte-order mark ('I' = LE, e.g. the
+    # DiMAGE A200); integers AND payload words follow it.
+    for storage in (0x52, 0x59):
+        data = _sensor(8, 16, seed=67 + storage, bits=12)
+        path = str(tmp_path / f"le{storage}.mrw")
+        with open(path, "wb") as f:
+            f.write(make_mrw(data, storage=storage, endian="<",
+                             model="DiMAGE A200"))
+        raw = read_mrw(path)
+        np.testing.assert_array_equal(raw.data, data)
+        assert raw.wb_coeffs[0] == pytest.approx(2.0)
 
 
 def test_mrw_orientation(tmp_path):

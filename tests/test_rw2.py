@@ -150,7 +150,7 @@ def make_rw2(data, payload=None, model="DMC-GH4", cfa_code=1, bits=12,
         (0x001C, 3, [blacks[0]]), (0x001D, 3, [blacks[1]]),
         (0x001E, 3, [blacks[2]]),
         (0x0024, 3, [wb[0]]), (0x0025, 3, [wb[1]]), (0x0026, 3, [wb[2]]),
-        (0x0118, 4, [strip]),
+        (0x0117, 4, [len(payload)]), (0x0118, 4, [strip]),
         (271, 2, "Panasonic"), (272, 2, model), (274, 3, [1]),
     ]
     if rawformat is not None:
@@ -177,6 +177,20 @@ def test_rw2_container_compressed_decodes(tmp_path):
     assert raw.blacklevels == (143, 142, 144, 142)
     assert raw.wb_coeffs[0] == pytest.approx(470 / 256)
     assert raw.wb_coeffs[2] == pytest.approx(380 / 256)
+
+
+def test_rw2_trailing_data_stays_compressed(tmp_path):
+    # A compressed payload followed by appended data (sidecar/recovery
+    # padding) must NOT flip the reader into the uncompressed branch,
+    # even when the trailing bytes push the extent past w*h*2.
+    img = _smooth(16, 28, seed=33)
+    payload = encode_panasonic(img)
+    path = str(tmp_path / "trail.rw2")
+    blob = make_rw2(img, payload=payload) + b"\xAB" * (16 * 28 * 2)
+    with open(path, "wb") as f:
+        f.write(blob)
+    raw = read_rw2(path)
+    np.testing.assert_array_equal(raw.data, img)
 
 
 def test_rw2_container_uncompressed_decodes(tmp_path):

@@ -135,6 +135,8 @@ def _decode_native(payload: bytes, width: int, height: int) -> np.ndarray:
     out = np.empty((height, width), np.uint16)
     rc = fn(payload, len(payload), width, height,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc == 1:
+        raise ValueError("ORF compressed: invalid decode geometry")
     if rc != 0:
         raise ValueError("ORF compressed: bitstream exhausted")
     return out

@@ -178,8 +178,11 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
                              "(layout extends past the file)")
         from .fujic import decode_fuji
 
-        off0 = int(offs[0])
-        blob = sub[off0:off0 + int(cnts[0])]
+        # One logical bitstream: concatenate every strip (files are
+        # single-strip in practice, but a split layout must not silently
+        # truncate the stream -- same rule as the NEF 34713 path).
+        blob = b"".join(bytes(sub[int(o):int(o) + int(c)])
+                        for o, c in zip(offs, cnts))
         data, hdr = decode_fuji(blob, cfa_grid=cfa.pattern)
         if hdr.raw_width < width or hdr.raw_height < height:
             raise ValueError(
@@ -189,31 +192,21 @@ def _read_tiff_wrapped(buf, cfa_off, cfa_len, model, cfa, wb) -> RawImage:
         data = np.ascontiguousarray(data[:height, :width])
         if hdr.raw_bits != bits:
             bits = hdr.raw_bits  # the stream header is authoritative
-        blk = tf.find(_F_BLACK)
-        if blk:
-            black = int(round(sum(blk[:4]) / len(blk[:4])))
-            white = (1 << bits) - 1
-        else:
-            black, white = raf_levels_for(model)
-        return RawImage(
-            width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
-            blacklevels=(black,) * 4, whitelevels=(white,) * 4,
-            wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for("FUJIFILM", model),
-            orientation=Orientation.Normal, cfa=cfa, data=data,
-            make="FUJIFILM", model=model)
-    u2 = tf.endian + "u2"  # honor the embedded TIFF's byte order
-    parts = []
-    got = 0
-    for off, cnt in zip(offs, cnts):
-        off, cnt = int(off), int(cnt)
-        if off + cnt > len(sub):
-            raise ValueError("RAF: FujiIFD strip out of bounds")
-        parts.append(np.frombuffer(sub, dtype=u2, count=cnt // 2, offset=off))
-        got += cnt // 2
-        if got * 2 >= need:
-            break
-    data = np.concatenate(parts)[: height * width].astype(
-        np.uint16).reshape(height, width)
+    else:
+        u2 = tf.endian + "u2"  # honor the embedded TIFF's byte order
+        parts = []
+        got = 0
+        for off, cnt in zip(offs, cnts):
+            off, cnt = int(off), int(cnt)
+            if off + cnt > len(sub):
+                raise ValueError("RAF: FujiIFD strip out of bounds")
+            parts.append(np.frombuffer(sub, dtype=u2, count=cnt // 2,
+                                       offset=off))
+            got += cnt // 2
+            if got * 2 >= need:
+                break
+        data = np.concatenate(parts)[: height * width].astype(
+            np.uint16).reshape(height, width)
 
     blk = tf.find(_F_BLACK)
     if blk:

@@ -558,15 +558,17 @@ def read_orf(path: str) -> RawImage:
     rps = int(ifd.get1(T_ROWS_PER_STRIP, height) or height)
     packed_need = sum((min(rps, height - i * rps) * width + 1) // 2 * 3
                       for i in range((height + rps - 1) // rps))
-    # STORAGE layout from the strip byte counts (rawloader's ORF decoder
-    # discriminates the same way -- bodies write exact counts for
-    # uncompressed strips): exactly 2 bytes/pixel = plain 16-bit LE words;
-    # exactly the packed extent = the classic 12-bit stream (2 pixels in 3
-    # bytes); anything else is the Olympus-compressed predictive
-    # bitstream. SAMPLE depth (the white level) comes from BitsPerSample:
-    # 12-bit data stored in 16-bit words is the common Olympus layout, and
-    # white=65535 there would develop ~16x too dark.
-    if total == npix * 2:
+    # STORAGE layout from the strip byte counts: >= 2 bytes/pixel = plain
+    # 16-bit LE words (threshold, so padded/over-reported counts on
+    # uncompressed files keep decoding); EXACTLY the packed extent = the
+    # classic 12-bit stream (2 pixels in 3 bytes -- packed files carry no
+    # padding, and a threshold here would swallow large compressed
+    # streams); anything else is the Olympus-compressed predictive
+    # bitstream, whose byte counts bodies under-report. SAMPLE depth (the
+    # white level) comes from BitsPerSample: 12-bit data stored in 16-bit
+    # words is the common Olympus layout, and white=65535 there would
+    # develop ~16x too dark.
+    if total >= npix * 2:
         storage = 16
     elif total == packed_need:
         storage = 12
@@ -583,6 +585,8 @@ def read_orf(path: str) -> RawImage:
         # strip offset to end-of-file and let the bit reader consume what
         # the stream needs.
         from .olympus import decode_olympus
+        if not offsets:
+            raise ValueError("ORF: raw IFD has no strip offsets")
         off = int(offsets[0])
         if not 0 <= off < len(tf.buf):
             raise ValueError("ORF: strip offset out of range")
@@ -724,9 +728,10 @@ def read_tiffep(path: str) -> RawImage:
     TIFF-based raws without a dedicated decoder (Epson ERF, Leica RWL,
     Mamiya MEF, Leaf MOS, uncompressed Samsung SRW / Kodak KDC/DCR,
     Hasselblad 3FR...). Requires a real CFA IFD (photometric 32803 with
-    pattern tags) and an uncompressed layout -- 16-bit words or
-    12/14-bit packed, discriminated by EXACT strip byte extents like the
-    vendor readers. Vendor-compressed payloads raise with the format
+    pattern tags) and an uncompressed layout -- 16-bit words (strip
+    extent >= 2 bytes/px, tolerating count padding) or 12/14-bit packed
+    (extent >= the group-rounded packed size the unpackers enforce).
+    Vendor-compressed payloads raise with the format
     and compression named (a recognized gap, never a PIL error). WB is
     left NaN (neutral-estimate fallback): maker-note layouts are vendor
     specific and a wrong guess silently tints the image.
@@ -756,13 +761,25 @@ def read_tiffep(path: str) -> RawImage:
     npix = width * height
     rps = int(ifd.get1(T_ROWS_PER_STRIP, height) or height)
     nstrips = (height + rps - 1) // rps
-    packed_need = sum(
-        (min(rps, height - i * rps) * width * bits + 7) // 8
-        for i in range(nstrips))
+
+    def _strip_rows(i):
+        return min(rps, height - i * rps)
+
+    # Per-strip packed extents use the same group-rounded formulas the
+    # unpackers enforce (12-bit: 2 px in 3 bytes; 14-bit: 4 px in 7), so
+    # a layout that passes here cannot then fail inside _read_strips.
+    if bits == 12:
+        packed_need = sum((_strip_rows(i) * width + 1) // 2 * 3
+                          for i in range(nstrips))
+    elif bits == 14:
+        packed_need = sum((_strip_rows(i) * width + 3) // 4 * 7
+                          for i in range(nstrips))
+    else:
+        packed_need = None
     if total >= npix * 2:
         data = _read_strips(tf, ifd, height, width, 16,
                             "be" if tf.endian == ">" else "le")
-    elif bits in (12, 14) and total >= packed_need:
+    elif packed_need is not None and total >= packed_need:
         data = _read_strips(tf, ifd, height, width, bits,
                             "be" if tf.endian == ">" else "le")
     else:

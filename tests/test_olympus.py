@@ -100,8 +100,16 @@ def test_orf_compressed_container_decodes(tmp_path):
     from imagepipe_tpu.vendor import register_orf_pattern
 
     register_orf_pattern("E-M5COMP", "RGGB")
-    data = _sensor(16, 24, seed=21, bits=12)
+    # Realistic (smooth-ish) sensor content: the storage sniffing treats
+    # >= 2 bytes/px as plain 16-bit words, and real compressed streams
+    # sit well under that (cameras would store uncompressed otherwise);
+    # pure noise can exceed it and is not a representative container.
+    yy, xx = np.mgrid[0:16, 0:24]
+    rng = np.random.default_rng(21)
+    data = (800 + yy * 19 + xx * 7
+            + rng.integers(0, 32, (16, 24))).astype(np.uint16)
     blob = encode_olympus(data)
+    assert len(blob) < data.size * 2  # stays out of the 16-bit sniff
     path = str(tmp_path / "comp.orf")
     with open(path, "wb") as f:
         f.write(make_orf(data, model="E-M5COMP", payload=blob,

@@ -241,8 +241,75 @@ def bench_all():
                     "value": round(out_mp / dt, 1), "unit": "output MP/s",
                     "vs_baseline": None})
 
+    results.extend(bench_decoders())
+
     for r in results:
         print(json.dumps(r))
+
+
+def bench_decoders():
+    """Host-side vendor-codec decode throughput (native C paths; a pure
+    CPU benchmark -- no TPU involved). Streams are synthesized with each
+    module's canonical encoder over realistic smooth sensor content."""
+    import time
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:1200, 0:1536]
+    smooth = (900 + (yy * 7 + xx * 3) % 2800
+              + rng.integers(0, 32, yy.shape)).astype(np.uint16)
+    mp = smooth.size / 1e6
+    out = []
+
+    def timed(fn, iters=3):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    from imagepipe_tpu.fujic import decode_fuji, encode_fuji
+    blob, _ = encode_fuji(smooth, raw_type=16, raw_bits=14, block_size=768)
+    dt = timed(lambda: decode_fuji(blob))
+    out.append({"metric": "fuji-compressed RAF decode (native, host)",
+                "value": round(mp / dt, 1), "unit": "MP/s",
+                "vs_baseline": None})
+
+    from imagepipe_tpu.olympus import decode_olympus, encode_olympus
+    oblob = encode_olympus(smooth)
+    dt = timed(lambda: decode_olympus(oblob, smooth.shape[1],
+                                      smooth.shape[0]))
+    out.append({"metric": "olympus-compressed ORF decode (native, host)",
+                "value": round(mp / dt, 1), "unit": "MP/s",
+                "vs_baseline": None})
+
+    from imagepipe_tpu.pentax import decode_pentax, encode_pentax
+    pblob = encode_pentax(np.minimum(smooth, 4095))
+    dt = timed(lambda: decode_pentax(pblob, smooth.shape[1],
+                                     smooth.shape[0]))
+    out.append({"metric": "pentax-compressed PEF decode (native, host)",
+                "value": round(mp / dt, 1), "unit": "MP/s",
+                "vs_baseline": None})
+
+    from imagepipe_tpu.rw2 import decode_panasonic, encode_panasonic
+    w14 = smooth.shape[1] - smooth.shape[1] % 14
+    pana = np.minimum(smooth[:, :w14], 4095)
+    rblob, _ = encode_panasonic(pana, snap=True)
+    pmp = pana.size / 1e6
+    dt = timed(lambda: decode_panasonic(rblob, pana.shape[1],
+                                        pana.shape[0]))
+    out.append({"metric": "panasonic RW2 classic decode (native, host)",
+                "value": round(pmp / dt, 1), "unit": "MP/s",
+                "vs_baseline": None})
+
+    from imagepipe_tpu.nikon import decode_34713, encode_34713
+    npayload, nmeta = encode_34713(smooth, bits=14)
+    dt = timed(lambda: decode_34713(npayload, smooth.shape[1],
+                                    smooth.shape[0], 14, nmeta))
+    out.append({"metric": "NEF 34713 lossless decode (native, host)",
+                "value": round(mp / dt, 1), "unit": "MP/s",
+                "vs_baseline": None})
+    return out
 
 
 def main():

@@ -26,23 +26,57 @@ constexpr int R2 = 2, R3 = 3, R4 = 4;
 constexpr int G2 = 7, G3 = 8, G4 = 9, G5 = 10, G6 = 11, G7 = 12;
 constexpr int B2 = 15, B3 = 16, B4 = 17;
 
+// MSB-first reader over a left-aligned 64-bit cache: one (up to)
+// 8-byte refill serves several fields instead of a load per bit. Bits
+// past the stream end read as zeros but trip `bad` the moment the
+// consumed count crosses the end — the same streams fail as with the
+// per-bit reference reader (1-bits only exist inside the stream, so a
+// zero-run never terminates spuriously in the padding).
 struct BitReader {
   const uint8_t* data;
   int64_t nbits;
-  int64_t pos = 0;
+  uint64_t buf = 0;   // left-aligned
+  int navail = 0;     // bits in buf (incl. zero padding past the end)
+  int64_t next_byte = 0;
+  int64_t consumed = 0;
   bool bad = false;
 
+  inline void refill() {
+    int64_t nbytes = (nbits + 7) >> 3;
+    while (navail <= 56) {
+      uint64_t b = next_byte < nbytes ? data[next_byte] : 0;
+      next_byte++;
+      buf |= b << (56 - navail);
+      navail += 8;
+    }
+  }
+
+  inline void advance(int n) {
+    buf = n >= 64 ? 0 : buf << n;
+    navail -= n;
+    consumed += n;
+    if (consumed > nbits) bad = true;
+  }
+
   int zerobits() {
-    int n = 0;
+    int total = 0;
     while (true) {
-      if (pos >= nbits) {
-        bad = true;
-        return 0;
+      refill();
+      if (buf != 0) {
+        int n = __builtin_clzll(buf);
+        total += n;
+        advance(n + 1);  // the zeros and their terminating 1
+        if (bad || total > 1024) {
+          bad = true;
+          return 0;
+        }
+        return total;
       }
-      int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
-      pos++;
-      if (bit) return n;
-      if (++n > 1024) {
+      // All cached bits are zero (buf's low 64-navail bits are clear by
+      // construction): consume them and keep counting.
+      total += navail;
+      advance(navail);
+      if (bad || total > 1024) {
         bad = true;
         return 0;
       }
@@ -51,15 +85,9 @@ struct BitReader {
 
   uint32_t read(int n) {
     if (n <= 0) return 0;
-    if (pos + n > nbits) {
-      bad = true;
-      return 0;
-    }
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++) {
-      v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1);
-      pos++;
-    }
+    refill();
+    uint32_t v = static_cast<uint32_t>(buf >> (64 - n));
+    advance(n);
     return v;
   }
 };

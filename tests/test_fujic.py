@@ -94,6 +94,15 @@ def test_bayer_roundtrip():
     np.testing.assert_array_equal(snapped, img)
 
 
+def test_bayer_16bit_roundtrip():
+    # The GFX-class 16-bit stream flavor: total_values 65536, escapes
+    # read 16 raw bits, values span the full u16 range.
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 1 << 16, (12, 20), dtype=np.uint16)
+    blob, snapped = _roundtrip(img, raw_type=0, raw_bits=16)
+    np.testing.assert_array_equal(snapped, img)
+
+
 def test_multi_stripe_and_partial_band():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 1 << 14, (15, 45), dtype=np.uint16)

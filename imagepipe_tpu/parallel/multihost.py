@@ -70,14 +70,19 @@ def global_batch_mesh() -> Mesh:
     return Mesh(np.array(devs), ("batch",))
 
 
-def _allgather_i64(value: int) -> np.ndarray:
-    """Gather one int from every process (identity when single-process)."""
+def _allgather_i32(value: int) -> np.ndarray:
+    """Gather one small int from every process (identity when
+    single-process). int32 ONLY: the gather rides device arrays, and
+    with the default x64-disabled config an int64 would silently
+    truncate (observed: a 56-bit statics hash wrapping negative and
+    tripping the sentinel logic on every host)."""
+    assert -(1 << 31) <= value < (1 << 31), value
     if jax.process_count() == 1:
-        return np.array([value], np.int64)
+        return np.array([value], np.int32)
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(
-        np.array([value], np.int64))).reshape(-1)
+        np.array([value], np.int32))).reshape(-1).astype(np.int32)
 
 
 def _make_global(sharding: NamedSharding, local: np.ndarray) -> jax.Array:
@@ -167,9 +172,11 @@ class MultiHostBatchEngine:
                    for _, _, plan in entries[1:]):
                 key_hash = -2
             else:
+                # 30-bit positive hash: must survive the int32 gather.
                 key_hash = int.from_bytes(hashlib.blake2b(
-                    repr(key).encode(), digest_size=7).digest(), "little")
-        hashes = _allgather_i64(key_hash)
+                    repr(key).encode(), digest_size=4).digest(),
+                    "little") & 0x3FFFFFFF
+        hashes = _allgather_i32(key_hash)
         real = hashes[hashes >= 0]
         if (hashes == -2).any():
             raise ValueError(
@@ -189,7 +196,7 @@ class MultiHostBatchEngine:
                 "a host's partition has no decodable files while others "
                 "do; feed at least one decodable file per host")
 
-        steps = int(_allgather_i64(
+        steps = int(_allgather_i32(
             math.ceil(len(entries) / self.local_dp)).max())
         plan = entries[0][2]
         # Host-side rank probe: normalize_plane only reshapes [H,W*3]

@@ -78,6 +78,28 @@ def test_mixed_statics_rejected(tmp_path):
         MultiHostBatchEngine().develop_files(paths)
 
 
+@pytest.mark.skipif(not __import__("os").environ.get(
+    "IMAGEPIPE_MULTIHOST_2PROC"),
+    reason="opt-in: spawns a real 2-process jax.distributed fleet "
+           "(~2 min); set IMAGEPIPE_MULTIHOST_2PROC=1")
+def test_real_two_process_fleet():
+    """The non-degenerate validation: two OS processes form a
+    jax.distributed fleet (Gloo on localhost, 4 CPU devices each) and
+    the feed's make_array_from_process_local_data / process_allgather /
+    addressable-shard paths must produce BatchEngine's outputs exactly.
+    This is the harness that caught the int64-truncating allgather."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/exp_multihost_2proc.py"],
+        capture_output=True, text=True, timeout=1200,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__file__)))
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-500:]
+    assert "TWO-PROCESS MULTIHOST OK" in r.stdout
+
+
 def test_global_mesh_is_host_major():
     mesh = global_batch_mesh()
     devs = list(mesh.devices.reshape(-1))

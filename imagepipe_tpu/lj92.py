@@ -61,6 +61,33 @@ def sof_precision(data: bytes) -> int:
     raise ValueError("no SOF3 segment in lossless-JPEG stream")
 
 
+def sof_ncomp(data: bytes) -> int:
+    """Component count from the SOF3 segment (2/4 = CFA interleave,
+    3 = the sRAW/mRAW YCbCr flavor). Same walk as sof_precision."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = (data[pos] << 8) | data[pos + 1]
+        if marker == 0xC3:
+            if pos + 8 > len(data):
+                break
+            return int(data[pos + 7])
+        if marker == 0xDA:
+            break
+        pos += seglen
+    raise ValueError("no SOF3 segment in lossless-JPEG stream")
+
+
 def _decode_native(data: bytes) -> np.ndarray:
     lib = native._lib
     fn = lib.lj92_decode

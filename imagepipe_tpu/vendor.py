@@ -276,6 +276,16 @@ def read_cr2(path: str) -> RawImage:
     from .lj92 import decode as lj92_decode, sof_precision
 
     payload = bytes(buf[off:off + cnt])
+    # sRAW/mRAW files carry a 3-component YCbCr lossless-JPEG frame
+    # (dcraw's canon_sraw_load_raw) -- a different colorimetric pipeline,
+    # not a mosaic; decoding it as CFA would produce convincing-looking
+    # garbage. Refuse by name before touching the stream.
+    from .lj92 import sof_ncomp
+
+    if sof_ncomp(payload) == 3:
+        raise ValueError(
+            "CR2: sRAW/mRAW (3-component YCbCr) is not supported; "
+            "shoot full-size RAW or convert to DNG")
     decoded = lj92_decode(payload)  # [h, w*ncomp]
     height = decoded.shape[0]
     slices = ifd.get(0xC640)

@@ -659,6 +659,27 @@ def test_pef_decode(tmp_path):
     assert all(np.isnan(v) for v in raw.wb_coeffs[:3])  # neutral fallback
 
 
+def test_cr2_sraw_rejected_by_name(tmp_path):
+    # sRAW/mRAW carries a 3-component YCbCr lossless-JPEG frame; decoding
+    # it as a mosaic would produce convincing garbage, so read_cr2 must
+    # refuse with the flavor named (dcraw routes these to
+    # canon_sraw_load_raw instead).
+    from imagepipe_tpu.lj92 import encode as lj92_encode
+    from imagepipe_tpu.vendor import read_cr2
+
+    data = _sensor(8, 48, seed=91, bits=14)  # 16 px x 3 comps
+    payload = lj92_encode(data, ncomp=3, precision=14)
+    b = TiffBuilder("<", header_extra=b"CR\x02\x00")
+    strip = b.add_blob(payload)
+    b.add_ifd([(271, 2, "Canon"), (272, 2, "Canon EOS 5D Mark II"),
+               (259, 3, [6]), (273, 4, [strip]), (279, 4, [len(payload)])])
+    path = str(tmp_path / "sraw.cr2")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+    with pytest.raises(ValueError, match="sRAW"):
+        read_cr2(path)
+
+
 def test_pef_garbage_compressed_stream_never_crashes(tmp_path):
     # Compression 65535 with a payload that is NOT a valid Huffman
     # stream must either raise ValueError (exhausted) or decode to

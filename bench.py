@@ -312,9 +312,33 @@ def bench_decoders():
     return out
 
 
+def _wait_for_backend(max_wait_s: int = 900) -> None:
+    """Bounded backoff until the device backend initializes: the remote
+    TPU tunnel has transient outages ('Unable to initialize backend
+    axon: UNAVAILABLE'), and the round-end bench should ride them out
+    rather than fail on the first probe."""
+    import jax
+
+    deadline = time.time() + max_wait_s
+    delay = 20
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if time.time() > deadline:
+                raise
+            print(f"# backend unavailable ({e}); retrying in {delay}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+            delay = min(delay * 2, 120)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_backend()
 
     from imagepipe_tpu import ImageSource, Pipeline
     from imagepipe_tpu.engine import make_develop_plan, _develop_batch_jit

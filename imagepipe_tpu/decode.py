@@ -177,7 +177,7 @@ def _decode_mrw(path: str) -> Optional[RawImage]:
 
 
 _TIFFEP_EXTS = (".erf", ".rwl", ".srw", ".mef", ".mos", ".kdc", ".dcr",
-                ".3fr")
+                ".3fr", ".fff")
 
 
 def _decode_tiffep(path: str) -> Optional[RawImage]:
@@ -212,6 +212,27 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
             raise ValueError(
                 "CR3: Canon's crx codec is not supported; convert to DNG "
                 "or shoot CR2/DNG")
+    elif low.endswith(".crw"):
+        with open(path, "rb") as f:
+            head = f.read(16)
+        if head[6:14] == b"HEAPCCDR":
+            raise ValueError(
+                "CRW: Canon's CIFF container (pre-2004 bodies) is not "
+                "supported; convert to DNG")
+    elif low.endswith(".x3f"):
+        with open(path, "rb") as f:
+            head = f.read(4)
+        if head == b"FOVb":
+            raise ValueError(
+                "X3F: Sigma's Foveon format is not supported; convert "
+                "with Sigma Photo Pro or to DNG")
+    elif low.endswith(".iiq"):
+        raise ValueError(
+            "IIQ: Phase One's IIQ codec is not supported; convert to DNG")
+    elif low.endswith(".srf"):
+        raise ValueError(
+            "SRF: Sony's encrypted SRF format is not supported; convert "
+            "to DNG")
     return None
 
 

@@ -8,53 +8,69 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 
 namespace {
 
+// MSB-first reader over a left-aligned 64-bit cache, unstuffing FF00 and
+// zero-filling at a real marker (T.81 semantics, same as the per-bit
+// reader this replaces: bits past a marker read as zeros and the marker
+// itself is never consumed, so `reset_to_marker` still finds it).
 struct BitReader {
   const uint8_t* p;
   const uint8_t* end;
-  uint32_t bits = 0;
-  int nbits = 0;
+  uint64_t buf = 0;  // left-aligned
+  int navail = 0;
   bool marker_hit = false;
 
   BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
 
-  inline int next_byte() {
-    if (p >= end) return -1;
-    uint8_t b = *p++;
-    if (b == 0xFF) {
-      if (p < end && *p == 0x00) {
-        p++;  // stuffed byte
-      } else {
-        // Real marker: stop feeding bits (fill with zeros per spec).
-        p--;
-        marker_hit = true;
-        return -1;
+  inline void refill() {
+    while (navail <= 56) {
+      uint64_t b = 0;
+      if (!marker_hit && p < end) {
+        b = *p++;
+        if (b == 0xFF) {
+          if (p < end && *p == 0x00) {
+            p++;  // stuffed byte
+          } else {
+            // Real marker: stop feeding bits (fill with zeros per spec).
+            p--;
+            marker_hit = true;
+            b = 0;
+          }
+        }
       }
+      buf |= b << (56 - navail);
+      navail += 8;
     }
-    return b;
   }
 
-  inline int get_bit() {
-    if (nbits == 0) {
-      int b = next_byte();
-      if (b < 0) return 0;
-      bits = (uint32_t)b;
-      nbits = 8;
-    }
-    nbits--;
-    return (bits >> nbits) & 1;
+  // The next 16 bits (zero-padded past end/marker), not consumed.
+  inline uint32_t peek16() {
+    refill();
+    return static_cast<uint32_t>(buf >> 48);
+  }
+
+  inline void advance(int n) {
+    buf <<= n;
+    navail -= n;
   }
 
   inline int get_bits(int n) {
-    int v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | get_bit();
+    if (n <= 0) return 0;
+    refill();
+    int v = static_cast<int>(buf >> (64 - n));
+    advance(n);
     return v;
   }
 
   void reset_to_marker() {  // skip to next marker boundary (restart)
-    nbits = 0;
+    // Cached lookahead never crosses a real marker (refill stops at it),
+    // so scanning forward from `p` finds the restart marker; cached bits
+    // are padding and are discarded.
+    buf = 0;
+    navail = 0;
     while (p < end && *p != 0xFF) p++;
     // skip marker FFD0-FFD7
     if (p + 1 < end && p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) p += 2;
@@ -63,35 +79,36 @@ struct BitReader {
 };
 
 struct Huff {
-  // Canonical Huffman per T.81: maxcode/mincode/valptr tables.
-  int32_t mincode[17];
-  int32_t maxcode[17];
-  int32_t valptr[17];
-  uint8_t vals[256];
+  // 16-bit-window lookup built from the canonical T.81 code lengths:
+  // leaf = decoded value, len = code length (0 => invalid code).
+  uint8_t leaf[1 << 16];
+  uint8_t len[1 << 16];
 
   void build(const uint8_t counts[16], const uint8_t* values, int nvals) {
-    std::memcpy(vals, values, nvals);
+    std::memset(len, 0, sizeof(len));
     int code = 0, k = 0;
     for (int l = 1; l <= 16; l++) {
-      valptr[l] = k;
-      mincode[l] = code;
-      code += counts[l - 1];
-      k += counts[l - 1];
-      maxcode[l] = code - 1;
-      if (counts[l - 1] == 0) maxcode[l] = -1;
+      for (int c = 0; c < counts[l - 1]; c++) {
+        if (k >= nvals) return;
+        uint32_t lo = static_cast<uint32_t>(code) << (16 - l);
+        uint32_t hi = static_cast<uint32_t>(code + 1) << (16 - l);
+        for (uint32_t i = lo; i < hi; i++) {
+          leaf[i] = values[k];
+          len[i] = static_cast<uint8_t>(l);
+        }
+        code++;
+        k++;
+      }
       code <<= 1;
     }
   }
 
   inline int decode(BitReader& br) const {
-    int code = br.get_bit();
-    int l = 1;
-    while (l < 16 && (maxcode[l] < 0 || code > maxcode[l])) {
-      code = (code << 1) | br.get_bit();
-      l++;
-    }
-    if (maxcode[l] < 0 || code > maxcode[l]) return -1;
-    return vals[valptr[l] + (code - mincode[l])];
+    uint32_t win = br.peek16();
+    int l = len[win];
+    if (l == 0) return -1;
+    br.advance(l);
+    return leaf[win];
   }
 };
 
@@ -119,7 +136,10 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
   p += 2;
 
   int precision = 0, height = 0, width = 0, ncomp = 0;
-  Huff huffs[4];
+  // 128KB of lookup per table: heap, not stack (decoders run inside
+  // thread pools with default stacks).
+  std::unique_ptr<Huff[]> huffs_owner(new Huff[4]);
+  Huff* huffs = huffs_owner.get();
   int huff_built[4] = {0, 0, 0, 0};
   int comp_table[4] = {0, 0, 0, 0};
   int predictor = 1, pt = 0;

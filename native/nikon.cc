@@ -12,7 +12,11 @@
 #include <cstdint>
 #include <cstring>
 
+#include "bitreader.h"
+
 namespace {
+
+using imagepipe::CachedBitReader;
 
 // Must match imagepipe_tpu/nikon.py NIKON_TREES.
 static const unsigned char kTrees[6][32] = {
@@ -60,38 +64,6 @@ void build_lut(int tree, Lut* lut) {
   }
 }
 
-struct BitReader {
-  const uint8_t* data;
-  int64_t nbytes;
-  int64_t pos = 0;  // bit position
-  bool overrun = false;
-
-  // Peek `n` (<= 57) bits, zero-padded past the end.
-  inline uint64_t peek(int n) {
-    int64_t byte = pos >> 3;
-    uint64_t acc = 0;
-    // Load 8 bytes safely.
-    for (int i = 0; i < 8; i++) {
-      acc = (acc << 8) | (byte + i < nbytes ? data[byte + i] : 0);
-    }
-    acc <<= (pos & 7);             // drop consumed bits of first byte
-    return (acc >> (64 - n)) & ((1ull << n) - 1);
-  }
-
-  inline void skip(int n) {
-    pos += n;
-    if (pos > nbytes * 8) overrun = true;
-  }
-
-  inline uint32_t get(int n) {
-    if (n <= 0) return 0;
-    uint64_t v = peek(n);
-    if (pos + n > nbytes * 8) overrun = true;
-    pos += n;
-    return static_cast<uint32_t>(v);
-  }
-};
-
 }  // namespace
 
 extern "C" int nikon_decode(const char* payload, int64_t nbytes,
@@ -104,7 +76,7 @@ extern "C" int nikon_decode(const char* payload, int64_t nbytes,
   build_lut(tree, &lut);
   if (split) build_lut(tree + 1, &lut2);
 
-  BitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
+  CachedBitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
   int32_t vpred[2][2] = {{vpred_in[0], vpred_in[1]},
                          {vpred_in[2], vpred_in[3]}};
   int32_t hpred[2] = {0, 0};

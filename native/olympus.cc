@@ -12,50 +12,24 @@
 
 #include <cstdint>
 
+#include "bitreader.h"
+
 namespace {
 
-struct BitReader {
-  const uint8_t* data;
-  int64_t nbytes;
-  int64_t pos = 0;  // bit position
-  bool overrun = false;
+using imagepipe::CachedBitReader;
 
-  // Peek `n` (<= 57) bits, zero-padded past the end.
-  inline uint64_t peek(int n) {
-    int64_t byte = pos >> 3;
-    uint64_t acc = 0;
-    for (int i = 0; i < 8; i++) {
-      acc = (acc << 8) | (byte + i < nbytes ? data[byte + i] : 0);
-    }
-    acc <<= (pos & 7);
-    return (acc >> (64 - n)) & ((1ull << n) - 1);
+// Unary class: count of leading zeros before a 1, capped at 12
+// (12 zeros carry no terminator).
+inline int unary12(CachedBitReader& br) {
+  uint32_t win = static_cast<uint32_t>(br.peek(12));
+  if (win == 0) {
+    br.skip(12);
+    return 12;
   }
-
-  inline void skip(int n) {
-    pos += n;
-    if (pos > nbytes * 8) overrun = true;
-  }
-
-  inline uint32_t get(int n) {
-    if (n <= 0) return 0;
-    uint64_t v = peek(n);
-    skip(n);
-    return static_cast<uint32_t>(v);
-  }
-
-  // Unary class: count of leading zeros before a 1, capped at 12
-  // (12 zeros carry no terminator).
-  inline int unary12() {
-    uint32_t win = static_cast<uint32_t>(peek(12));
-    if (win == 0) {
-      skip(12);
-      return 12;
-    }
-    int v = __builtin_clz(win) - 20;  // leading zeros within the 12-bit window
-    skip(v + 1);
-    return v;
-  }
-};
+  int v = __builtin_clz(win) - 20;  // leading zeros within the 12-bit window
+  br.skip(v + 1);
+  return v;
+}
 
 inline int32_t iabs(int32_t v) { return v < 0 ? -v : v; }
 
@@ -64,7 +38,7 @@ inline int32_t iabs(int32_t v) { return v < 0 ? -v : v; }
 extern "C" int olympus_decode(const char* payload, int64_t nbytes, int width,
                               int height, uint16_t* out) {
   if (width <= 0 || height <= 0 || nbytes <= 0) return 1;
-  BitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
+  CachedBitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
   for (int row = 0; row < height; row++) {
     int32_t carry[2][3] = {{0, 0, 0}, {0, 0, 0}};
     for (int col = 0; col < width; col++) {
@@ -75,7 +49,7 @@ extern "C" int olympus_decode(const char* payload, int64_t nbytes, int width,
       uint32_t b3 = br.get(3);
       int32_t low = static_cast<int32_t>(b3 & 3);
       int32_t sign = (b3 & 4) ? -1 : 0;
-      int high = br.unary12();
+      int high = unary12(br);
       if (high == 12) high = static_cast<int>(br.get(16 - nbits) >> 1);
       int32_t c0 = (static_cast<int32_t>(high) << nbits) |
                    static_cast<int32_t>(br.get(nbits));

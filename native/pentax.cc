@@ -14,37 +14,11 @@
 
 #include <cstdint>
 
+#include "bitreader.h"
+
 namespace {
 
-struct BitReader {
-  const uint8_t* data;
-  int64_t nbytes;
-  int64_t pos = 0;  // bit position
-  bool overrun = false;
-
-  // Peek `n` (<= 57) bits, zero-padded past the end.
-  inline uint64_t peek(int n) {
-    int64_t byte = pos >> 3;
-    uint64_t acc = 0;
-    for (int i = 0; i < 8; i++) {
-      acc = (acc << 8) | (byte + i < nbytes ? data[byte + i] : 0);
-    }
-    acc <<= (pos & 7);
-    return (acc >> (64 - n)) & ((1ull << n) - 1);
-  }
-
-  inline void skip(int n) {
-    pos += n;
-    if (pos > nbytes * 8) overrun = true;
-  }
-
-  inline uint32_t get(int n) {
-    if (n <= 0) return 0;
-    uint64_t v = peek(n);
-    skip(n);
-    return static_cast<uint32_t>(v);
-  }
-};
+using imagepipe::CachedBitReader;
 
 }  // namespace
 
@@ -52,7 +26,7 @@ extern "C" int pentax_decode(const char* payload, int64_t nbytes, int width,
                              int height, const uint16_t* table,
                              uint16_t* out) {
   if (width <= 0 || height <= 0 || nbytes <= 0) return 1;
-  BitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
+  CachedBitReader br{reinterpret_cast<const uint8_t*>(payload), nbytes};
   uint16_t vpred[2][2] = {{0, 0}, {0, 0}};
   for (int row = 0; row < height; row++) {
     uint16_t hpred[2] = {0, 0};

@@ -707,6 +707,26 @@ def test_known_unsupported_formats_named(tmp_path):
     with pytest.raises(ValueError, match="crx"):
         decode_file(str(cr3))
 
+    crw = tmp_path / "shot.crw"
+    crw.write_bytes(b"II\x1a\x00\x00\x00HEAPCCDR" + b"\0" * 64)
+    with pytest.raises(ValueError, match="CIFF"):
+        decode_file(str(crw))
+
+    x3f = tmp_path / "shot.x3f"
+    x3f.write_bytes(b"FOVb" + b"\0" * 64)
+    with pytest.raises(ValueError, match="Foveon"):
+        decode_file(str(x3f))
+
+    iiq = tmp_path / "shot.iiq"
+    iiq.write_bytes(b"IIII" + b"\0" * 64)
+    with pytest.raises(ValueError, match="Phase One"):
+        decode_file(str(iiq))
+
+    srf = tmp_path / "shot.srf"
+    srf.write_bytes(b"II*\x00" + b"\0" * 64)
+    with pytest.raises(ValueError, match="SRF"):
+        decode_file(str(srf))
+
 
 def test_vendor_levels_registry(tmp_path):
     from imagepipe_tpu.vendor import register_vendor_levels

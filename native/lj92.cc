@@ -103,12 +103,24 @@ struct Huff {
     }
   }
 
-  inline int decode(BitReader& br) const {
-    uint32_t win = br.peek16();
+  // Decode one symbol AND its ssss mantissa bits from a single refill:
+  // code (<=16 bits) + mantissa (<=16 bits) fit the 57-bit cache.
+  // Returns ssss (<0 on invalid code) and the raw mantissa via *mant
+  // (ssss==16 reads no bits per T.81 lossless).
+  inline int decode_with_mant(BitReader& br, int* mant) const {
+    br.refill();
+    uint32_t win = static_cast<uint32_t>(br.buf >> 48);
     int l = len[win];
     if (l == 0) return -1;
-    br.advance(l);
-    return leaf[win];
+    int ssss = leaf[win];
+    if (ssss == 0 || ssss >= 16) {
+      br.advance(l);
+      *mant = 0;
+      return ssss;
+    }
+    *mant = static_cast<int>((br.buf << l) >> (64 - ssss));
+    br.advance(l + ssss);
+    return ssss;
   }
 };
 
@@ -212,9 +224,10 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
         bool first_line = fresh;
         for (int x = 0; x < width; x++) {
           for (int c = 0; c < ncomp; c++) {
-            int ssss = huffs[comp_table[c]].decode(br);
+            int mant;
+            int ssss = huffs[comp_table[c]].decode_with_mant(br, &mant);
             if (ssss < 0) return -8;
-            int diff = ssss == 16 ? 32768 : extend(br.get_bits(ssss), ssss);
+            int diff = ssss == 16 ? 32768 : extend(mant, ssss);
 
             int64_t idx = (int64_t)x * ncomp + c;
             int pred;

@@ -84,15 +84,22 @@ extern "C" int nikon_decode(const char* payload, int64_t nbytes,
   for (int row = 0; row < height; row++) {
     if (split && row == split) cur = &lut2;
     for (int col = 0; col < width; col++) {
-      uint32_t idx = static_cast<uint32_t>(br.peek(kPeek));
+      // One refill serves the 16-bit Huffman window AND the mantissa
+      // (16 + 14 bits fit the 57-bit cache).
+      br.refill();
+      uint32_t idx = static_cast<uint32_t>(br.buf >> (64 - kPeek));
       int length = cur->len[idx];
       if (length == 0) return 2;  // invalid code
       int leaf = cur->leaf[idx];
-      br.skip(length);
       int len = leaf & 15;
       int shl = leaf >> 4;
-      int32_t diff =
-          ((static_cast<int32_t>(br.get(len - shl)) << 1) + 1) << shl >> 1;
+      int nmant = len - shl;
+      uint32_t mant =
+          nmant > 0
+              ? static_cast<uint32_t>((br.buf << length) >> (64 - nmant))
+              : 0;
+      br.skip(length + (nmant > 0 ? nmant : 0));
+      int32_t diff = ((static_cast<int32_t>(mant) << 1) + 1) << shl >> 1;
       if (len > 0 && (diff & (1 << (len - 1))) == 0)
         diff -= (1 << len) - (shl ? 0 : 1);
       if (col < 2) {

@@ -31,18 +31,29 @@ extern "C" int pentax_decode(const char* payload, int64_t nbytes, int width,
   for (int row = 0; row < height; row++) {
     uint16_t hpred[2] = {0, 0};
     for (int col = 0; col < width; col++) {
-      uint16_t ent = table[br.peek(12)];
+      // One refill serves the 12-bit Huffman window AND the mantissa
+      // (12 + 16 bits fit the 57-bit cache).
+      br.refill();
+      uint16_t ent = table[br.buf >> 52];
       int length = ent >> 8;
       if (length == 0) return 2;  // window not covered (corrupt table)
-      br.skip(length);
       int c = ent & 0xFF;
       int32_t diff;
       if (c == 0) {
+        br.skip(length);
         diff = 0;
       } else if (c == 16) {
+        br.skip(length);
         diff = -32768;
       } else {
-        uint32_t mant = br.get(c);
+        uint32_t mant;
+        if (c <= 16) {
+          mant = static_cast<uint32_t>((br.buf << length) >> (64 - c));
+          br.skip(length + c);
+        } else {  // degenerate host-built table: keep the two-step read
+          br.skip(length);
+          mant = br.get(c);
+        }
         diff = (mant & (1u << (c - 1)))
                    ? static_cast<int32_t>(mant)
                    : static_cast<int32_t>(mant) - (1 << c) + 1;

@@ -23,12 +23,14 @@ os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 NEW_SO = os.path.join(REPO, "native", "build", "libimagepipe_host.so")
 SRCS = ["nikon.cc", "olympus.cc", "pentax.cc", "lj92.cc"]
+# The last commit with the per-peek byte-loop readers (the "old" side).
+REF = os.environ.get("DECODE_AB_REF", "782afdc")
 
 
 def build_old(tmp):
-    for name in SRCS + ["host_pack.cc", "rw2.cc", "fujic.cc"]:
+    for name in SRCS:
         src = subprocess.run(
-            ["git", "show", f"HEAD:native/{name}"], cwd=REPO,
+            ["git", "show", f"{REF}:native/{name}"], cwd=REPO,
             capture_output=True, text=True)
         path = os.path.join(tmp, name)
         if src.returncode != 0:

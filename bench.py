@@ -309,6 +309,13 @@ def bench_decoders():
     out.append({"metric": "NEF 34713 lossless decode (native, host)",
                 "value": round(mp / dt, 1), "unit": "MP/s",
                 "vs_baseline": None})
+
+    from imagepipe_tpu import lj92
+    ljblob = lj92.encode(smooth, ncomp=1, precision=14)
+    dt = timed(lambda: lj92.decode(ljblob))
+    out.append({"metric": "LJ92 lossless JPEG decode (CR2/ARW/DNG; native, host)",
+                "value": round(mp / dt, 1), "unit": "MP/s",
+                "vs_baseline": None})
     return out
 
 

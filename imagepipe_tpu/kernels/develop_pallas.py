@@ -136,25 +136,38 @@ def _color_at_2x2(cfa: CFA, parity_y, parity_x):
 def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
                     r_ref, g_ref, b_ref, ptiles_ref, dma_sems, *, tile_h,
                     tile_w, height, width, apply_curve, n_knots, linear,
-                    out_bits, bayer, cfa_name, stage_limit=4):
+                    out_bits, bayer, cfa_name, stage_limit=4, batched=False):
     TILE_W = tile_w
     f = jnp.float32
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+    if batched:
+        # Batch folded into the grid: one pallas_call serves the whole
+        # stack (no per-image HBM slice/stack copies around the kernel).
+        # plane_hbm is [B,Hp,Wp]; scal/spline arrive per-image via blocked
+        # SMEM specs, so the body below is identical either way.
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        ni = pl.num_programs(1)
+        nj = pl.num_programs(2)
+        step = (pl.program_id(0) * ni + i) * nj + j
+        nsteps = pl.num_programs(0) * ni * nj
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        step = i * nj + j
+        nsteps = pl.num_programs(0) * nj
     y0 = i * tile_h
     x0 = j * TILE_W
 
-    step = i * nj + j
-    nsteps = pl.num_programs(0) * nj
-
     def start_dma(s, slot):
-        ii = s // nj
         jj = s % nj
-        return pltpu.make_async_copy(
-            plane_hbm.at[pl.ds(ii * tile_h, tile_h + 2 * HALO),
-                         pl.ds(jj * TILE_W, TILE_W + 2 * HALO_X)],
-            ptiles_ref.at[slot], dma_sems.at[slot])
+        rows = pl.ds(((s // nj) % ni if batched else s // nj) * tile_h,
+                     tile_h + 2 * HALO)
+        cols = pl.ds(jj * TILE_W, TILE_W + 2 * HALO_X)
+        src = (plane_hbm.at[s // (ni * nj), rows, cols] if batched
+               else plane_hbm.at[rows, cols])
+        return pltpu.make_async_copy(src, ptiles_ref.at[slot],
+                                     dma_sems.at[slot])
 
     # DMA pipelining: step s computes from slot s%N while steps s+1..
     # s+N-1 stream into the other slots (N = N_DMA_BUF; 2 = classic double
@@ -545,6 +558,58 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
     return apply_flips(jnp.stack([r, g, b], axis=0), orientation_flips)
 
 
+@partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
+                                   "tile_w", "apply_curve", "n_knots",
+                                   "linear", "out_bits", "bayer", "interpret",
+                                   "orientation_flips"))
+def _develop_pallas_batchgrid_jit(planes_padded, cmap, scal, spline, *,
+                                  cfa_name, height, width, tile_h, tile_w,
+                                  apply_curve, n_knots, linear, out_bits,
+                                  bayer, interpret,
+                                  orientation_flips=(False, False, False)):
+    """Batched megakernel with the batch folded into the Pallas grid:
+    ONE pallas_call over [B,Hp,Wp] staged planes and [B,...] per-image
+    calibration tables. Replaces the python-loop-of-kernels form, whose
+    per-image HBM input slices and output stacks cost ~0.2-0.4 ms/img
+    (BASELINE.md r2 tile-sweep note)."""
+    B = planes_padded.shape[0]
+    TILE_W = tile_w
+    grid = (B, pl.cdiv(height, tile_h), pl.cdiv(width, TILE_W))
+    out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
+    xoff = jnp.zeros((1, 1), jnp.int32)
+    kernel = partial(_develop_kernel, tile_h=tile_h, tile_w=tile_w,
+                     height=height, width=width, apply_curve=apply_curve,
+                     n_knots=n_knots, linear=linear, out_bits=out_bits,
+                     bayer=bayer, cfa_name=cfa_name, batched=True)
+    nsc = scal.shape[-2:]
+    nsp = spline.shape[-2:]
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None,) + nsc, lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),    # scal [B,8,16]
+            pl.BlockSpec((None,) + nsp, lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),    # spline [B,5,16]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # xoff [1,1] shared
+            pl.BlockSpec(memory_space=pltpu.ANY),     # planes (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # cmap tile
+        ],
+        out_specs=[
+            pl.BlockSpec((None, tile_h, TILE_W), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, height, width), out_dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((N_DMA_BUF, tile_h + 2 * HALO, TILE_W + 2 * HALO_X),
+                       planes_padded.dtype),
+            pltpu.SemaphoreType.DMA((N_DMA_BUF,)),
+        ],
+        interpret=interpret,
+    )(scal, spline, xoff, planes_padded, cmap)
+    return apply_flips(jnp.stack([r, g, b], axis=1), orientation_flips)
+
+
 def _tiles_for(plan):
     cfa = CFA(plan.cfa_name)
     return _tile_h_for(cfa.height, plan.out_bits), _tile_w_for(cfa.width)
@@ -765,6 +830,33 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
         plane, cmap, scal, spline, interpret=interpret, **statics)
 
 
+# Fold the batch into the Pallas grid (one pallas_call per batch) instead
+# of a python loop of per-image kernels inside the jit. A/B in
+# scripts/exp_batchgrid.py; the loop form stays for comparison. Default
+# OFF until the Mosaic compile + hardware A/B validate it (interpret-mode
+# tests cannot check Mosaic constraints).
+BATCH_GRID = False
+
+
+def batch_jit(planes_padded, cmap, scal, spline, *, per_image, interpret,
+              **statics):
+    """Route a batched megakernel develop to the grid-batched pallas_call
+    (BATCH_GRID) or the legacy loop-of-kernels jit. scal/spline: [B,...]
+    when per_image else single tables (broadcast for the grid form)."""
+    if BATCH_GRID:
+        if not per_image:
+            B = planes_padded.shape[0]
+            scal = jnp.broadcast_to(jnp.asarray(scal), (B,) + np.shape(scal))
+            spline = jnp.broadcast_to(jnp.asarray(spline),
+                                      (B,) + np.shape(spline))
+        return _develop_pallas_batchgrid_jit(planes_padded, cmap, scal,
+                                             spline, interpret=interpret,
+                                             **statics)
+    return _develop_pallas_batch_jit(planes_padded, cmap, scal, spline,
+                                     per_image=per_image,
+                                     interpret=interpret, **statics)
+
+
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
@@ -812,6 +904,6 @@ def develop_pallas_batch(plan, planes, interpret: bool = False,
         tabs = [plan_tables(pp) for pp in param_plans]
         scal = _np.stack([t[1] for t in tabs])
         spline = _np.stack([t[2] for t in tabs])
-    return _develop_pallas_batch_jit(
+    return batch_jit(
         planes, jnp.asarray(cmap), jnp.asarray(scal), jnp.asarray(spline),
         interpret=interpret, per_image=per_image, **statics)

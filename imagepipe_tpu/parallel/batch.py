@@ -161,7 +161,7 @@ class BatchEngine:
         On a dp x sp mesh each image is additionally width-sharded with an
         on-device halo exchange (_sp_local_develop)."""
         from ..kernels.develop_pallas import (
-            _develop_pallas_batch_jit, _sp_local_develop, calib_tables,
+            batch_jit, _sp_local_develop, calib_tables,
             plan_tables, sp_width_pad, stage_plane_np, stage_plane_rows_np)
 
         plan = chunk[0][2]
@@ -189,7 +189,7 @@ class BatchEngine:
             spline_d = jax.device_put(jnp.asarray(spline), spec_in)
 
             def local(planes_l, scal_l, spline_l):
-                return _develop_pallas_batch_jit(
+                return batch_jit(
                     planes_l, cmap_d, scal_l, spline_l, per_image=True,
                     interpret=interpret, **statics)
 

@@ -126,3 +126,42 @@ def test_pallas_batch_matches_single():
         np.testing.assert_array_equal(got[i], single)
     # Distinct WB must produce distinct output (params really are per-image).
     assert not np.array_equal(got[1], got[2])
+
+
+def test_pallas_batch_grid_matches_loop_and_flips():
+    """The grid-batched pallas_call (BATCH_GRID) must be bit-identical to
+    the legacy loop-of-kernels jit, including under EXIF orientation
+    (flips applied in-jit on the batched output)."""
+    from imagepipe_tpu.kernels import develop_pallas as dp
+    from imagepipe_tpu.raw import Orientation
+
+    raws = [synthetic_bayer(168, 112, seed=10 + s) for s in range(2)]
+    for r in raws:
+        r.orientation = Orientation.Rotate90
+    pipes = [Pipeline.new_from_source(ImageSource.from_raw(r)) for r in raws]
+    plans = [make_develop_plan(p, out_bits=8, numerics="direct") for p in pipes]
+    batch = np.stack([r.data for r in raws])
+    assert plans[0].orientation_flips != (False, False, False)
+
+    old = dp.BATCH_GRID
+    try:
+        dp.BATCH_GRID = True
+        grid = np.asarray(dp.develop_pallas_batch(
+            plans[0], batch, interpret=True, param_plans=plans))
+        dp.BATCH_GRID = False
+        loop = np.asarray(dp.develop_pallas_batch(
+            plans[0], batch, interpret=True, param_plans=plans))
+    finally:
+        dp.BATCH_GRID = old
+    np.testing.assert_array_equal(grid, loop)
+    # And the shared-calibration (per_image=False) route.
+    try:
+        dp.BATCH_GRID = True
+        grid1 = np.asarray(dp.develop_pallas_batch(plans[0], batch,
+                                                   interpret=True))
+        dp.BATCH_GRID = False
+        loop1 = np.asarray(dp.develop_pallas_batch(plans[0], batch,
+                                                   interpret=True))
+    finally:
+        dp.BATCH_GRID = old
+    np.testing.assert_array_equal(grid1, loop1)

@@ -22,6 +22,7 @@ malformed files error cleanly instead of crashing or hanging.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -197,6 +198,20 @@ def read_dng(path: str) -> RawImage:
             return decode_deflated(chunk, nrows, ncols, what)
         return decode_uncompressed(chunk, nrows * ncols).reshape(nrows, ncols)
 
+    def decode_chunks(jobs):
+        """Decode [(chunk, nrows, ncols, what)] -> list of arrays.
+        Chunks are independent and the hot codecs (native lj92 via
+        ctypes, zlib inflate) release the GIL, so multi-chunk payloads
+        decode in a small thread pool (deterministic placement by
+        index; the first error propagates)."""
+        if len(jobs) <= 1 or compression == 1:
+            return [decode_chunk(*j) for j in jobs]
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(jobs), os.cpu_count() or 1, 8)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(lambda j: decode_chunk(*j), jobs))
+
     payload_dtype = np.float32 if is_float else np.uint16
     if T_TILE_OFFSETS in e:
         # Tiled layout (the common shape for Compression=7 DNGs).
@@ -207,10 +222,12 @@ def read_dng(path: str) -> RawImage:
         tiles_x = -(-width // tw)
         tiles_y = -(-height // tl)
         data = np.zeros((tiles_y * tl, tiles_x * tw), payload_dtype)
-        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        jobs = []
+        for off, cnt in zip(offsets, counts):
             tf._check(off, cnt, "tile data")
-            chunk = np.frombuffer(buf, np.uint8, cnt, off)
-            tile = decode_chunk(chunk, tl, tw, "tile data")
+            jobs.append((np.frombuffer(buf, np.uint8, cnt, off), tl, tw,
+                         "tile data"))
+        for ti, tile in enumerate(decode_chunks(jobs)):
             ty, tx = divmod(ti, tiles_x)
             data[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
         data = data[:height, :width]
@@ -218,13 +235,13 @@ def read_dng(path: str) -> RawImage:
         offsets = get(e, T_STRIP_OFFSETS)
         counts = get(e, T_STRIP_BYTECOUNTS)
         rows_per_strip = get(e, T_ROWS_PER_STRIP, [height])[0]
-        rows = []
+        jobs = []
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, height - si * rows_per_strip)
             tf._check(off, cnt, "strip data")
-            chunk = np.frombuffer(buf, np.uint8, cnt, off)
-            rows.append(decode_chunk(chunk, nrows, width, "strip data"))
-        data = np.concatenate(rows, axis=0)
+            jobs.append((np.frombuffer(buf, np.uint8, cnt, off), nrows,
+                         width, "strip data"))
+        data = np.concatenate(decode_chunks(jobs), axis=0)
     if data.shape != (height, width):
         raise ValueError(f"DNG payload {data.shape} != {(height, width)}")
 

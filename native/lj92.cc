@@ -84,12 +84,14 @@ struct Huff {
   uint8_t leaf[1 << 16];
   uint8_t len[1 << 16];
 
-  void build(const uint8_t counts[16], const uint8_t* values, int nvals) {
+  // false when the counts oversubscribe the canonical code space (a
+  // corrupt DHT would otherwise index past the 64K windows).
+  bool build(const uint8_t counts[16], const uint8_t* values, int nvals) {
     std::memset(len, 0, sizeof(len));
     int code = 0, k = 0;
     for (int l = 1; l <= 16; l++) {
       for (int c = 0; c < counts[l - 1]; c++) {
-        if (k >= nvals) return;
+        if (k >= nvals || code >= (1 << l)) return false;
         uint32_t lo = static_cast<uint32_t>(code) << (16 - l);
         uint32_t hi = static_cast<uint32_t>(code + 1) << (16 - l);
         for (uint32_t i = lo; i < hi; i++) {
@@ -101,6 +103,7 @@ struct Huff {
       }
       code <<= 1;
     }
+    return true;
   }
 
   // Decode one symbol AND its ssss mantissa bits from a single refill:
@@ -113,7 +116,8 @@ struct Huff {
     int l = len[win];
     if (l == 0) return -1;
     int ssss = leaf[win];
-    if (ssss == 0 || ssss >= 16) {
+    if (ssss > 16) return -1;  // not a T.81 lossless category (corrupt DHT)
+    if (ssss == 0 || ssss == 16) {
       br.advance(l);
       *mant = 0;
       return ssss;
@@ -148,10 +152,11 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
   p += 2;
 
   int precision = 0, height = 0, width = 0, ncomp = 0;
-  // 128KB of lookup per table: heap, not stack (decoders run inside
-  // thread pools with default stacks).
-  std::unique_ptr<Huff[]> huffs_owner(new Huff[4]);
-  Huff* huffs = huffs_owner.get();
+  // DHT specs are recorded during the marker walk; the 128KB-per-table
+  // window LUTs build lazily at SOS, and only for a real decode (the
+  // probe pass returns dimensions without paying allocation or builds).
+  struct HuffSpec { const uint8_t* counts; const uint8_t* values; int nvals; };
+  HuffSpec specs[4] = {};
   int huff_built[4] = {0, 0, 0, 0};
   int comp_table[4] = {0, 0, 0, 0};
   int predictor = 1, pt = 0;
@@ -163,9 +168,14 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
     p += 2;
     if (marker == 0xD8) continue;
     int seglen = (p[0] << 8) | p[1];
+    // The declared segment (incl. its own 2 length bytes) must fit the
+    // buffer -- every read below stays inside [seg, p + seglen).
+    if (seglen < 2 || p + seglen > end) return -2;
     const uint8_t* seg = p + 2;
+    const uint8_t* segend = p + seglen;
 
     if (marker == 0xC3) {  // SOF3
+      if (seglen < 8) return -2;
       precision = seg[0];
       height = (seg[1] << 8) | seg[2];
       width = (seg[3] << 8) | seg[4];
@@ -174,28 +184,30 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
       p += seglen;
     } else if (marker == 0xC4) {  // DHT
       const uint8_t* q = seg;
-      while (q < p + seglen) {
+      while (q < segend) {
+        if (q + 17 > segend) return -4;
         int tc_th = *q++;
         int th = tc_th & 0x0F;
         if (th > 3) return -4;
-        uint8_t counts[16];
+        const uint8_t* counts = q;
         int nvals = 0;
-        for (int i = 0; i < 16; i++) {
-          counts[i] = *q++;
-          nvals += counts[i];
-        }
-        if (nvals > 256) return -4;
-        huffs[th].build(counts, q, nvals);
+        for (int i = 0; i < 16; i++) nvals += counts[i];
+        q += 16;
+        if (nvals > 256 || q + nvals > segend) return -4;
+        specs[th] = HuffSpec{counts, q, nvals};
         huff_built[th] = 1;
         q += nvals;
       }
       p += seglen;
     } else if (marker == 0xDD) {  // DRI
+      if (seglen < 4) return -2;
       restart_interval = (seg[0] << 8) | seg[1];
       p += seglen;
     } else if (marker == 0xDA) {  // SOS
+      if (seglen < 3) return -2;
       int ns = seg[0];
       if (ns != ncomp) return -5;
+      if (seglen < 6 + 2 * ns) return -2;
       for (int i = 0; i < ns; i++) {
         comp_table[i] = seg[1 + i * 2 + 1] >> 4;
         if (!huff_built[comp_table[i]]) return -6;
@@ -210,6 +222,21 @@ int lj92_decode(const uint8_t* data, int64_t len, uint16_t* out,
       if (out_prec) *out_prec = precision;
       if (out == nullptr) return 0;  // probe only
       if ((int64_t)height * width * ncomp > out_cap) return -7;
+
+      // Heap, not stack (decoders run inside thread pools with default
+      // stacks); build only the tables this scan uses.
+      std::unique_ptr<Huff[]> huffs_owner(new Huff[4]);
+      Huff* huffs = huffs_owner.get();
+      int lut_built[4] = {0, 0, 0, 0};
+      for (int i = 0; i < ns; i++) {
+        int th = comp_table[i];
+        if (!lut_built[th]) {
+          if (!huffs[th].build(specs[th].counts, specs[th].values,
+                               specs[th].nvals))
+            return -4;
+          lut_built[th] = 1;
+        }
+      }
 
       BitReader br(p, end);
       int default_val = 1 << (precision - pt - 1);

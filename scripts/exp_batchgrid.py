@@ -1,11 +1,18 @@
 """A/B: grid-batched megakernel (one pallas_call over [B,...]) vs the
 legacy loop-of-kernels batched jit. Stable batched chained-slope
 methodology (scripts/exp_r3b.py); run alone on the TPU."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+import bench
+bench._wait_for_backend(1800)
 
 from imagepipe_tpu import ImageSource, Pipeline
 from imagepipe_tpu.engine import make_develop_plan

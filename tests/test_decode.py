@@ -156,6 +156,42 @@ def test_lj92_stream_fuzz_never_hangs(tmp_path):
                 pass  # clean rejection is fine; hanging/segfault is not
 
 
+def test_lj92_malformed_streams_rejected():
+    """Three crafted streams that previously crashed or hit UB in the
+    native decoder (found by an ASan review pass): a DHT whose declared
+    segment length overruns the buffer, a DHT whose counts oversubscribe
+    the canonical code space (heap overflow in the LUT build), and a
+    valid table whose leaf value is not a T.81 lossless category
+    (ssss=40 reached 1<<39). All must raise cleanly in BOTH decoders."""
+    from imagepipe_tpu import lj92
+    from imagepipe_tpu import native
+
+    sof_sos = (b"\xff\xc3\x00\x08\x0e\x00\x04\x00\x04\x01"
+               b"\xff\xda\x00\x08\x01\x00\x00\x01\x00\x00")
+
+    trunc_dht = b"\xff\xd8\xff\xc4\xff\xff"
+
+    nvals = 255
+    seglen = 2 + 17 + nvals
+    oversub = (b"\xff\xd8\xff\xc4" + bytes([seglen >> 8, seglen & 0xFF])
+               + b"\x00" + bytes([255]) + b"\x00" * 15
+               + bytes(range(nvals)) + sof_sos)
+
+    ssss40 = (b"\xff\xd8\xff\xc4\x00\x14\x00" + bytes([1]) + b"\x00" * 15
+              + bytes([40]) + sof_sos + b"\x00" * 8)
+
+    decoders = [lj92._decode_python]
+    if native.have_native() and hasattr(native._lib, "lj92_decode"):
+        decoders.append(lj92._decode_native)
+    for blob in (trunc_dht, oversub, ssss40):
+        for dec in decoders:
+            try:
+                dec(blob)
+            except (ValueError, AssertionError, IndexError, KeyError,
+                    struct.error):
+                pass  # clean rejection; never a crash/overflow
+
+
 def test_dng_lossless_jpeg_roundtrip(tmp_path):
     raw = synthetic_bayer(64, 48, seed=8)
     path = str(tmp_path / "shot_lj.dng")

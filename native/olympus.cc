@@ -18,17 +18,42 @@ namespace {
 
 using imagepipe::CachedBitReader;
 
-// Unary class: count of leading zeros before a 1, capped at 12
-// (12 zeros carry no terminator).
-inline int unary12(CachedBitReader& br) {
-  uint32_t win = static_cast<uint32_t>(br.peek(12));
+// One refill serves the whole per-pixel read: the 3-bit sign+low field,
+// the 12-bit unary window, the escape field (<= 14 bits), and the
+// adaptive mantissa (<= 16 bits) total at most 31 bits of the 57-bit
+// cache. Returns c0; *low_out/*sign_out get the prefix fields.
+inline int32_t read_sample(CachedBitReader& br, int nbits, int32_t* low_out,
+                           int32_t* sign_out) {
+  br.refill();
+  uint64_t buf = br.buf;
+  uint32_t b3 = static_cast<uint32_t>(buf >> 61);
+  *low_out = static_cast<int32_t>(b3 & 3);
+  *sign_out = (b3 & 4) ? -1 : 0;
+  // Unary class: count of leading zeros before a 1, capped at 12
+  // (12 zeros carry no terminator).
+  uint32_t win = static_cast<uint32_t>((buf << 3) >> 52);
+  int used = 3;
+  int high;
   if (win == 0) {
-    br.skip(12);
-    return 12;
+    high = 12;
+    used += 12;
+  } else {
+    high = __builtin_clz(win) - 20;  // leading zeros in the 12-bit window
+    used += high + 1;
   }
-  int v = __builtin_clz(win) - 20;  // leading zeros within the 12-bit window
-  br.skip(v + 1);
-  return v;
+  if (high == 12) {  // escape: explicit (16-nbits)-bit field, LSB dropped
+    int n = 16 - nbits;
+    high = n > 0
+               ? static_cast<int>((buf << used) >> (64 - n)) >> 1
+               : 0;
+    used += n > 0 ? n : 0;
+  }
+  int32_t mant = nbits > 0
+                     ? static_cast<int32_t>((buf << used) >> (64 - nbits))
+                     : 0;
+  used += nbits > 0 ? nbits : 0;
+  br.skip(used);
+  return (static_cast<int32_t>(high) << nbits) | mant;
 }
 
 inline int32_t iabs(int32_t v) { return v < 0 ? -v : v; }
@@ -46,13 +71,8 @@ extern "C" int olympus_decode(const char* payload, int64_t nbytes, int width,
       int i2 = (c[2] < 3) ? 2 : 0;
       int nbits = 2 + i2;
       while (static_cast<uint16_t>(c[0]) >> (nbits + i2)) nbits++;
-      uint32_t b3 = br.get(3);
-      int32_t low = static_cast<int32_t>(b3 & 3);
-      int32_t sign = (b3 & 4) ? -1 : 0;
-      int high = unary12(br);
-      if (high == 12) high = static_cast<int>(br.get(16 - nbits) >> 1);
-      int32_t c0 = (static_cast<int32_t>(high) << nbits) |
-                   static_cast<int32_t>(br.get(nbits));
+      int32_t low, sign;
+      int32_t c0 = read_sample(br, nbits, &low, &sign);
       int32_t diff = (c0 ^ sign) + c[1];
       c[1] = (diff * 3 + c[1]) >> 5;
       c[2] = (c0 > 16) ? 0 : c[2] + 1;

@@ -75,12 +75,20 @@ class BatchEngine:
     """Develop many RAW files concurrently on a device mesh."""
 
     def __init__(self, mesh: Mesh | None = None, out_bits: int = 8,
-                 max_batch: int = 8, decode_workers: int = 4,
+                 max_batch: int = 8, decode_workers: int | None = None,
                  maxwidth: int = 0, maxheight: int = 0,
                  executor: str = "auto", inflight_batches: int = 2):
         self.mesh = mesh if mesh is not None else make_batch_mesh()
         self.out_bits = out_bits
         self.max_batch = max_batch
+        # Host decode is the throughput-limiting stage of a serving job
+        # (tens of MP/s per core vs thousands on the device), so default
+        # to one worker per core; the native codecs release the GIL.
+        # Capped: fujic/DNG decoders spin their own small pools per file.
+        if decode_workers is None:
+            import os as _os
+
+            decode_workers = min(16, _os.cpu_count() or 4)
         self.decode_workers = decode_workers
         self.maxwidth = maxwidth
         self.maxheight = maxheight

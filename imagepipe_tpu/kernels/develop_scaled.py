@@ -247,19 +247,29 @@ def _scaled_kernel(scal_ref, spline_ref, orig_ref, plane_hbm, ohy_ref,
                    ohx_ref, w_ref, col_ref, cnt_ref, r_ref, g_ref, b_ref,
                    win_ref, dma_sems, *, TH, K_x, K_y, D_y, D_x, Hp, Wp,
                    ntr, ntc, nh, nw, in_f32, apply_curve, n_knots, linear,
-                   out_bits, orientation_flips, stage_limit=4):
+                   out_bits, orientation_flips, stage_limit=4,
+                   batched=False):
     from .develop_pallas import _finish_tile
 
     f = jnp.float32
-    j = pl.program_id(0)        # column tiles OUTER so ohx streams once per j
-    i = pl.program_id(1)
-    step = j * ntr + i
-    nsteps = ntr * ntc
+    if batched:
+        # Batch folded into the grid (see develop_pallas._develop_kernel):
+        # plane_hbm is [B,Hp,Wp]; scal/spline arrive per-image via blocked
+        # SMEM specs; geometry tables are shared across the batch.
+        j = pl.program_id(1)    # column tiles outer within each image
+        i = pl.program_id(2)
+        step = (pl.program_id(0) * ntc + j) * ntr + i
+        nsteps = pl.num_programs(0) * ntr * ntc
+    else:
+        j = pl.program_id(0)    # column tiles OUTER so ohx streams once per j
+        i = pl.program_id(1)
+        step = j * ntr + i
+        nsteps = ntr * ntc
     KyTH = K_y * TH
     del nh, nw, orientation_flips  # flips applied by the jit wrapper
 
     def origin(s):
-        jj = s // ntr
+        jj = (s // ntr) % ntc if batched else s // ntr
         ii = s % ntr
         # clip(v // unit) * unit with the multiply LAST: Mosaic must prove
         # the DMA offsets are 8/128-multiples statically.
@@ -269,9 +279,10 @@ def _scaled_kernel(scal_ref, spline_ref, orig_ref, plane_hbm, ohy_ref,
 
     def start_dma(s, slot):
         ry, rx = origin(s)
-        return pltpu.make_async_copy(
-            plane_hbm.at[pl.ds(ry, D_y), pl.ds(rx, D_x)],
-            win_ref.at[slot], dma_sems.at[slot])
+        src = (plane_hbm.at[s // (ntr * ntc), pl.ds(ry, D_y), pl.ds(rx, D_x)]
+               if batched else plane_hbm.at[pl.ds(ry, D_y), pl.ds(rx, D_x)])
+        return pltpu.make_async_copy(src, win_ref.at[slot],
+                                     dma_sems.at[slot])
 
     @pl.when(step == 0)
     def _():
@@ -484,6 +495,67 @@ def _develop_scaled_batch_jit(planes, ohy, ohx, w_off, col_off, cnt, orig,
     return jnp.stack(outs, axis=0)
 
 
+@partial(jax.jit, static_argnames=(
+    "TH", "K_x", "K_y", "D_y", "D_x", "Hp", "Wp", "ntr", "ntc", "nh", "nw",
+    "in_f32", "apply_curve", "n_knots", "linear", "out_bits",
+    "orientation_flips", "interpret"))
+def _develop_scaled_batchgrid_jit(planes_padded, ohy, ohx, w_off, col_off,
+                                  cnt, orig, scal, spline, *, TH, K_x, K_y,
+                                  D_y, D_x, Hp, Wp, ntr, ntc, nh, nw,
+                                  in_f32, apply_curve, n_knots, linear,
+                                  out_bits, orientation_flips, interpret):
+    """Batched scaled develop with the batch folded into the Pallas grid:
+    ONE pallas_call over [B,Hp,Wp] planes and [B,...] calibration, the
+    (shared) geometry tables streamed exactly as in the per-image form."""
+    from .develop_pallas import apply_flips
+
+    B = planes_padded.shape[0]
+    K_off = K_y * K_x
+    KyTH = K_y * TH
+    KxTC = K_x * TC
+    out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
+    kernel = partial(
+        _scaled_kernel, TH=TH, K_x=K_x, K_y=K_y, D_y=D_y, D_x=D_x, Hp=Hp,
+        Wp=Wp, ntr=ntr, ntc=ntc, nh=nh, nw=nw, in_f32=in_f32,
+        apply_curve=apply_curve, n_knots=n_knots, linear=linear,
+        out_bits=out_bits, orientation_flips=orientation_flips,
+        batched=True)
+    nsc = scal.shape[-2:]
+    nsp = spline.shape[-2:]
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(B, ntc, ntr),    # j outer within each image, as single-image
+        in_specs=[
+            pl.BlockSpec((None,) + nsc, lambda b, j, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # scal [B,8,16]
+            pl.BlockSpec((None,) + nsp, lambda b, j, i: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # spline [B,5,16]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # DMA origins (shared)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # padded planes (HBM)
+            pl.BlockSpec((1, KyTH, D_y), lambda b, j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # ohy
+            pl.BlockSpec((1, D_x, KxTC), lambda b, j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),   # ohx
+            pl.BlockSpec((K_off, TH, TC), lambda b, j, i: (0, i, j),
+                         memory_space=pltpu.VMEM),   # W
+            pl.BlockSpec((K_off, TH, TC), lambda b, j, i: (0, i, j),
+                         memory_space=pltpu.VMEM),   # COL
+            pl.BlockSpec((4, TH, TC), lambda b, j, i: (0, i, j),
+                         memory_space=pltpu.VMEM),   # CNT
+        ],
+        out_specs=[
+            pl.BlockSpec((None, TH, TC), lambda b, j, i: (b, i, j),
+                         memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, nh, nw), out_dtype)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, D_y, D_x), planes_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(scal, spline, orig, planes_padded, ohy, ohx, w_off, col_off, cnt)
+    return apply_flips(jnp.stack([r, g, b], axis=1), orientation_flips)
+
+
 def develop_scaled_batch(plan, planes, interpret: bool = False,
                          staged: bool = False, param_plans=None):
     """Batched scaled develop: kernel chained per image inside one jit (one
@@ -507,6 +579,18 @@ def develop_scaled_batch(plan, planes, interpret: bool = False,
 
         scal, spline, _ = calib_tables_device(plan)
     tabs_d = _tables_device(sp)
+    from . import develop_pallas as _dp
+
+    if _dp.BATCH_GRID:
+        scal = jnp.asarray(scal)
+        spline = jnp.asarray(spline)
+        if not per_image:
+            B = planes.shape[0]
+            scal = jnp.broadcast_to(scal, (B,) + scal.shape)
+            spline = jnp.broadcast_to(spline, (B,) + spline.shape)
+        return _develop_scaled_batchgrid_jit(
+            jnp.asarray(planes), *tabs_d, scal, spline, interpret=interp,
+            **st)
     return _develop_scaled_batch_jit(
         jnp.asarray(planes), *tabs_d, jnp.asarray(scal), jnp.asarray(spline),
         statics_key=tuple(sorted(st.items())), per_image=per_image,

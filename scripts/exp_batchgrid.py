@@ -12,7 +12,10 @@ import jax
 import jax.numpy as jnp
 
 import bench
-bench._wait_for_backend(1800)
+# register() failures are per-process (sitecustomize swallows them), so a
+# long in-process backoff can be futile -- keep this short and let the
+# caller retry at process level.
+bench._wait_for_backend(120)
 
 from imagepipe_tpu import ImageSource, Pipeline
 from imagepipe_tpu.engine import make_develop_plan
@@ -69,3 +72,40 @@ for rep in range(3):
               f"({mp/dt:.0f} MP/s)", flush=True)
 print("summary:", {k: [f"{x:.2f}" for x in v] for k, v in res.items()},
       flush=True)
+
+# --- Scaled (thumbnail) kernel: same A/B ---
+from imagepipe_tpu.kernels.develop_scaled import (develop_scaled_batch,
+                                                  scaled_plan_for,
+                                                  stage_scaled_np)
+
+tpipe = Pipeline.new_from_source(ImageSource.from_raw(raw))
+tpipe.globals.settings.maxwidth = 1024
+tpipe.globals.settings.maxheight = 1024
+tplan = make_develop_plan(tpipe, out_bits=8, numerics="direct")
+assert tplan.dem_path == "scaled", tplan.dem_path
+spn = scaled_plan_for(tplan)
+tstaged = jnp.stack([jnp.asarray(stage_scaled_np(tplan, raw.data, spn))] * B)
+sync(tstaged)
+tplans = [tplan] * B
+
+dp.BATCH_GRID = True
+ga = np.asarray(develop_scaled_batch(tplan, tstaged, staged=True,
+                                     param_plans=tplans))
+dp.BATCH_GRID = False
+la = np.asarray(develop_scaled_batch(tplan, tstaged, staged=True,
+                                     param_plans=tplans))
+print("scaled bit-equal:", np.array_equal(ga, la), flush=True)
+
+sres = {}
+for rep in range(3):
+    for gridform in (False, True):
+        dp.BATCH_GRID = gridform
+        fn = lambda: develop_scaled_batch(tplan, tstaged, staged=True,
+                                          param_plans=tplans)
+        out = fn(); sync(out)
+        dt = slope(fn, iters=4) / B
+        sres.setdefault(gridform, []).append(dt * 1e3)
+        print(f"scaled rep{rep} grid={gridform}: {dt*1e3:.2f} ms/img "
+              f"({mp/dt:.0f} src-MP/s)", flush=True)
+print("scaled summary:", {k: [f"{x:.2f}" for x in v]
+                          for k, v in sres.items()}, flush=True)

@@ -352,15 +352,14 @@ def _scaled_kernel(scal_ref, spline_ref, orig_ref, plane_hbm, ohy_ref,
                  out_bits=out_bits, stage_limit=stage_limit)
 
 
-@partial(jax.jit, static_argnames=(
-    "TH", "K_x", "K_y", "D_y", "D_x", "Hp", "Wp", "ntr", "ntc", "nh", "nw",
-    "in_f32", "apply_curve", "n_knots", "linear", "out_bits",
-    "orientation_flips", "interpret", "stage_limit"))
-def _develop_scaled_jit(plane_padded, ohy, ohx, w_off, col_off, cnt, orig,
-                        scal, spline, *, TH, K_x, K_y, D_y, D_x, Hp, Wp,
-                        ntr, ntc, nh, nw, in_f32, apply_curve, n_knots,
-                        linear, out_bits, orientation_flips, interpret,
-                        stage_limit=4):
+def _scaled_pallas_call(plane_padded, ohy, ohx, w_off, col_off, cnt, orig,
+                        scal, spline, *, batched, TH, K_x, K_y, D_y, D_x,
+                        Hp, Wp, ntr, ntc, nh, nw, in_f32, apply_curve,
+                        n_knots, linear, out_bits, orientation_flips,
+                        interpret, stage_limit):
+    """Shared pallas_call scaffolding for the per-image and grid-batched
+    forms: they differ only in grid shape, the batch index in the DMA/
+    calibration specs, and the output leading dim."""
     from .develop_pallas import apply_flips
 
     K_off = K_y * K_x
@@ -372,37 +371,81 @@ def _develop_scaled_jit(plane_padded, ohy, ohx, w_off, col_off, cnt, orig,
         Wp=Wp, ntr=ntr, ntc=ntc, nh=nh, nw=nw, in_f32=in_f32,
         apply_curve=apply_curve, n_knots=n_knots, linear=linear,
         out_bits=out_bits, orientation_flips=orientation_flips,
-        stage_limit=stage_limit)
+        stage_limit=stage_limit, batched=batched)
+
+    # Index maps written once over (j, i); the batched grid prepends b.
+    def imap(f):
+        return f if not batched else (lambda b, j, i: f(j, i))
+
+    if batched:
+        B = plane_padded.shape[0]
+        grid = (B, ntc, ntr)   # j outer within each image, as single-image
+        scal_spec = pl.BlockSpec((None,) + scal.shape[-2:],
+                                 lambda b, j, i: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        spline_spec = pl.BlockSpec((None,) + spline.shape[-2:],
+                                   lambda b, j, i: (b, 0, 0),
+                                   memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((None, TH, TC), lambda b, j, i: (b, i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = (B, nh, nw)
+        stack_axis = 1
+    else:
+        grid = (ntc, ntr)      # j outer: the large ohx block streams once/j
+        scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        spline_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((TH, TC), lambda j, i: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = (nh, nw)
+        stack_axis = 0
+
     r, g, b = pl.pallas_call(
         kernel,
-        grid=(ntc, ntr),       # j outer: the large ohx block streams once/j
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [8,16]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # spline [5,16]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # DMA origins
-            pl.BlockSpec(memory_space=pltpu.ANY),    # padded plane (HBM)
-            pl.BlockSpec((1, KyTH, D_y), lambda j, i: (i, 0, 0),
+            scal_spec,                               # scal [(B,)8,16]
+            spline_spec,                             # spline [(B,)5,16]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # DMA origins (shared)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # padded plane(s) (HBM)
+            pl.BlockSpec((1, KyTH, D_y), imap(lambda j, i: (i, 0, 0)),
                          memory_space=pltpu.VMEM),   # ohy
-            pl.BlockSpec((1, D_x, KxTC), lambda j, i: (j, 0, 0),
+            pl.BlockSpec((1, D_x, KxTC), imap(lambda j, i: (j, 0, 0)),
                          memory_space=pltpu.VMEM),   # ohx
-            pl.BlockSpec((K_off, TH, TC), lambda j, i: (0, i, j),
+            pl.BlockSpec((K_off, TH, TC), imap(lambda j, i: (0, i, j)),
                          memory_space=pltpu.VMEM),   # W
-            pl.BlockSpec((K_off, TH, TC), lambda j, i: (0, i, j),
+            pl.BlockSpec((K_off, TH, TC), imap(lambda j, i: (0, i, j)),
                          memory_space=pltpu.VMEM),   # COL
-            pl.BlockSpec((4, TH, TC), lambda j, i: (0, i, j),
+            pl.BlockSpec((4, TH, TC), imap(lambda j, i: (0, i, j)),
                          memory_space=pltpu.VMEM),   # CNT
         ],
-        out_specs=[
-            pl.BlockSpec((TH, TC), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((nh, nw), out_dtype)] * 3,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct(out_shape, out_dtype)] * 3,
         scratch_shapes=[
             pltpu.VMEM((2, D_y, D_x), plane_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(scal, spline, orig, plane_padded, ohy, ohx, w_off, col_off, cnt)
-    return apply_flips(jnp.stack([r, g, b], axis=0), orientation_flips)
+    return apply_flips(jnp.stack([r, g, b], axis=stack_axis),
+                       orientation_flips)
+
+
+@partial(jax.jit, static_argnames=(
+    "TH", "K_x", "K_y", "D_y", "D_x", "Hp", "Wp", "ntr", "ntc", "nh", "nw",
+    "in_f32", "apply_curve", "n_knots", "linear", "out_bits",
+    "orientation_flips", "interpret", "stage_limit"))
+def _develop_scaled_jit(plane_padded, ohy, ohx, w_off, col_off, cnt, orig,
+                        scal, spline, *, TH, K_x, K_y, D_y, D_x, Hp, Wp,
+                        ntr, ntc, nh, nw, in_f32, apply_curve, n_knots,
+                        linear, out_bits, orientation_flips, interpret,
+                        stage_limit=4):
+    return _scaled_pallas_call(
+        plane_padded, ohy, ohx, w_off, col_off, cnt, orig, scal, spline,
+        batched=False, TH=TH, K_x=K_x, K_y=K_y, D_y=D_y, D_x=D_x, Hp=Hp,
+        Wp=Wp, ntr=ntr, ntc=ntc, nh=nh, nw=nw, in_f32=in_f32,
+        apply_curve=apply_curve, n_knots=n_knots, linear=linear,
+        out_bits=out_bits, orientation_flips=orientation_flips,
+        interpret=interpret, stage_limit=stage_limit)
 
 
 def stage_scaled_np(plan, plane, sp: ScaledPlan) -> np.ndarray:
@@ -498,62 +541,23 @@ def _develop_scaled_batch_jit(planes, ohy, ohx, w_off, col_off, cnt, orig,
 @partial(jax.jit, static_argnames=(
     "TH", "K_x", "K_y", "D_y", "D_x", "Hp", "Wp", "ntr", "ntc", "nh", "nw",
     "in_f32", "apply_curve", "n_knots", "linear", "out_bits",
-    "orientation_flips", "interpret"))
+    "orientation_flips", "interpret", "stage_limit"))
 def _develop_scaled_batchgrid_jit(planes_padded, ohy, ohx, w_off, col_off,
                                   cnt, orig, scal, spline, *, TH, K_x, K_y,
                                   D_y, D_x, Hp, Wp, ntr, ntc, nh, nw,
                                   in_f32, apply_curve, n_knots, linear,
-                                  out_bits, orientation_flips, interpret):
+                                  out_bits, orientation_flips, interpret,
+                                  stage_limit=4):
     """Batched scaled develop with the batch folded into the Pallas grid:
     ONE pallas_call over [B,Hp,Wp] planes and [B,...] calibration, the
     (shared) geometry tables streamed exactly as in the per-image form."""
-    from .develop_pallas import apply_flips
-
-    B = planes_padded.shape[0]
-    K_off = K_y * K_x
-    KyTH = K_y * TH
-    KxTC = K_x * TC
-    out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
-    kernel = partial(
-        _scaled_kernel, TH=TH, K_x=K_x, K_y=K_y, D_y=D_y, D_x=D_x, Hp=Hp,
+    return _scaled_pallas_call(
+        planes_padded, ohy, ohx, w_off, col_off, cnt, orig, scal, spline,
+        batched=True, TH=TH, K_x=K_x, K_y=K_y, D_y=D_y, D_x=D_x, Hp=Hp,
         Wp=Wp, ntr=ntr, ntc=ntc, nh=nh, nw=nw, in_f32=in_f32,
         apply_curve=apply_curve, n_knots=n_knots, linear=linear,
         out_bits=out_bits, orientation_flips=orientation_flips,
-        batched=True)
-    nsc = scal.shape[-2:]
-    nsp = spline.shape[-2:]
-    r, g, b = pl.pallas_call(
-        kernel,
-        grid=(B, ntc, ntr),    # j outer within each image, as single-image
-        in_specs=[
-            pl.BlockSpec((None,) + nsc, lambda b, j, i: (b, 0, 0),
-                         memory_space=pltpu.SMEM),   # scal [B,8,16]
-            pl.BlockSpec((None,) + nsp, lambda b, j, i: (b, 0, 0),
-                         memory_space=pltpu.SMEM),   # spline [B,5,16]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # DMA origins (shared)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # padded planes (HBM)
-            pl.BlockSpec((1, KyTH, D_y), lambda b, j, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),   # ohy
-            pl.BlockSpec((1, D_x, KxTC), lambda b, j, i: (j, 0, 0),
-                         memory_space=pltpu.VMEM),   # ohx
-            pl.BlockSpec((K_off, TH, TC), lambda b, j, i: (0, i, j),
-                         memory_space=pltpu.VMEM),   # W
-            pl.BlockSpec((K_off, TH, TC), lambda b, j, i: (0, i, j),
-                         memory_space=pltpu.VMEM),   # COL
-            pl.BlockSpec((4, TH, TC), lambda b, j, i: (0, i, j),
-                         memory_space=pltpu.VMEM),   # CNT
-        ],
-        out_specs=[
-            pl.BlockSpec((None, TH, TC), lambda b, j, i: (b, i, j),
-                         memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((B, nh, nw), out_dtype)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((2, D_y, D_x), planes_padded.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(scal, spline, orig, planes_padded, ohy, ohx, w_off, col_off, cnt)
-    return apply_flips(jnp.stack([r, g, b], axis=1), orientation_flips)
+        interpret=interpret, stage_limit=stage_limit)
 
 
 def develop_scaled_batch(plan, planes, interpret: bool = False,

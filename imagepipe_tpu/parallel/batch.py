@@ -71,6 +71,21 @@ def shard_batch(mesh: Mesh, planes):
     return jax.device_put(planes, NamedSharding(mesh, spec))
 
 
+def default_decode_workers() -> int:
+    """Host decode is the throughput-limiting stage of a serving job
+    (tens of MP/s per core vs thousands on the device), so default to
+    one worker per AVAILABLE core (cgroup/affinity-aware, not the bare
+    machine count). Capped: fujic/DNG decoders spin their own small
+    pools per file."""
+    import os as _os
+
+    try:
+        ncpu = len(_os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        ncpu = _os.cpu_count() or 4
+    return max(1, min(16, ncpu))
+
+
 class BatchEngine:
     """Develop many RAW files concurrently on a device mesh."""
 
@@ -81,14 +96,8 @@ class BatchEngine:
         self.mesh = mesh if mesh is not None else make_batch_mesh()
         self.out_bits = out_bits
         self.max_batch = max_batch
-        # Host decode is the throughput-limiting stage of a serving job
-        # (tens of MP/s per core vs thousands on the device), so default
-        # to one worker per core; the native codecs release the GIL.
-        # Capped: fujic/DNG decoders spin their own small pools per file.
         if decode_workers is None:
-            import os as _os
-
-            decode_workers = min(16, _os.cpu_count() or 4)
+            decode_workers = default_decode_workers()
         self.decode_workers = decode_workers
         self.maxwidth = maxwidth
         self.maxheight = maxheight

@@ -100,12 +100,16 @@ class MultiHostBatchEngine:
     the matching path order)."""
 
     def __init__(self, mesh: Mesh | None = None, out_bits: int = 8,
-                 decode_workers: int = 4, maxwidth: int = 0,
+                 decode_workers: int | None = None, maxwidth: int = 0,
                  maxheight: int = 0, inflight_batches: int = 2):
         self.mesh = mesh if mesh is not None else global_batch_mesh()
         if "batch" not in self.mesh.axis_names:
             raise ValueError("mesh needs a 'batch' axis")
         self.out_bits = out_bits
+        if decode_workers is None:
+            from .batch import default_decode_workers
+
+            decode_workers = default_decode_workers()
         self.decode_workers = decode_workers
         self.maxwidth = maxwidth
         self.maxheight = maxheight

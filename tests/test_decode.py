@@ -180,16 +180,20 @@ def test_lj92_malformed_streams_rejected():
     ssss40 = (b"\xff\xd8\xff\xc4\x00\x14\x00" + bytes([1]) + b"\x00" * 15
               + bytes([40]) + sof_sos + b"\x00" * 8)
 
-    decoders = [lj92._decode_python]
-    if native.have_native() and hasattr(native._lib, "lj92_decode"):
-        decoders.append(lj92._decode_native)
     for blob in (trunc_dht, oversub, ssss40):
-        for dec in decoders:
-            try:
-                dec(blob)
-            except (ValueError, AssertionError, IndexError, KeyError,
-                    struct.error):
-                pass  # clean rejection; never a crash/overflow
+        # The NATIVE decoder must REJECT these (a silent success would
+        # mean the bounds/validity guards regressed -- the heap overflow
+        # corrupts memory without raising when ASan isn't loaded).
+        if native.have_native() and hasattr(native._lib, "lj92_decode"):
+            with pytest.raises(ValueError):
+                lj92._decode_native(blob)
+        # The python walker has big-int semantics and may decode garbage
+        # instead; it just must terminate without an unexpected crash.
+        try:
+            lj92._decode_python(blob)
+        except (ValueError, AssertionError, IndexError, KeyError,
+                struct.error):
+            pass
 
 
 def test_dng_lossless_jpeg_roundtrip(tmp_path):

@@ -561,24 +561,30 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
-                                   "orientation_flips"))
-def _develop_pallas_batchgrid_jit(planes_padded, cmap, scal, spline, *,
+                                   "valid_width", "orientation_flips"))
+def _develop_pallas_batchgrid_jit(planes_padded, cmap, scal, spline,
+                                  xoff=None, *,
                                   cfa_name, height, width, tile_h, tile_w,
                                   apply_curve, n_knots, linear, out_bits,
-                                  bayer, interpret,
+                                  bayer, interpret, valid_width=None,
                                   orientation_flips=(False, False, False)):
     """Batched megakernel with the batch folded into the Pallas grid:
     ONE pallas_call over [B,Hp,Wp] staged planes and [B,...] per-image
     calibration tables. Replaces the python-loop-of-kernels form, whose
     per-image HBM input slices and output stacks cost ~0.2-0.4 ms/img
-    (BASELINE.md r2 tile-sweep note)."""
+    (BASELINE.md r2 tile-sweep note). `xoff`/`valid_width` mirror
+    _develop_pallas_jit (width sharding: every batch entry of one shard
+    shares the same column offset)."""
     B = planes_padded.shape[0]
     TILE_W = tile_w
     grid = (B, pl.cdiv(height, tile_h), pl.cdiv(width, TILE_W))
     out_dtype = jnp.uint8 if out_bits == 8 else jnp.uint16
-    xoff = jnp.zeros((1, 1), jnp.int32)
+    if xoff is None:
+        xoff = jnp.zeros((1, 1), jnp.int32)
     kernel = partial(_develop_kernel, tile_h=tile_h, tile_w=tile_w,
-                     height=height, width=width, apply_curve=apply_curve,
+                     height=height,
+                     width=width if valid_width is None else valid_width,
+                     apply_curve=apply_curve,
                      n_knots=n_knots, linear=linear, out_bits=out_bits,
                      bayer=bayer, cfa_name=cfa_name, batched=True)
     nsc = scal.shape[-2:]
@@ -670,6 +676,29 @@ def _sp_local_develop(plane_l, cmap_d, scal, spline, *, axis, sp, Wl,
     return _develop_pallas_jit(padded, cmap_d, scal, spline, xoff,
                                interpret=interpret, valid_width=valid_width,
                                **st)
+
+
+def _sp_local_develop_batch(planes_l, cmap_d, scal, spline, *, axis, sp, Wl,
+                            statics, interpret, valid_width):
+    """Batched form of _sp_local_develop: ONE halo ppermute pair over the
+    whole [B,H,Wl] shard stack and one grid-batched kernel, instead of a
+    pair of collectives and a kernel per image. scal/spline: [B,...]."""
+    right_to_next = [(i, i + 1) for i in range(sp - 1)]
+    left_to_prev = [(i + 1, i) for i in range(sp - 1)]
+    left_halo = jax.lax.ppermute(planes_l[:, :, -HALO_X:], axis,
+                                 right_to_next)
+    right_halo = jax.lax.ppermute(planes_l[:, :, :HALO_X], axis,
+                                  left_to_prev)
+    padded = jnp.concatenate([left_halo, planes_l, right_halo], axis=2)
+    xoff = (jax.lax.axis_index(axis) * Wl).astype(jnp.int32).reshape(1, 1)
+    st = dict(statics)
+    st["width"] = Wl
+    # Orientation must permute the GLOBAL image, not each width shard;
+    # callers apply it after unsharding (BatchEngine._dispatch_pallas).
+    st["orientation_flips"] = (False, False, False)
+    return _develop_pallas_batchgrid_jit(padded, cmap_d, scal, spline, xoff,
+                                         interpret=interpret,
+                                         valid_width=valid_width, **st)
 
 
 def develop_pallas_sp(plan, plane, mesh, axis: str = "spatial",

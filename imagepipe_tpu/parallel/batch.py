@@ -178,8 +178,10 @@ class BatchEngine:
         On a dp x sp mesh each image is additionally width-sharded with an
         on-device halo exchange (_sp_local_develop)."""
         from ..kernels.develop_pallas import (
-            batch_jit, _sp_local_develop, calib_tables,
-            plan_tables, sp_width_pad, stage_plane_np, stage_plane_rows_np)
+            batch_jit, _sp_local_develop, _sp_local_develop_batch,
+            calib_tables, plan_tables, sp_width_pad, stage_plane_np,
+            stage_plane_rows_np)
+        from ..kernels import develop_pallas as _dpk
 
         plan = chunk[0][2]
         sp = self.mesh.shape["spatial"]
@@ -231,6 +233,11 @@ class BatchEngine:
         spline_d = jax.device_put(jnp.asarray(spline), spec_b)
 
         def local_sp(planes_l, scal_l, spline_l):
+            if _dpk.BATCH_GRID:
+                return _sp_local_develop_batch(
+                    planes_l, cmap_d, scal_l, spline_l, axis="spatial",
+                    sp=sp, Wl=Wl, statics=statics, interpret=interpret,
+                    valid_width=plan.width)
             outs = []
             for b in range(planes_l.shape[0]):
                 outs.append(_sp_local_develop(

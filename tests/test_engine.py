@@ -290,6 +290,19 @@ def test_batch_engine_pallas_dp_sp_mesh():
         assert (diff != 0).mean() < 0.02
     assert not np.array_equal(outs[0], outs[2])
 
+    # The grid-batched sp form (BATCH_GRID: one halo-collective pair +
+    # one kernel per shard) must reproduce the loop form bit-exactly.
+    from imagepipe_tpu.kernels import develop_pallas as dpk
+
+    old = dpk.BATCH_GRID
+    try:
+        dpk.BATCH_GRID = True
+        outs_g = eng.develop_sources(sources)
+    finally:
+        dpk.BATCH_GRID = old
+    for a, b in zip(outs, outs_g):
+        np.testing.assert_array_equal(a, b)
+
 
 def test_batch_engine_auto_executor_policy():
     """'auto' prefers the megakernel for every supported direct-numerics

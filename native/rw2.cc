@@ -13,6 +13,11 @@
 // rw2.py::_decode_python (tests/test_rw2.py runs a differential fuzz
 // across both).
 
+// The RawFormat 5/6/7 decoders below follow the same pattern: they
+// mirror rw2.py's Python reference implementations of the public
+// LibRaw/RawSpeed-documented newer Panasonic codecs and must stay
+// bit-identical to them (differential fuzz in tests/test_rw2.py).
+
 #include <cstdint>
 #include <cstring>
 
@@ -76,6 +81,136 @@ extern "C" int rw2_decode(const char* logical, int64_t nbytes, int width,
       if (err) return err;
       out[static_cast<int64_t>(row) * width + col] =
           static_cast<uint16_t>(pred[ch]);
+    }
+  }
+  return 0;
+}
+
+// --- RawFormat 5/7: plain LSB-first packed 16-byte packets -----------------
+
+namespace {
+// Unpack one 16-byte packet of continuous LSB-first `bps`-bit fields.
+inline void unpack_packet(const uint8_t* p, int bps, uint16_t* out) {
+  int ppp = 128 / bps;
+  uint64_t lo, hi;
+  std::memcpy(&lo, p, 8);
+  std::memcpy(&hi, p + 8, 8);
+  uint32_t mask = (1u << bps) - 1;
+  for (int k = 0; k < ppp; k++) {
+    int bit = k * bps;
+    uint64_t window;
+    if (bit + bps <= 64) {
+      window = lo >> bit;
+    } else if (bit >= 64) {
+      window = hi >> (bit - 64);
+    } else {
+      window = (lo >> bit) | (hi << (64 - bit));
+    }
+    out[k] = static_cast<uint16_t>(window & mask);
+  }
+}
+}  // namespace
+
+// payload = the DE-ROTATED logical stream (host Python undoes the 0x4000
+// section rotation, as for the classic codec). bits = 12 or 14.
+extern "C" int rw2_decode_v5(const char* logical, int64_t nbytes, int width,
+                             int height, int bits, uint16_t* out) {
+  if (width <= 0 || height <= 0 || (bits != 12 && bits != 14)) return 1;
+  const uint8_t* data = reinterpret_cast<const uint8_t*>(logical);
+  int ppp = 128 / bits;
+  int64_t npix = static_cast<int64_t>(width) * height;
+  int64_t npackets = (npix + ppp - 1) / ppp;
+  if (nbytes < npackets * 16) return 3;
+  uint16_t buf[10];
+  int64_t i = 0;
+  for (int64_t pk = 0; pk < npackets; pk++) {
+    unpack_packet(data + pk * 16, bits, buf);
+    for (int k = 0; k < ppp && i < npix; k++) out[i++] = buf[k];
+  }
+  return 0;
+}
+
+// RawFormat 7 ("pana8"): per-row blocks, no rotation; width must be a
+// multiple of pixels-per-block (9 at 14 bits, 10 at 12).
+extern "C" int rw2_decode_v7(const char* payload, int64_t nbytes, int width,
+                             int height, int bits, uint16_t* out) {
+  if (width <= 0 || height <= 0 || (bits != 12 && bits != 14)) return 1;
+  int ppp = 128 / bits;
+  if (width % ppp) return 2;
+  const uint8_t* data = reinterpret_cast<const uint8_t*>(payload);
+  int64_t blocks_per_row = width / ppp;
+  if (nbytes < blocks_per_row * 16 * height) return 3;
+  for (int64_t row = 0; row < height; row++) {
+    uint16_t* o = out + row * width;
+    const uint8_t* r = data + row * blocks_per_row * 16;
+    for (int64_t b = 0; b < blocks_per_row; b++)
+      unpack_packet(r + b * 16, bits, o + b * ppp);
+  }
+  return 0;
+}
+
+// --- RawFormat 6: 16-byte pages of 11 scaled-delta pixels ------------------
+
+namespace {
+// Page fields (big-endian over the page's bytes REVERSED): two 14-bit
+// absolute pixels, then 3 x [2-bit selector + three 10-bit values];
+// 4 pad bits. See rw2.py's _V6_FIELDS.
+inline void v6_parse_page(const uint8_t* page, uint32_t* f) {
+  uint8_t rev[16];
+  for (int i = 0; i < 16; i++) rev[i] = page[15 - i];
+  static const int kBits[14] = {14, 14, 2, 10, 10, 10, 2,
+                                10, 10, 10, 2, 10, 10, 10};
+  int bitpos = 0;
+  for (int k = 0; k < 14; k++) {
+    uint32_t v = 0;
+    for (int b = 0; b < kBits[k]; b++) {
+      int bit = bitpos + b;
+      v = (v << 1) | ((rev[bit >> 3] >> (7 - (bit & 7))) & 1);
+    }
+    f[k] = v;
+    bitpos += kBits[k];
+  }
+}
+}  // namespace
+
+extern "C" int rw2_decode_v6(const char* payload, int64_t nbytes, int width,
+                             int height, int bits, uint16_t* out) {
+  if (width <= 0 || height <= 0 || bits != 14) return 1;
+  const uint8_t* data = reinterpret_cast<const uint8_t*>(payload);
+  int64_t blocks = width / 11;
+  if (nbytes < blocks * 16 * height) return 3;
+  static const int kPixField[11] = {0, 1, 3, 4, 5, 7, 8, 9, 11, 12, 13};
+  for (int64_t row = 0; row < height; row++) {
+    uint16_t* o = out + row * width;
+    const uint8_t* r = data + row * blocks * 16;
+    for (int w = blocks * 11; w < width; w++) o[w] = 0;
+    for (int64_t blk = 0; blk < blocks; blk++) {
+      uint32_t f[14];
+      v6_parse_page(r + blk * 16, f);
+      int64_t oddeven[2] = {0, 0}, nonzero[2] = {0, 0};
+      int64_t pmul = 0, pbase = 0;
+      for (int pix = 0; pix < 11; pix++) {
+        int p = pix & 1;
+        if (pix % 3 == 2) {
+          int64_t sel = f[pix == 2 ? 2 : pix == 5 ? 6 : 10];
+          if (sel == 3) sel = 4;
+          pbase = static_cast<int64_t>(0x200) << sel;
+          pmul = static_cast<int64_t>(1) << sel;
+        }
+        int64_t e = f[kPixField[pix]];
+        int64_t val;
+        if (oddeven[p]) {
+          val = e * pmul;
+          if (pbase < 0x2000 && nonzero[p] > pbase) val += nonzero[p] - pbase;
+          nonzero[p] = val;
+        } else {
+          oddeven[p] = e;
+          val = e ? e : nonzero[p];
+          nonzero[p] = val;
+        }
+        int64_t s = val - 0xF;
+        o[blk * 11 + pix] = static_cast<uint16_t>(s > 0 ? s : 0);
+      }
     }
   }
   return 0;

@@ -247,13 +247,22 @@ def test_rw2_fallback_balance_tags(tmp_path):
     assert raw.blacklevels == (0, 0, 0, 0)  # no black tags -> none
 
 
-def test_rw2_newer_codec_named(tmp_path):
+def test_rw2_unknown_rawformat_named(tmp_path):
     img = _smooth(8, 28, seed=7)
-    path = str(tmp_path / "v6.rw2")
+    path = str(tmp_path / "v9.rw2")
     with open(path, "wb") as f:
-        # A short garbage payload with RawFormat 6 (newer 14-bit codec).
-        f.write(make_rw2(img, payload=b"\0" * 64, rawformat=6))
-    with pytest.raises(ValueError, match="RawFormat 6"):
+        # A short garbage payload with a RawFormat newer than any codec.
+        f.write(make_rw2(img, payload=b"\0" * 64, rawformat=9))
+    with pytest.raises(ValueError, match="RawFormat 9"):
+        read_rw2(path)
+
+
+def test_rw2_v6_12bit_named(tmp_path):
+    img = _smooth(8, 22, seed=7)
+    path = str(tmp_path / "v6_12.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, payload=b"\0" * 4096, rawformat=6, bits=12))
+    with pytest.raises(ValueError, match="RawFormat 6 at 12 bits"):
         read_rw2(path)
 
 
@@ -266,4 +275,196 @@ def test_rw2_develops_end_to_end(tmp_path):
         f.write(make_rw2(img))
     out = Pipeline.new_from_file(path).output_8bit()
     assert out.data.shape == (64, 224, 3)
+    assert out.data.std() > 0
+
+
+# ---------------------------------------------------------------------------
+# RawFormat 5/6/7 (the newer codecs; see rw2.py's provenance note)
+# ---------------------------------------------------------------------------
+
+from imagepipe_tpu.rw2 import (_v6_parse_pages, _v6_emit_pages,
+                               _v6_reconstruct, _decode_native_wh,
+                               decode_panasonic_v5, encode_panasonic_v5,
+                               decode_panasonic_v6, encode_panasonic_v6,
+                               decode_panasonic_v7, encode_panasonic_v7)
+
+_HAVE_V567 = native.have_native() and hasattr(native._lib, "rw2_decode_v6")
+
+
+def _smooth14(h, w, seed=0, lo=600, span=300, amp=4):
+    # Bounded same-parity deltas (< +-512) and values > 512 keep every
+    # pixel exactly representable by the v6 scaled-delta scheme.
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (lo + (yy * 9 + xx * 3) % span
+            + rng.integers(0, amp, (h, w))).astype(np.uint16)
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_v5_roundtrip_exact(bits):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 1 << bits, (24, 66), dtype=np.uint16)
+    blob = encode_panasonic_v5(img, bits=bits)
+    assert len(blob) % 0x4000 == 0  # whole rotated sections
+    out = decode_panasonic_v5(blob, 66, 24, bits)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_v5_multi_section():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 1 << 14, (40, 700), dtype=np.uint16)
+    blob = encode_panasonic_v5(img, bits=14)
+    assert len(blob) >= 3 * 0x4000
+    out = decode_panasonic_v5(blob, 700, 40, 14)
+    np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_panasonic_v5(blob[:0x4000], 700, 40, 14)
+
+
+@pytest.mark.parametrize("bits,w", [(12, 40), (14, 36)])
+def test_v7_roundtrip_exact(bits, w):
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 1 << bits, (10, w), dtype=np.uint16)
+    blob = encode_panasonic_v7(img, bits=bits)
+    ppp = 128 // bits
+    assert len(blob) == w // ppp * 16 * 10
+    out = decode_panasonic_v7(blob, w, 10, bits)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_v7_width_alignment():
+    with pytest.raises(ValueError, match="multiple of 9"):
+        encode_panasonic_v7(np.zeros((4, 10), np.uint16), bits=14)
+    with pytest.raises(ValueError, match="multiple of 9"):
+        decode_panasonic_v7(b"\0" * 160, 10, 4, 14)
+
+
+def test_v6_roundtrip_smooth_exact():
+    img = _smooth14(12, 44)
+    blob, snapped = encode_panasonic_v6(img, snap=True)
+    np.testing.assert_array_equal(snapped, img)  # no snapping needed
+    out = decode_panasonic_v6(blob, 44, 12)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_v6_roundtrip_flat_and_extremes():
+    for v in (0, 15, 513, 16368):
+        img = np.full((6, 33), v, np.uint16)
+        blob, snapped = encode_panasonic_v6(img, snap=True)
+        out = decode_panasonic_v6(blob, 33, 6)
+        np.testing.assert_array_equal(out, snapped)
+        np.testing.assert_array_equal(snapped, img)
+
+
+def test_v6_roundtrip_random_snapped():
+    # Arbitrary 14-bit data is not exactly representable (deltas
+    # quantize by the selector scale); the snapped image must
+    # round-trip exactly and stay within the absolute-coarse radius.
+    rng = np.random.default_rng(5)
+    img = rng.integers(600, 16368, (10, 55), dtype=np.uint16)
+    blob, snapped = encode_panasonic_v6(img, snap=True)
+    out = decode_panasonic_v6(blob, 55, 10)
+    np.testing.assert_array_equal(out, snapped)
+    assert np.abs(snapped.astype(int) - img.astype(int)).max() <= 24
+
+
+def test_v6_unencodable_raises_without_snap():
+    img = np.zeros((2, 11), np.uint16)
+    img[0, 2] = 9000  # jump of +9000 from 0+bias: not exactly reachable
+    with pytest.raises(ValueError, match="snap=True"):
+        encode_panasonic_v6(img, snap=False)
+
+
+def test_v6_width_alignment():
+    with pytest.raises(ValueError, match="multiple of 11"):
+        encode_panasonic_v6(np.zeros((2, 12), np.uint16), snap=True)
+
+
+def test_v6_page_field_roundtrip():
+    # The page bit layout is its own mechanism: emit<->parse must be
+    # exact for every field pattern including all-ones boundaries.
+    rng = np.random.default_rng(6)
+    widths = np.array([14, 14, 2, 10, 10, 10, 2, 10, 10, 10, 2, 10, 10, 10])
+    fields = np.empty((64, 14), np.int32)
+    for k, nb in enumerate(widths):
+        fields[:, k] = rng.integers(0, 1 << nb, 64)
+    fields[0] = (1 << widths) - 1
+    fields[1] = 0
+    blob = _v6_emit_pages(fields)
+    back = _v6_parse_pages(np.frombuffer(blob, np.uint8).reshape(-1, 16))
+    np.testing.assert_array_equal(back, fields)
+
+
+@pytest.mark.skipif(not _HAVE_V567, reason="native library not built")
+def test_v567_native_matches_python_differential():
+    rng = np.random.default_rng(8)
+    lib = native._lib
+    for trial in range(8):
+        h = int(rng.integers(2, 12))
+        # v6 on encoded content
+        w6 = 11 * int(rng.integers(1, 6))
+        img = rng.integers(0, 16368, (h, w6), dtype=np.uint16)
+        blob, snapped = encode_panasonic_v6(img, snap=True)
+        pages = np.frombuffer(blob, np.uint8).reshape(-1, 16)
+        py = np.zeros((h, w6), np.uint16)
+        py[:, :] = _v6_reconstruct(_v6_parse_pages(pages)).reshape(h, w6)
+        nat = _decode_native_wh(lib.rw2_decode_v6, blob, w6, h, 14)
+        np.testing.assert_array_equal(py, nat)
+        np.testing.assert_array_equal(py, snapped)
+        # v6 on arbitrary bytes (every byte pattern is a valid stream)
+        raw = rng.integers(0, 256, h * (w6 // 11) * 16, dtype=np.uint8)
+        rpages = raw.reshape(-1, 16)
+        py = _v6_reconstruct(_v6_parse_pages(rpages)).reshape(h, w6)
+        nat = _decode_native_wh(lib.rw2_decode_v6, raw.tobytes(), w6, h, 14)
+        np.testing.assert_array_equal(py, nat)
+        # v5/v7 on arbitrary bytes
+        for bits in (12, 14):
+            ppp = 128 // bits
+            wv = ppp * int(rng.integers(1, 8))
+            n = h * (wv // ppp) * 16
+            raw = rng.integers(0, 256, max(n, 0x4000), dtype=np.uint8).tobytes()
+            pk = np.frombuffer(raw, np.uint8,
+                               count=-(-h * wv // ppp) * 16).reshape(-1, 16)
+            from imagepipe_tpu.rw2 import _unpack_lsb_packets
+            py = _unpack_lsb_packets(pk, bits).ravel()[:h * wv].reshape(h, wv)
+            nat = _decode_native_wh(lib.rw2_decode_v5, raw, wv, h, bits)
+            np.testing.assert_array_equal(py, nat)
+            py7 = _unpack_lsb_packets(
+                np.frombuffer(raw, np.uint8, count=n).reshape(-1, 16),
+                bits).reshape(h, wv)
+            nat7 = _decode_native_wh(lib.rw2_decode_v7, raw[:n], wv, h, bits)
+            np.testing.assert_array_equal(py7, nat7)
+
+
+@pytest.mark.parametrize("rawformat", [5, 6, 7])
+def test_rw2_container_newer_codecs(tmp_path, rawformat):
+    h, w = 24, 11 * 9 * 2  # 198: multiple of 11 and 9 (and not of 14)
+    img = _smooth14(h, w, seed=rawformat)
+    if rawformat == 5:
+        payload = encode_panasonic_v5(img, bits=14)
+    elif rawformat == 6:
+        payload, snapped = encode_panasonic_v6(img, snap=True)
+        np.testing.assert_array_equal(snapped, img)
+    else:
+        payload = encode_panasonic_v7(img, bits=14)
+    path = str(tmp_path / f"v{rawformat}.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, payload=payload, bits=14,
+                         rawformat=rawformat))
+    raw = read_rw2(path)
+    np.testing.assert_array_equal(raw.data, img)
+    assert raw.whitelevels[0] == 16383
+    assert raw.blacklevels == (143, 142, 144, 142)
+
+
+def test_rw2_v6_develops_end_to_end(tmp_path):
+    from imagepipe_tpu.pipeline import Pipeline
+
+    img = _smooth14(44, 110, seed=9)
+    payload, _ = encode_panasonic_v6(img, snap=True)
+    path = str(tmp_path / "v6dev.rw2")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, payload=payload, bits=14, rawformat=6))
+    out = Pipeline.new_from_file(path).output_8bit()
+    assert out.data.shape == (44, 110, 3)
     assert out.data.std() > 0

@@ -116,7 +116,15 @@ def parse_linearization(meta: bytes, bits: int):
     step = vmax // (csize - 1) if csize > 1 else 0
     curve = np.arange(0x10000, dtype=np.int64)
     split = 0
-    if ver0 == 0x44 and ver1 == 0x20 and step > 0:
+    if (ver0 == 0x44 and step > 0
+            and (ver1 == 0x20 or (ver1 == 0x40 and step > 3))):
+        if ver1 == 0x40:
+            # Lossy "type 2" (D90-era onward): the same sampled curve,
+            # but sample spacing AND curve domain are quartered (dcraw's
+            # `step /= 4; max /= 4`) -- predictor values live in the
+            # quarter-range domain.
+            step //= 4
+            vmax //= 4
         if pos + 2 * csize > len(meta):
             raise ValueError("NEF 34713: truncated tone curve")
         samples = np.frombuffer(meta, ">u2", csize, pos).astype(np.int64)
@@ -129,17 +137,10 @@ def parse_linearization(meta: bytes, bits: int):
                         + curve_l[np.minimum(lo + step, 0xFFFF)] * (i % step)) // step
         if len(meta) >= 564:
             (split,) = struct.unpack_from(">H", meta, 562)
-    elif ver0 == 0x44 and ver1 == 0x40:
-        # Lossy "type 2" (D90-era onward) scales its curve differently;
-        # decoding it with the generic branch would silently garble
-        # shadows -- refuse with the variant named instead.
-        raise ValueError(
-            f"NEF 34713: lossy variant {ver0:#x}/{ver1:#x} not supported; "
-            "shoot lossless-compressed or convert to DNG")
     elif ver0 == 0x44:
-        # Remaining 0x44 shapes (0x20 with a degenerate step, unknown
-        # ver1): dcraw would fall through to the direct curve read, but we
-        # have never seen such a stream to pin -- refuse rather than guess.
+        # Remaining 0x44 shapes (degenerate steps, unknown ver1): dcraw
+        # would fall through to the direct curve read, but we have never
+        # seen such a stream to pin -- refuse rather than guess.
         raise ValueError(
             f"NEF 34713: unrecognized linearization variant "
             f"{ver0:#x}/{ver1:#x} (csize {csize}); refusing rather than "
@@ -245,24 +246,25 @@ def decode_34713(payload: bytes, width: int, height: int, bits: int,
 # ---------------------------------------------------------------------------
 
 
-def encode_34713(data: np.ndarray, bits: int = 14) -> tuple[bytes, bytes]:
-    """Encode a sensor plane as a LOSSLESS 34713 stream (ver0 0x46 -> the
-    lossless tree for `bits`, identity curve). Returns (payload, meta) where
-    meta is the maker-note 0x0096 blob."""
-    data = np.asarray(data)
-    assert data.ndim == 2
-    height, width = data.shape
-    assert int(data.max(initial=0)) < (1 << bits)
-    tree = (2 if bits != 14 else 5)
+def _enc_table(tree: int) -> dict:
+    """bit-length -> (code, codelen) using the tree's plain ssss leaves
+    (shl leaves quantize -- a canonical encoder never emits them)."""
     enc = {}
     for code, length, v in _codes(tree):
         lenb = v & 15
         if v >> 4:
-            continue                # shl leaves quantize (lossy); never emit
+            continue
         if lenb not in enc:         # first (shortest) code per bit-length
             enc[lenb] = (code, length)
+    return enc
 
-    vpred = np.array([[1 << (bits - 1)] * 2] * 2, np.int32)
+
+def _encode_stream(data: np.ndarray, tree: int, vpred: np.ndarray,
+                   split: int = 0) -> bytes:
+    """Encode a predictor-domain plane with the given Huffman tree
+    (switching to tree+1 at the split row, mirroring the decoder)."""
+    height, width = data.shape
+    enc = _enc_table(tree)
     vp = vpred.copy()
     hpred = [0, 0]
     outbits = bytearray()
@@ -279,6 +281,8 @@ def encode_34713(data: np.ndarray, bits: int = 14) -> tuple[bytes, bytes]:
         acc &= (1 << max(nacc, 0)) - 1
 
     for row in range(height):
+        if split and row == split:
+            enc = _enc_table(tree + 1)
         for col in range(width):
             target = int(data[row, col])
             if col < 2:
@@ -303,10 +307,57 @@ def encode_34713(data: np.ndarray, bits: int = 14) -> tuple[bytes, bytes]:
                 hpred[col & 1] += diff
     if nacc:
         put(0, 8 - nacc)   # pad final byte with zeros
+    return bytes(outbits)
 
+
+def encode_34713(data: np.ndarray, bits: int = 14) -> tuple[bytes, bytes]:
+    """Encode a sensor plane as a LOSSLESS 34713 stream (ver0 0x46 -> the
+    lossless tree for `bits`, identity curve). Returns (payload, meta) where
+    meta is the maker-note 0x0096 blob."""
+    data = np.asarray(data)
+    assert data.ndim == 2
+    assert int(data.max(initial=0)) < (1 << bits)
+    tree = (2 if bits != 14 else 5)
+    vpred = np.array([[1 << (bits - 1)] * 2] * 2, np.int32)
+    payload = _encode_stream(data, tree, vpred)
     meta = bytearray()
     meta += bytes([0x46, 0x30])                       # lossless version
     meta += struct.pack(">4H", *[int(v) for v in vpred.ravel()])
     meta += struct.pack(">H", 257)                    # csize (curve unused)
     meta += b"\0" * 16
-    return bytes(outbits), bytes(meta)
+    return bytes(payload), bytes(meta)
+
+
+def encode_34713_lossy2(pred: np.ndarray, bits: int = 14,
+                        samples: np.ndarray | None = None,
+                        split: int = 0) -> tuple[bytes, bytes]:
+    """Encode a PREDICTOR-domain plane as a lossy type-2 (ver 0x44/0x40)
+    stream. The decoder outputs curve[pred]: type 2's curve covers the
+    quarter domain (1 << bits) / 4, sampled every step/4. Returns
+    (payload, meta); the expected decode is curve[clip(pred)] with curve
+    from parse_linearization(meta, bits). split > 0 switches to the
+    after-split tree at that row, as real bodies do."""
+    pred = np.asarray(pred)
+    assert pred.ndim == 2
+    vmax4 = (1 << bits) // 4
+    assert int(pred.max(initial=0)) < vmax4, "type-2 preds are quarter-range"
+    if samples is None:
+        # A gently-curved monotone default tone curve over the full range.
+        samples = np.linspace(0, (1 << bits) - 1, 257).astype(np.uint16)
+    samples = np.asarray(samples, np.uint16)
+    csize = len(samples)
+    step = (1 << bits) // (csize - 1)
+    if step <= 3:
+        raise ValueError("type-2 needs step > 3 (csize too large)")
+    tree = (0 if bits != 14 else 3)
+    vpred = np.array([[1 << (bits - 3)] * 2] * 2, np.int32)
+    payload = _encode_stream(pred, tree, vpred, split=split)
+    meta = bytearray()
+    meta += bytes([0x44, 0x40])
+    meta += struct.pack(">4H", *[int(v) for v in vpred.ravel()])
+    meta += struct.pack(">H", csize)
+    meta += samples.astype(">u2").tobytes()
+    if len(meta) < 562:
+        meta += b"\0" * (562 - len(meta))
+    meta += struct.pack(">H", split)
+    return bytes(payload), bytes(meta)

@@ -127,10 +127,53 @@ def test_lossy_curve_parse_and_split():
     assert int(samples[-2]) < white <= int(samples[-1])
 
 
-def test_lossy_type2_rejected():
-    meta = bytes([0x44, 0x40]) + struct.pack(">4H", 0, 0, 0, 0) + b"\0" * 20
-    with pytest.raises(ValueError, match="lossy variant"):
-        parse_linearization(meta, 14)
+def test_lossy_type2_curve_parse():
+    """ver 0x44/0x40 ("lossy type 2"): identical sampled-curve handling
+    but sample spacing AND curve domain quartered (dcraw's step/=4,
+    max/=4); split still at blob offset 562."""
+    from imagepipe_tpu.nikon import encode_34713_lossy2
+
+    bits = 14
+    samples = np.linspace(0, (1 << bits) - 1, 257).astype(np.uint16)
+    _, meta = encode_34713_lossy2(np.zeros((2, 4), np.uint16), bits,
+                                  samples=samples, split=7)
+    tree, vpred, curve, split, white = parse_linearization(meta, bits)
+    assert tree == 3 and split == 7
+    step = (1 << bits) // 256 // 4            # quartered spacing
+    vmax4 = (1 << bits) // 4                  # quartered domain
+    np.testing.assert_array_equal(curve[np.arange(257) * step], samples)
+    assert white == int(curve[vmax4 - 1])
+    # Degenerate type 2 (step would quarter to zero) still refuses.
+    bad = bytearray(meta)
+    struct.pack_into(">H", bad, 10, 0x4001)   # csize too large
+    with pytest.raises(ValueError, match="unrecognized linearization"):
+        parse_linearization(bytes(bad), bits)
+
+
+@pytest.mark.parametrize("split", [0, 5])
+def test_lossy_type2_roundtrip(split):
+    """Canonical type-2 streams decode to curve[pred] through both the
+    lossy tree and (split>0) the after-split tree."""
+    from imagepipe_tpu.nikon import encode_34713_lossy2
+
+    bits = 14
+    rng = _rng(11)
+    # Quarter-range predictor plane with moderate steps (the after-split
+    # tree's plain leaves cover ssss <= 8, so keep diffs under 255).
+    base = 2048 + np.cumsum(rng.integers(-100, 101, (12, 20)), axis=1)
+    pred = np.clip(base, 0, 4095).astype(np.uint16)
+    payload, meta = encode_34713_lossy2(pred, bits, split=split)
+    tree, vpred, curve, got_split, white = parse_linearization(meta, bits)
+    assert got_split == split
+    out, got_white = decode_34713(payload, 20, 12, bits, meta)
+    np.testing.assert_array_equal(out, curve[pred])
+    assert got_white == white
+    if native.have_native() and hasattr(native._lib, "nikon_decode"):
+        from imagepipe_tpu.nikon import _decode_native
+
+        py = _decode_python(payload, 20, 12, tree, vpred, curve, split)
+        nat = _decode_native(payload, 20, 12, tree, vpred, curve, split)
+        np.testing.assert_array_equal(py, nat)
 
 
 def test_corrupt_payload_rejected():
@@ -143,11 +186,13 @@ def test_corrupt_payload_rejected():
 
 
 def make_nef_34713(data, bits=14, model="NIKON D850", wb_r=2.0, wb_b=1.5,
-                   black=150) -> bytes:
+                   black=150, payload=None, meta=None) -> bytes:
     """A compressed NEF container around an encode_34713 stream (mirrors
-    tests/test_vendor.py make_nef)."""
+    tests/test_vendor.py make_nef). Pass payload+meta to wrap a stream
+    from another encoder (e.g. lossy type 2)."""
     h, w = data.shape
-    payload, meta = encode_34713(data, bits=bits)
+    if payload is None:
+        payload, meta = encode_34713(data, bits=bits)
     b = TiffBuilder(">")
     strip = b.add_blob(payload)
     raw_ifd = b.add_ifd([
@@ -269,3 +314,21 @@ def test_nef_34713_missing_meta_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="0x0096|linearization"):
         read_nef(path)
+
+
+def test_nef_lossy_type2_container_decode(tmp_path):
+    from imagepipe_tpu.decode import decode_file
+    from imagepipe_tpu.nikon import encode_34713_lossy2
+
+    bits = 14
+    rng = _rng(12)
+    base = 1500 + np.cumsum(rng.integers(-80, 81, (24, 32)), axis=1)
+    pred = np.clip(base, 0, 4095).astype(np.uint16)
+    payload, meta = encode_34713_lossy2(pred, bits)
+    _, _, curve, _, white = parse_linearization(meta, bits)
+    path = str(tmp_path / "lossy2.nef")
+    with open(path, "wb") as f:
+        f.write(make_nef_34713(pred, bits=bits, payload=payload, meta=meta))
+    raw = decode_file(path).raw
+    np.testing.assert_array_equal(raw.data, curve[pred])
+    assert raw.whitelevels[0] == white

@@ -408,9 +408,10 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
     add(T_ROWS_PER_STRIP, 4, [raw.height])
     add(T_STRIP_BYTECOUNTS, 4, [len(payload)])
     if is_cfa:
-        inv = {"R": 0, "G": 1, "B": 2, "E": 3}
+        # Pattern bytes from the grid, not the name (non-canonical dims
+        # carry an "HxW:" prefix in the name).
         add(T_CFA_REPEAT, 3, [raw.cfa.height, raw.cfa.width])
-        add(T_CFA_PATTERN, 1, [inv[c] for c in raw.cfa.name])
+        add(T_CFA_PATTERN, 1, [int(v) for v in raw.cfa.pattern.ravel()])
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
     add(T_BLACK_LEVEL, 3, [int(b) for b in raw.blacklevels])
     add(T_WHITE_LEVEL, 3, [int(raw.whitelevels[0])])

@@ -25,8 +25,10 @@ newer bodies wrap an embedded TIFF whose FujiIFD (tag 0xF000) carries
 dims/bits/strips/black level, decoded by _read_tiff_wrapped —
 uncompressed 16-bit strips, or the fuji lossless-compressed stream
 (0x4953 signature; `fujic.py`) that every X-T3-onward body writes by
-default. Bayer/SuperCCD classic records still raise a clear ValueError
-naming the gap rather than mis-decoding.
+default. Classic SuperCCD records (0x0130 layout flags) decode onto
+their true diagonal lattice as a 2x4/4x2-periodic CFA (superccd_cfa);
+classic Bayer bodies resolve their pattern through the per-model
+registry. Only a body with neither record nor registry entry refuses.
 """
 
 from __future__ import annotations
@@ -38,7 +40,8 @@ import numpy as np
 from .cameras import xyz_to_cam_for
 from .raw import CFA, Orientation, RawImage
 
-__all__ = ["read_raf", "RAF_MAGIC"]
+__all__ = ["read_raf", "RAF_MAGIC", "superccd_cfa", "superccd_geometry",
+           "register_raf_pattern", "register_raf_levels"]
 
 RAF_MAGIC = b"FUJIFILMCCD-RAW "
 
@@ -108,10 +111,40 @@ def read_raf(path: str) -> RawImage:
     height, width = struct.unpack_from(">HH", dims, 0)
     if height <= 0 or width <= 0 or height * width > 500_000_000:
         raise ValueError("RAF: implausible sensor dimensions")
+
+    # SuperCCD layout flags (dcraw parse_fuji's 0x0130 record): byte 0's
+    # top bit selects the HR ("layout 1") lattice orientation; byte 1's
+    # bit 3 CLEAR marks a diagonal (SuperCCD) sensor.
+    layout_rec = recs.get(0x0130)
+    superccd = False
+    layout = 0
+    if layout_rec is not None and len(layout_rec) >= 2:
+        layout = layout_rec[0] >> 7
+        superccd = not (layout_rec[1] & 8)
+
+    crops = (0, 0, 0, 0)
+    usable = recs.get(0x0121)
+    if usable is not None and len(usable) >= 4:
+        uh, uw = struct.unpack_from(">HH", usable, 0)
+        if uw == 4284:
+            uw += 3   # dcraw parse_fuji's documented S2Pro width fixup
+        if 0 < uh <= height and 0 < uw <= width:
+            crops = (0, width - uw, height - uh, 0)
+
+    if cfa is None and superccd:
+        uw = width - crops[1]
+        fuji_width = uw >> (0 if layout else 1)
+        cfa = superccd_cfa(fuji_width, layout)
+    if cfa is None:
+        # Classic Bayer bodies carry no pattern record; the per-model
+        # registry is the provenance-safe source (same contract as the
+        # TIFF-wrapped path).
+        cfa = _PATTERNS.get((model or "").strip().upper())
     if cfa is None:
         raise ValueError(
-            "RAF: only X-Trans bodies with a 6x6 pattern record (0x0131) are "
-            "supported; Bayer/SuperCCD RAFs are not decoded yet")
+            "RAF: no CFA pattern record (0x0131), no SuperCCD layout "
+            "record, and no registered pattern for this body; register "
+            "one with register_raf_pattern")
     need = height * width * 2
     if cfa_len < need or cfa_off + need > len(buf):
         raise ValueError("RAF: CFA payload truncated "
@@ -123,11 +156,55 @@ def read_raf(path: str) -> RawImage:
     # levels come from the per-body registry (X-Trans sensors are 14-bit).
     black, white = raf_levels_for(model)
     return RawImage(
-        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        width=width, height=height, cpp=1, crops=crops,
         blacklevels=(black,) * 4, whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for("FUJIFILM", model),
         orientation=Orientation.Normal, cfa=cfa, data=data,
         make="FUJIFILM", model=model)
+
+
+def superccd_cfa(fuji_width: int, layout: int) -> CFA:
+    """The SuperCCD diagonal lattice expressed as a periodic CFA in RAW
+    coordinates.
+
+    dcraw's fuji_load_raw documents the bijection from raw (row, col) to
+    the 45-degree upright frame (r, c) and assigns each sample the color
+    FC(r, c) of a plain 2x2 mosaic there (BGGR, or GBRG when fuji_width
+    is even). Composing the two yields a 2x4-periodic (layout 0) or
+    4x2-periodic (layout 1) pattern in raw coordinates -- so the sensor
+    demosaics natively on its true lattice through the generic-CFA
+    engine, with NO holed intermediate grid; square-pixel geometry is
+    restored afterwards by one anisotropic resample (superccd_geometry),
+    which is what dcraw's fuji_rotate approximates bilinearly."""
+    base = CFA("GBRG" if fuji_width % 2 == 0 else "BGGR")
+    h, w = (4, 2) if layout else (2, 4)
+    letters = []
+    for row in range(h):
+        for col in range(w):
+            if layout:
+                r = fuji_width - 1 - col + (row >> 1)
+                c = col + ((row + 1) >> 1)
+            else:
+                r = fuji_width - 1 + row - (col >> 1)
+                c = row + ((col + 1) >> 1)
+            letters.append("RGBE"[base.color_at(r % 2, c % 2)])
+    return CFA("".join(letters), height=h, width=w)
+
+
+def superccd_geometry(height: int, width: int,
+                      layout: int = 0) -> tuple[int, int]:
+    """Square-pixel output size for a demosaiced SuperCCD raw plane.
+
+    The diagonal lattice's raw grid is anisotropic: restoring square
+    pixels resamples rows by sqrt(2) and columns by 1/sqrt(2) (layout 0;
+    swapped for layout 1) -- the same geometry dcraw's fuji_rotate
+    produces via its 45-degree bilinear walk, derived by composing
+    fuji_load_raw's lattice map with fuji_rotate's step = sqrt(0.5)
+    sampling. Feed the result to the maxsize/scaling ops."""
+    s = float(np.sqrt(2.0))
+    if layout:
+        return int(round(height / s)), int(round(width * s))
+    return int(round(height * s)), int(round(width / s))
 
 
 # FujiIFD tags of the TIFF-wrapped CFA section (exiftool's FujiIFD table).

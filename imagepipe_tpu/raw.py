@@ -32,6 +32,15 @@ _CFA_COLORS = {"R": 0, "G": 1, "B": 2, "E": 3}
 PATTERN_TILE = 48
 
 
+def _cfa_name(letters: str, height: int, width: int) -> str:
+    """Canonical name: bare letters when dims are implied by length,
+    otherwise an explicit "HxW:" prefix."""
+    implied = {4: (2, 2), 16: (2, 8), 36: (6, 6), 144: (12, 12)}
+    if implied.get(len(letters)) == (height, width):
+        return letters
+    return f"{height}x{width}:{letters}"
+
+
 class CFA:
     """Color filter array pattern, mirroring rawloader's CFA.
 
@@ -42,9 +51,17 @@ class CFA:
 
     def __init__(self, patname: str, height: int | None = None,
                  width: int | None = None):
-        self.name = patname
+        # Non-canonical dims ride inside the name as an "HxW:" prefix
+        # ("2x4:RGBGBGRG" -- SuperCCD lattice patterns) so a CFA survives
+        # the name-string round-trip through plan statics and hashing.
+        if ":" in patname:
+            dims, _, letters = patname.partition(":")
+            ph, _, pw = dims.partition("x")
+            height, width = int(ph), int(pw)
+            patname = letters
         n = len(patname)
         if n == 0:
+            self.name = ""
             self.width = 0
             self.height = 0
             self.pattern = np.zeros((0, 0), dtype=np.uint8)
@@ -65,6 +82,7 @@ class CFA:
             raise ValueError(f"unsupported CFA pattern length {n}: {patname!r}")
         self.width = w
         self.height = h
+        self.name = _cfa_name(patname, h, w)
         pat = np.zeros((h, w), dtype=np.uint8)
         for i, ch in enumerate(patname):
             pat[i // w, i % w] = _CFA_COLORS[ch]
@@ -91,7 +109,8 @@ class CFA:
         out.height = self.height
         out.pattern = np.roll(self.pattern, shift=(-y % self.height, -x % self.width), axis=(0, 1))
         inv = {v: k for k, v in _CFA_COLORS.items()}
-        out.name = "".join(inv[int(c)] for c in out.pattern.ravel())
+        letters = "".join(inv[int(c)] for c in out.pattern.ravel())
+        out.name = _cfa_name(letters, out.height, out.width)
         return out
 
     def __str__(self) -> str:

@@ -16,7 +16,7 @@ _LETTER_TO_CODE = {"R": 0, "G": 1, "B": 2, "E": 3}
 
 
 def make_raf(data, model="X-T2", wb=(302, 580, 302, 1044), pattern=XTRANS,
-             tiff_cfa=False) -> bytes:
+             tiff_cfa=False, extra_recs=()) -> bytes:
     """Classic RAF: header + meta records + big-endian u16 payload. wb is
     the on-disk (G, R, G2, B) quadruple."""
     h, w = data.shape
@@ -26,6 +26,7 @@ def make_raf(data, model="X-T2", wb=(302, 580, 302, 1044), pattern=XTRANS,
         codes = bytes(_LETTER_TO_CODE[c] for c in pattern)[::-1]  # dcraw order
         recs.append((0x0131, codes))
     recs.append((0x2FF0, struct.pack(">HHHH", *wb)))
+    recs.extend(extra_recs)
     meta = struct.pack(">I", len(recs)) + b"".join(
         struct.pack(">HH", tag, len(payload)) + payload
         for tag, payload in recs)
@@ -204,7 +205,7 @@ def test_raf_rejects_unsupported_flavors(tmp_path):
     data = _sensor(12, 12)
     bayer = tmp_path / "bayer.raf"
     bayer.write_bytes(make_raf(data, pattern=None))
-    with pytest.raises(ValueError, match="X-Trans"):
+    with pytest.raises(ValueError, match="register_raf_pattern"):
         read_raf(str(bayer))
 
     # A TIFF-wrapped CFA section without a usable FujiIFD fails cleanly.
@@ -241,3 +242,110 @@ def test_raf_byte_fuzz_never_crashes(tmp_path):
             read_raf(str(p))
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Classic SuperCCD + Bayer records (raf.py superccd_cfa/superccd_geometry)
+# ---------------------------------------------------------------------------
+
+def _dcraw_superccd_map(row, col, fuji_width, layout):
+    """dcraw fuji_load_raw's raw->upright lattice bijection."""
+    if layout:
+        return (fuji_width - 1 - col + (row >> 1), col + ((row + 1) >> 1))
+    return (fuji_width - 1 + row - (col >> 1), row + ((col + 1) >> 1))
+
+
+@pytest.mark.parametrize("layout", [0, 1])
+@pytest.mark.parametrize("fuji_width", [12, 13])
+def test_superccd_cfa_matches_dcraw_mapping(layout, fuji_width):
+    from imagepipe_tpu.raf import superccd_cfa
+    from imagepipe_tpu.raw import CFA
+
+    base = CFA("GBRG" if fuji_width % 2 == 0 else "BGGR")
+    cfa = superccd_cfa(fuji_width, layout)
+    assert (cfa.height, cfa.width) == ((4, 2) if layout else (2, 4))
+    seen = set()
+    h, w = (24, fuji_width) if layout else (24, 2 * fuji_width)
+    for row in range(h):
+        for col in range(w):
+            r, c = _dcraw_superccd_map(row, col, fuji_width, layout)
+            # The color our raw-frame pattern assigns must equal the
+            # upright-frame mosaic color dcraw assigns the same sample.
+            assert cfa.color_at(row, col) == base.color_at(r % 2, c % 2), \
+                (row, col, r, c)
+            # And the lattice map is injective (each upright cell gets
+            # at most one raw sample -- no double writes).
+            assert (r, c) not in seen
+            seen.add((r, c))
+
+
+def test_superccd_geometry_preserves_samples():
+    from imagepipe_tpu.raf import superccd_geometry
+
+    oh, ow = superccd_geometry(2144, 2880, layout=0)
+    assert abs(oh * ow - 2144 * 2880) / (2144 * 2880) < 0.01
+    assert oh > 2144 and ow < 2880
+    th, tw = superccd_geometry(2880, 2144, layout=1)
+    assert (th, tw) == (ow, oh)
+
+
+def test_superccd_classic_decodes(tmp_path):
+    data = _sensor(16, 24, seed=21)
+    extra = [(0x0130, bytes([0x00, 0x00])),          # layout 0, SuperCCD
+             (0x0121, struct.pack(">HH", 16, 24))]
+    p = tmp_path / "s2.raf"
+    p.write_bytes(make_raf(data, model="FinePixS2Pro", pattern=None,
+                           extra_recs=extra))
+    raw = read_raf(str(p))
+    np.testing.assert_array_equal(raw.data, data)
+    assert (raw.cfa.height, raw.cfa.width) == (2, 4)
+    # fuji_width = 24 >> 1 = 12 (even) -> GBRG upright mosaic; spot-check
+    # the first pattern row against the dcraw mapping.
+    from imagepipe_tpu.raw import CFA
+    base = CFA("GBRG")
+    for col in range(4):
+        r, c = _dcraw_superccd_map(0, col, 12, 0)
+        assert raw.cfa.color_at(0, col) == base.color_at(r % 2, c % 2)
+
+
+def test_superccd_hr_layout_decodes(tmp_path):
+    data = _sensor(24, 13, seed=22)
+    extra = [(0x0130, bytes([0x80, 0x00]))]          # layout 1, SuperCCD
+    p = tmp_path / "hr.raf"
+    p.write_bytes(make_raf(data, model="FinePixF700", pattern=None,
+                           extra_recs=extra))
+    raw = read_raf(str(p))
+    assert (raw.cfa.height, raw.cfa.width) == (4, 2)
+    np.testing.assert_array_equal(raw.data, data)
+
+
+def test_superccd_develops_end_to_end(tmp_path):
+    """The 2x4 lattice pattern demosaics through the generic-CFA engine."""
+    from imagepipe_tpu.pipeline import Pipeline
+
+    data = (_sensor(48, 96, seed=23) % 8000 + 800).astype(np.uint16)
+    extra = [(0x0130, bytes([0x00, 0x00])),
+             (0x0121, struct.pack(">HH", 48, 96))]
+    p = tmp_path / "dev.raf"
+    p.write_bytes(make_raf(data, model="FinePixS5Pro", pattern=None,
+                           extra_recs=extra))
+    out = Pipeline.new_from_file(str(p)).output_8bit()
+    assert out.data.shape == (48, 96, 3)
+    assert out.data.std() > 0
+
+
+def test_bayer_classic_registry_path(tmp_path):
+    import imagepipe_tpu.raf as raf_mod
+    from imagepipe_tpu.raf import register_raf_pattern
+
+    data = _sensor(12, 16, seed=24)
+    p = tmp_path / "bayer.raf"
+    p.write_bytes(make_raf(data, model="FinePixS9000", pattern=None,
+                           extra_recs=[(0x0130, bytes([0x00, 0x08]))]))
+    try:
+        register_raf_pattern("FinePixS9000", "BGGR")
+        raw = read_raf(str(p))
+        np.testing.assert_array_equal(raw.data, data)
+        assert raw.cfa.name == "BGGR"
+    finally:
+        raf_mod._PATTERNS.pop("FINEPIXS9000", None)

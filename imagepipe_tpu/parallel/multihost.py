@@ -24,13 +24,18 @@ Design:
     over per-host queue lengths; short queues pad by repeating their
     last row), then fetches only its addressable output shards.
 
-One constraint, validated collectively: all files of one
-`develop_files` call must share plan statics (sensor geometry/config) —
-the fleet-serving case. Per-host plan-statics hashes are allgathered
-and must agree; mixed inputs raise before any device step runs. In a
-single-process environment every helper degenerates to the plain
-BatchEngine behavior, which is how the CPU-mesh tests pin it; the
-driver's multichip dryrun runs the same code over 8 virtual devices.
+Mixed inputs (different sensor geometries/configs in one call — a real
+directory) are served by BUCKET SCHEDULING: files group by plan-statics
+key, every host's bucket metadata (statics + zeroed example calibration
++ normalized plane geometry) is allgathered, and the union is iterated
+in agreed (hash-sorted) order so all hosts run the identical jit
+sequence — a host with no files of some bucket fabricates zero padding
+rows from the broadcast metadata. Every decision below is made from
+allgathered evidence so any raise happens on EVERY host (a unilateral
+raise between collectives would hang the fleet). In a single-process
+environment every helper degenerates to the plain BatchEngine behavior,
+which is how the CPU-mesh tests pin it; the driver's multichip dryrun
+runs the same code over 8 virtual devices.
 """
 
 from __future__ import annotations
@@ -38,6 +43,8 @@ from __future__ import annotations
 import concurrent.futures as cf
 import hashlib
 import math
+import pickle
+import struct
 
 import numpy as np
 import jax
@@ -90,6 +97,27 @@ def _make_global(sharding: NamedSharding, local: np.ndarray) -> jax.Array:
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
     return jax.make_array_from_process_local_data(sharding, local)
+
+
+def _allgather_blob(blob: bytes) -> list[bytes]:
+    """Gather one variable-length byte blob from every process. Two
+    phases keep shapes collective-safe: lengths are allgathered first so
+    every host pads to the same max (process_allgather needs identical
+    shapes), then the payload rides one uint8 gather."""
+    if jax.process_count() == 1:
+        return [blob]
+    from jax.experimental import multihost_utils
+
+    n = int(_allgather_i32(len(blob)).max())
+    arr = np.zeros(n + 4, np.uint8)
+    arr[:4] = np.frombuffer(struct.pack("<I", len(blob)), np.uint8)
+    arr[4:4 + len(blob)] = np.frombuffer(blob, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(arr))
+    out = []
+    for row in g.reshape(jax.process_count(), -1):
+        (ln,) = struct.unpack("<I", row[:4].tobytes())
+        out.append(row[4:4 + ln].tobytes())
+    return out
 
 
 class MultiHostBatchEngine:
@@ -163,73 +191,98 @@ class MultiHostBatchEngine:
                 entries.append((idx, src, plan))
         entries.sort(key=lambda t: t[0])
 
-        # Collective agreement: one statics key fleet-wide. EVERY raise
-        # below happens on ALL hosts from the same allgathered evidence —
-        # a unilateral raise while peers proceed into the next collective
-        # would hang the fleet, so local problems are reported into the
-        # gather as sentinels (-1 = empty partition, -2 = mixed statics)
-        # and judged collectively.
-        key_hash = -1
-        if entries:
-            key = tuple(sorted(entries[0][2].statics().items()))
-            if any(tuple(sorted(plan.statics().items())) != key
-                   for _, _, plan in entries[1:]):
-                key_hash = -2
-            else:
-                # 30-bit positive hash: must survive the int32 gather.
-                key_hash = int.from_bytes(hashlib.blake2b(
-                    repr(key).encode(), digest_size=4).digest(),
-                    "little") & 0x3FFFFFFF
-        hashes = _allgather_i32(key_hash)
-        real = hashes[hashes >= 0]
-        if (hashes == -2).any():
+        # Bucket scheduling (mixed statics in one call). Group local
+        # entries by plan-statics key, allgather every host's bucket
+        # metadata, and iterate the UNION in hash-sorted order so all
+        # hosts run the identical jit sequence. The metadata carries
+        # everything a bucket-less host needs to fabricate padding rows
+        # (statics dict, zeroed example calibration pytree, normalized
+        # plane geometry). Every raise below is computed from the same
+        # gathered evidence on every host — collective-raise discipline.
+        local: dict[int, list] = {}
+        meta = []
+        for e in entries:
+            key = tuple(sorted(e[2].statics().items()))
+            # 30-bit positive hash: must survive the int32 gather and
+            # gives the agreed bucket iteration order.
+            kh = int.from_bytes(hashlib.blake2b(
+                repr(key).encode(), digest_size=4).digest(),
+                "little") & 0x3FFFFFFF
+            local.setdefault(kh, []).append(e)
+        for kh, es in sorted(local.items()):
+            _, src0, plan0 = es[0]
+            plane0 = np.asarray(normalize_plane(plan0, src0.raw.data))
+            meta.append({
+                "hash": kh,
+                "statics": dict(plan0.statics()),
+                "params0": jax.tree.map(
+                    lambda l: np.zeros_like(np.asarray(l)), plan0.params),
+                "plane": (tuple(plane0.shape), plane0.dtype.str),
+            })
+        # The fleet is our own trusted processes (pickle is fine here;
+        # this is coordination state, not external input).
+        union: dict[int, dict] = {}
+        collision = None
+        for blob in _allgather_blob(pickle.dumps(meta)):
+            for m in pickle.loads(blob):
+                have = union.get(m["hash"])
+                if have is None:
+                    union[m["hash"]] = m
+                elif (have["statics"] != m["statics"]
+                      or have["plane"] != m["plane"]):
+                    collision = m["hash"]
+        if collision is not None:
+            # Identical union on every host -> identical raise.
             raise ValueError(
-                "multi-host batches require uniform plan statics (same "
-                "sensor geometry/config) per call; split the file list "
-                "by camera model first")
-        if real.size and not (real == real[0]).all():
-            raise ValueError("hosts disagree on plan statics; split the "
-                             "file list by camera model first")
-        if real.size == 0:
+                f"plan-statics hash collision across hosts (hash "
+                f"{collision}); rehash with a different digest size")
+        if not union:
             return results  # nothing decodable anywhere
-        if (hashes == -1).any():
-            # Some host's partition has no decodable files: it cannot
-            # build padding rows (it has no plan), so the whole fleet
-            # refuses together with the same error.
-            raise ValueError(
-                "a host's partition has no decodable files while others "
-                "do; feed at least one decodable file per host")
-
-        steps = int(_allgather_i32(
-            math.ceil(len(entries) / self.local_dp)).max())
-        plan = entries[0][2]
-        # Host-side rank probe: normalize_plane only reshapes [H,W*3]
-        # to [H,W,3] for rgb mode -- no device upload needed here.
-        rank = 3 if (plan.statics().get("mode") == "rgb"
-                     and entries[0][1].raw.data.ndim == 2) \
-            else entries[0][1].raw.data.ndim
-        sh_plane = NamedSharding(self.mesh, P("batch", *([None] * rank)))
 
         inflight = []
-        for step in range(steps):
-            rows = entries[step * self.local_dp:(step + 1) * self.local_dp]
-            pad_src = rows[-1] if rows else entries[-1]
-            chunk = list(rows) + [pad_src] * (self.local_dp - len(rows))
-            planes = np.stack([
-                np.asarray(normalize_plane(p_, src.raw.data))
-                for _, src, p_ in chunk])
-            params = stack_params([p_.params for _, _, p_ in chunk])
-            g_planes = _make_global(sh_plane, planes)
-            g_params = jax.tree.map(
-                lambda leaf: _make_global(
-                    NamedSharding(self.mesh,
-                                  P("batch", *([None] * (leaf.ndim - 1)))),
-                    np.asarray(leaf)),
-                params)
-            out = _develop_batch_perimage_jit(g_planes, g_params,
-                                              **plan.statics())
-            inflight.append((rows, out))
-            self._drain(inflight, results, keep=self.inflight_batches)
+        for kh in sorted(union):
+            m = union[kh]
+            es = local.get(kh, [])
+            steps = int(_allgather_i32(
+                math.ceil(len(es) / self.local_dp)).max())
+            statics = m["statics"]
+            pshape, pdtype = m["plane"]
+            sh_plane = NamedSharding(self.mesh,
+                                     P("batch", *([None] * len(pshape))))
+            zero_plane = None
+            for step in range(steps):
+                rows = es[step * self.local_dp:(step + 1) * self.local_dp]
+                pad = self.local_dp - len(rows)
+                if rows:
+                    pad_rows = [rows[-1]] * pad
+                elif es:
+                    pad_rows = [es[-1]] * pad
+                else:
+                    pad_rows = []
+                planes_l = [np.asarray(normalize_plane(p_, src.raw.data))
+                            for _, src, p_ in list(rows) + pad_rows]
+                params_l = [p_.params for _, _, p_ in list(rows) + pad_rows]
+                if not planes_l or len(planes_l) < self.local_dp:
+                    # No local files in this bucket: fabricate zero rows
+                    # from the broadcast metadata.
+                    if zero_plane is None:
+                        zero_plane = np.zeros(pshape, np.dtype(pdtype))
+                    need = self.local_dp - len(planes_l)
+                    planes_l += [zero_plane] * need
+                    params_l += [m["params0"]] * need
+                planes = np.stack(planes_l)
+                params = stack_params(params_l)
+                g_planes = _make_global(sh_plane, planes)
+                g_params = jax.tree.map(
+                    lambda leaf: _make_global(
+                        NamedSharding(self.mesh,
+                                      P("batch", *([None] * (leaf.ndim - 1)))),
+                        np.asarray(leaf)),
+                    params)
+                out = _develop_batch_perimage_jit(g_planes, g_params,
+                                                  **statics)
+                inflight.append((rows, out))
+                self._drain(inflight, results, keep=self.inflight_batches)
         self._drain(inflight, results, keep=0)
         return results
 

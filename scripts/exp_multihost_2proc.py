@@ -62,7 +62,16 @@ from imagepipe_tpu.raw import synthetic_bayer
 for s in range(11):
     save_synraw(os.path.join({td!r}, f"f{{s:02d}}.synraw.npz"),
                 synthetic_bayer(96, 64, seed=100 + s))
-print("made 11 files")
+# A second sensor shape, interleaved by name: the round-robin partition
+# gives both hosts a mixed-bucket schedule.
+for s in range(3):
+    save_synraw(os.path.join({td!r}, f"f{{s:02d}}x.synraw.npz"),
+                synthetic_bayer(48, 32, seed=200 + s))
+# And ONE file of a third shape: exactly one host owns its bucket, so
+# the other must fabricate padding rows from the broadcast metadata.
+save_synraw(os.path.join({td!r}, "g_lonely.synraw.npz"),
+            synthetic_bayer(144, 96, seed=300))
+print("made 15 files (3 shape buckets)")
 """], env=env_base, capture_output=True, text=True, timeout=600)
         print(mk.stdout.strip(), mk.stderr.strip()[-300:] or "")
         assert mk.returncode == 0
@@ -118,7 +127,8 @@ print("ref done")
         # Cross-process partitioning moves jit boundaries/FMA placement:
         # hold to the repo's cross-path <=1 LSB contract.
         assert worst <= 1, worst
-        print(f"TWO-PROCESS MULTIHOST OK: 11 files across 2 hosts x 4 "
+        print(f"TWO-PROCESS MULTIHOST OK: {len(want)} files (3 mixed "
+              f"shape buckets, one single-host) across 2 hosts x 4 "
               f"devices, outputs within {worst} LSB of BatchEngine")
 
 

@@ -71,11 +71,37 @@ def test_errors_skip_keeps_schedule(tmp_path):
         MultiHostBatchEngine().develop_files(paths, errors="raise")
 
 
-def test_mixed_statics_rejected(tmp_path):
-    paths = _files(tmp_path, 2, w=96, h=64, seed0=80)
+def test_mixed_statics_bucket_scheduled(tmp_path):
+    """One call over a mixed-camera directory: files group into
+    statics buckets iterated in agreed order; results match the plain
+    BatchEngine per file (which buckets internally too)."""
+    paths = _files(tmp_path, 3, w=96, h=64, seed0=80)
     paths += _files(tmp_path, 2, w=48, h=32, seed0=90)
-    with pytest.raises(ValueError, match="uniform plan statics"):
-        MultiHostBatchEngine().develop_files(paths)
+    paths += _files(tmp_path, 2, w=96, h=64, seed0=95)
+    # Interleave shapes so buckets are not contiguous in the list.
+    order = [0, 3, 1, 4, 5, 2, 6]
+    paths = [paths[i] for i in order]
+    mh = MultiHostBatchEngine().develop_files(paths)
+    ref = BatchEngine(max_batch=8).develop_files(paths)
+    assert len(mh) == len(ref) == 7
+    for a, b in zip(ref, mh):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mixed_statics_with_errors(tmp_path):
+    paths = _files(tmp_path, 2, w=96, h=64, seed0=180)
+    paths += _files(tmp_path, 2, w=48, h=32, seed0=190)
+    bad = tmp_path / "bad.synraw.npz"
+    bad.write_bytes(b"nope")
+    paths.insert(1, str(bad))
+    mh = MultiHostBatchEngine().develop_files(paths, errors="skip")
+    assert isinstance(mh[1], BatchError)
+    ref = BatchEngine(max_batch=8).develop_files(paths, errors="skip")
+    for a, b in zip(ref, mh):
+        if isinstance(a, BatchError):
+            assert isinstance(b, BatchError)
+        else:
+            np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.skipif(not __import__("os").environ.get(

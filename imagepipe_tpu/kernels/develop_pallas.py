@@ -102,7 +102,11 @@ def pallas_supported(plan) -> bool:
     engine's in-jit permutation (engine.py:243-252). Thumbnail plans
     (dem_path 'scaled') route to the fused scaled-demosaic kernel
     (develop_scaled.py) when their geometry fits its envelope."""
-    if plan.mode != "cfa" or (plan.apply_curve and plan.n_knots > 16):
+    if plan.mode == "mono":
+        # Monochrome sensors: no demosaic, same tile back end. Resized
+        # mono plans (dem_path plaindown) stay on the XLA engine.
+        return plan.dem_path == "full"
+    if plan.mode != "cfa":
         return False
     if plan.dem_path == "full":
         return True
@@ -136,7 +140,8 @@ def _color_at_2x2(cfa: CFA, parity_y, parity_x):
 def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
                     r_ref, g_ref, b_ref, ptiles_ref, dma_sems, *, tile_h,
                     tile_w, height, width, apply_curve, n_knots, linear,
-                    out_bits, bayer, cfa_name, stage_limit=4, batched=False):
+                    out_bits, bayer, cfa_name, stage_limit=4, batched=False,
+                    mode="cfa"):
     TILE_W = tile_w
     f = jnp.float32
     if batched:
@@ -209,6 +214,15 @@ def _develop_kernel(scal_ref, spline_ref, xoff_ref, plane_hbm, cmap_ref,
         _finish_tile(rgbe, scal_ref, spline_ref, r_ref, g_ref, b_ref,
                      apply_curve=apply_curve, n_knots=n_knots, linear=linear,
                      out_bits=out_bits, stage_limit=stage_limit)
+
+    if mode == "mono":
+        # Monochrome sensors: no mosaic -- replicate the single channel
+        # and run the same color chain (the XLA engine's mono path,
+        # engine.py / gofloat.rs:101-127). Center sample only; no halo
+        # reads, so edge validity is moot.
+        vis = sl(v, 0, 0)
+        finish([vis, vis, vis, vis * 0.0])
+        return
 
     # Interior tiles (the bulk of the grid) have every +-1 neighbor inside
     # the image: validity is identically 1, Bayer neighbor counts are the
@@ -510,12 +524,12 @@ def apply_flips(out, orientation_flips):
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
                                    "stage_limit", "valid_width",
-                                   "orientation_flips"))
+                                   "orientation_flips", "mode"))
 def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
                         cfa_name, height, width, tile_h, tile_w, apply_curve,
                         n_knots, linear, out_bits, bayer, interpret,
                         stage_limit=4, valid_width=None,
-                        orientation_flips=(False, False, False)):
+                        orientation_flips=(False, False, False), mode="cfa"):
     """Run the megakernel over one (possibly width-sharded) padded plane.
 
     `width` is the LOCAL output width (the grid); `valid_width` the GLOBAL
@@ -531,7 +545,8 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
                      width=width if valid_width is None else valid_width,
                      apply_curve=apply_curve,
                      n_knots=n_knots, linear=linear, out_bits=out_bits,
-                     bayer=bayer, cfa_name=cfa_name, stage_limit=stage_limit)
+                     bayer=bayer, cfa_name=cfa_name, stage_limit=stage_limit,
+                     mode=mode)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
@@ -561,13 +576,15 @@ def _develop_pallas_jit(plane_padded, cmap, scal, spline, xoff=None, *,
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
-                                   "valid_width", "orientation_flips"))
+                                   "valid_width", "orientation_flips",
+                                   "mode"))
 def _develop_pallas_batchgrid_jit(planes_padded, cmap, scal, spline,
                                   xoff=None, *,
                                   cfa_name, height, width, tile_h, tile_w,
                                   apply_curve, n_knots, linear, out_bits,
                                   bayer, interpret, valid_width=None,
-                                  orientation_flips=(False, False, False)):
+                                  orientation_flips=(False, False, False),
+                                  mode="cfa"):
     """Batched megakernel with the batch folded into the Pallas grid:
     ONE pallas_call over [B,Hp,Wp] staged planes and [B,...] per-image
     calibration tables. Replaces the python-loop-of-kernels form, whose
@@ -586,7 +603,7 @@ def _develop_pallas_batchgrid_jit(planes_padded, cmap, scal, spline,
                      width=width if valid_width is None else valid_width,
                      apply_curve=apply_curve,
                      n_knots=n_knots, linear=linear, out_bits=out_bits,
-                     bayer=bayer, cfa_name=cfa_name, batched=True)
+                     bayer=bayer, cfa_name=cfa_name, batched=True, mode=mode)
     nsc = scal.shape[-2:]
     nsp = spline.shape[-2:]
     r, g, b = pl.pallas_call(
@@ -783,8 +800,10 @@ def calib_tables(plan):
     scal[2:5, :4] = _np.asarray(p["cmatrix"])
     scal[5:8, :3] = _np.asarray(p["rgbmatrix"])
 
-    spline = _np.zeros((5, 16), _np.float32)
+    # Spline table sized to the actual knot count (>16 knots just widen
+    # the SMEM lane dim; the kernel's scalar reads are n_knots-static).
     n_knots = plan.n_knots if plan.apply_curve else 0
+    spline = _np.zeros((5, max(16, -(-n_knots // 8) * 8)), _np.float32)
     if plan.apply_curve:
         spline[0, :n_knots] = _np.asarray(p["spline_xs"])
         spline[1, :n_knots] = _np.asarray(p["spline_ys"])
@@ -815,12 +834,18 @@ def plan_tables(plan):
     cfa = CFA(plan.cfa_name)
     tile_h, tile_w = _tiles_for(plan)
     scal, spline, n_knots = calib_tables(plan)
-    cmap = _cmap_strip(cfa, tile_h, tile_w)
+    if plan.mode == "mono" or not cfa.is_valid():
+        # Mono plans never read the color map; a zero strip keeps the
+        # pallas_call input shapes uniform.
+        cmap = np.zeros((tile_h + 2 * HALO, tile_w + 2 * HALO_X), np.uint8)
+    else:
+        cmap = _cmap_strip(cfa, tile_h, tile_w)
     statics = dict(
         cfa_name=plan.cfa_name, height=plan.height, width=plan.width,
         tile_h=tile_h, tile_w=tile_w, apply_curve=plan.apply_curve,
         n_knots=n_knots, linear=plan.linear, out_bits=plan.out_bits,
         bayer=(cfa.width == 2 and cfa.height == 2),
+        mode=plan.mode,
         orientation_flips=tuple(plan.orientation_flips))
     return cmap, scal, spline, statics
 
@@ -889,12 +914,13 @@ def batch_jit(planes_padded, cmap, scal, spline, *, per_image, interpret,
 @partial(jax.jit, static_argnames=("cfa_name", "height", "width", "tile_h",
                                    "tile_w", "apply_curve", "n_knots",
                                    "linear", "out_bits", "bayer", "interpret",
-                                   "per_image", "orientation_flips"))
+                                   "per_image", "orientation_flips", "mode"))
 def _develop_pallas_batch_jit(planes_padded, cmap, scal, spline, *, cfa_name,
                               height, width, tile_h, tile_w, apply_curve,
                               n_knots, linear, out_bits, bayer, interpret,
                               per_image,
-                              orientation_flips=(False, False, False)):
+                              orientation_flips=(False, False, False),
+                              mode="cfa"):
     outs = []
     for i in range(planes_padded.shape[0]):
         s = scal[i] if per_image else scal
@@ -904,7 +930,7 @@ def _develop_pallas_batch_jit(planes_padded, cmap, scal, spline, *, cfa_name,
             width=width, tile_h=tile_h, tile_w=tile_w,
             apply_curve=apply_curve, n_knots=n_knots, linear=linear,
             out_bits=out_bits, bayer=bayer, interpret=interpret,
-            orientation_flips=orientation_flips))
+            orientation_flips=orientation_flips, mode=mode))
     return jnp.stack(outs, axis=0)
 
 

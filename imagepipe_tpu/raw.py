@@ -320,3 +320,24 @@ def synthetic_xtrans(width: int = 6240, height: int = 4168, seed: int = 0) -> Ra
     """A synthetic Fuji X-Trans RAW (6x6 CFA, default 26MP)."""
     pattern = ("GBGGRG" "RGRBGB" "GBGGRG" "GRGGBG" "BGBRGR" "GRGGBG")
     return _synthetic_raw(pattern, width, height, seed)
+
+
+def synthetic_mono(width: int = 6000, height: int = 4000, seed: int = 0,
+                   blacklevel: int = 512, whitelevel: int = 16383) -> RawImage:
+    """A synthetic monochrome RAW (no CFA -- Leica Monochrom-style
+    sensors; the develop chain's 'mono' mode)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(0, 1, height),
+                         np.linspace(0, 1, width), indexing="ij")
+    base = 0.5 * xx + 0.3 * yy
+    noise = rng.standard_normal((height // 16 + 1, width // 16 + 1)) * 0.03
+    noise = np.kron(noise, np.ones((16, 16)))[:height, :width]
+    plane = np.clip(base + noise, 0.0, 1.0).astype(np.float32)
+    data = (plane * (whitelevel - blacklevel) + blacklevel).astype(np.uint16)
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(blacklevel,) * 4, whitelevels=(whitelevel,) * 4,
+        wb_coeffs=(1.0, 1.0, 1.0, float("nan")),
+        xyz_to_cam=_SYNTH_XYZ_TO_CAM, orientation=Orientation.Normal,
+        cfa=CFA(""), data=data, make="synthetic",
+        model=f"synth-mono-{width}x{height}")

@@ -226,3 +226,47 @@ def test_scaled_batch_engine_routing(tmp_path):
         diff = np.abs(got.astype(int) - want.astype(int))
         assert diff.max() <= 1
         assert (diff != 0).mean() < 0.02
+
+
+@pytest.mark.parametrize("make_raw,out_bits", [
+    (synthetic_bayer, 8),
+    (synthetic_bayer, 16),
+    (synthetic_xtrans, 8),
+])
+def test_scaled_deep_scale_chunked(make_raw, out_bits):
+    """Deep scales (small previews: K > 16 window spans) run the
+    kx-chunked kernel variant instead of falling back to the 6x-slower
+    XLA path (r3 verdict weak #6)."""
+    raw = make_raw(1200, 800, seed=7)
+    plan = _plan(raw, 48, out_bits)
+    assert plan.dem_path == "scaled"
+    sp = scaled_plan_for(plan)
+    assert sp is not None and sp.statics.get("chunked"), sp and sp.statics
+    assert pallas_supported(plan)
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    assert got.shape == want.shape
+    diff = np.abs(want - got)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_scaled_chunked_batch_and_orientation():
+    from imagepipe_tpu.raw import Orientation
+
+    raw = synthetic_bayer(1200, 800, seed=8)
+    raw.orientation = Orientation.Rotate90
+    plan = _plan(raw, 40)
+    sp = scaled_plan_for(plan)
+    assert sp is not None and sp.statics.get("chunked")
+    want = np.asarray(develop_fused(plan, raw.data)).astype(int)
+    got = np.asarray(develop_pallas(plan, raw.data, interpret=True)).astype(int)
+    assert got.shape == want.shape
+    assert np.abs(want - got).max() <= 1
+    # Batched form (grid-batched when BATCH_GRID, loop form otherwise).
+    from imagepipe_tpu.kernels.develop_scaled import develop_scaled_batch
+
+    planes = np.stack([raw.data] * 2)
+    gb = np.asarray(develop_scaled_batch(plan, planes,
+                                         interpret=True)).astype(int)
+    assert np.abs(gb - got[None]).max() == 0

@@ -273,3 +273,154 @@ def decode_file(path) -> ImageSource:
         raise ValueError(
             f"imagepipe: Don't know how to decode image {path!r}"
             + (f" ({detail})" if detail else "")) from e
+
+
+def codec_family(path) -> str:
+    """Best-effort codec-family label for a RAW file WITHOUT decoding
+    pixels -- the audit axis of the real-file harness: a run over a
+    directory of real camera files reports which decoder families were
+    actually exercised (tests/test_realfiles.py prints the table, and
+    docs/MIGRATION.md documents the one-command audit). Unknown or
+    unparseable files label "unknown"."""
+    import struct
+
+    path = os.fspath(path)
+    low = path.lower()
+    try:
+        with open(path, "rb") as f:
+            head = f.read(0x80)
+        if head[:2] == b"P5":
+            return "pgm"
+        if low.endswith(".synraw.npz"):
+            return "synraw"
+        if head[:16] == b"FUJIFILMCCD-RAW ":
+            return _raf_family(path)
+        if head[:4] == b"\x00MRM":
+            return "mrw"
+        from .tiff import TiffFile
+
+        with open(path, "rb") as f:
+            buf = f.read()
+        ext = os.path.splitext(low)[1]
+        if ext == ".rw2":
+            tf = TiffFile(buf, magics=(42, 85))
+            ifd = tf.ifds[0]
+            rf = int(ifd.get1(0x002D, 0) or 0)
+            w = int(ifd.get1(0x0002, 0) or 0)
+            h = int(ifd.get1(0x0003, 0) or 0)
+            counts = ifd.get(0x0117) or []
+            extent = sum(int(c) for c in counts) if counts else 0
+            if extent == w * h * 2 and extent:
+                return "rw2-uncompressed"
+            if rf >= 8:
+                return f"rw2-v{rf}-unsupported"
+            if rf >= 5:
+                return f"rw2-v{rf}"
+            return "rw2-classic"
+        if ext in (".nef", ".nrw"):
+            from .vendor import _nikon_makernote_tiff, _raw_cfa_ifd
+
+            tf = TiffFile(buf)
+            comp = int(_raw_cfa_ifd(tf).get1(259, 1) or 1)
+            if comp != 34713:
+                return f"nef-comp{comp}"
+            mn = _nikon_makernote_tiff(tf)
+            meta = mn.find_raw_bytes(0x0096) if mn is not None else b""
+            if meta and len(meta) >= 2:
+                v0, v1 = meta[0], meta[1]
+                if v0 == 0x46:
+                    return "nef-34713-lossless"
+                if v0 == 0x44 and v1 == 0x40:
+                    return "nef-34713-lossy2"
+                if v0 == 0x44:
+                    return "nef-34713-lossy"
+                return f"nef-34713-{v0:02x}{v1:02x}"
+            return "nef-34713"
+        if ext == ".orf":
+            from .vendor import _raw_cfa_ifd
+
+            tf = TiffFile(buf, magics=(42, 0x4F52, 0x5352))
+            ifd = _raw_cfa_ifd(tf)
+            w = int(ifd.get1(256, 0) or 0)
+            h = int(ifd.get1(257, 0) or 0)
+            counts = ifd.get(279) or []
+            extent = sum(int(c) for c in counts)
+            if extent >= w * h * 2 > 0:
+                return "orf-16bit"
+            if extent == w * h * 3 // 2:
+                return "orf-12bit-packed"
+            return "orf-compressed"
+        if ext == ".pef":
+            from .vendor import _raw_cfa_ifd
+
+            tf = TiffFile(buf)
+            comp = int(_raw_cfa_ifd(tf).get1(259, 1) or 1)
+            return "pef-compressed" if comp == 65535 else f"pef-comp{comp}"
+        if ext == ".dng":
+            from .vendor import _raw_cfa_ifd
+
+            tf = TiffFile(buf)
+            ifd = _raw_cfa_ifd(tf)
+            comp = int(ifd.get1(259, 1) or 1)
+            fmt = int(ifd.get1(339, 1) or 1)   # SampleFormat 3 = float
+            base = {1: "dng-uncompressed", 7: "dng-lj92",
+                    8: "dng-deflate"}.get(comp, f"dng-comp{comp}")
+            return base + ("-float" if fmt == 3 else "")
+        if ext == ".cr2":
+            return "cr2-lj92"
+        if ext in (".arw", ".sr2"):
+            return "arw"
+        if ext in _TIFFEP_EXTS:
+            return f"tiffep-{ext[1:]}"
+        return "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _raf_family(path: str) -> str:
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    (_jo, _jl, meta_off, meta_len, cfa_off, _cl) = struct.unpack_from(
+        ">IIIIII", buf, 0x54)
+    if buf[cfa_off:cfa_off + 4] in (b"II*\0", b"MM\0*"):
+        # TIFF-wrapped: fuji-compressed payloads start with the 0x4953
+        # stream signature inside the FujiIFD strip; sniff loosely.
+        sub = buf[cfa_off:cfa_off + (1 << 20)]
+        if b"\x49\x53" in sub[:64] or _raf_fujic_strip(buf, cfa_off):
+            return "raf-fujic"
+        return "raf-tiff-16bit"
+    recs = {}
+    try:
+        (count,) = struct.unpack_from(">I", buf, meta_off)
+        p = meta_off + 4
+        for _ in range(min(count, 4096)):
+            tag, size = struct.unpack_from(">HH", buf, p)
+            p += 4
+            recs[tag] = buf[p:p + size]
+            p += size
+    except Exception:
+        pass
+    lay = recs.get(0x0130, b"")
+    if len(lay) >= 2 and not (lay[1] & 8):
+        return "raf-superccd"
+    if 0x0131 in recs:
+        return "raf-classic-xtrans"
+    return "raf-classic-bayer"
+
+
+def _raf_fujic_strip(buf: bytes, cfa_off: int) -> bool:
+    """True when the embedded FujiIFD's first strip bears the fuji
+    lossless-compressed stream signature."""
+    try:
+        from .tiff import TiffFile
+
+        tf = TiffFile(bytes(buf[cfa_off:]))
+        offs = tf.find(0xF007)
+        if not offs:
+            return False
+        o = int(offs[0])
+        return buf[cfa_off + o:cfa_off + o + 2] == b"\x49\x53"
+    except Exception:
+        return False

@@ -748,3 +748,80 @@ def test_dng_deflate_through_pipeline(tmp_path):
     write_dng(pu, raw, compression=1)
     np.testing.assert_array_equal(simple_decode_8bit(pz).data,
                                   simple_decode_8bit(pu).data)
+
+
+def test_codec_family_labels(tmp_path):
+    """codec_family (the real-file audit axis) labels every synthesized
+    container with its decoder family without decoding pixels."""
+    import struct
+
+    import numpy as np
+
+    from imagepipe_tpu.decode import codec_family
+    from tests.test_rw2 import make_rw2, _smooth
+    from tests.test_nikon import make_nef_34713, _rng
+    from tests.test_raf import make_raf, make_raf_tiff, _sensor
+    from imagepipe_tpu.rw2 import (encode_panasonic_v5, encode_panasonic_v6,
+                                   encode_panasonic_v7)
+
+    def put(name, blob):
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(blob)
+        return p
+
+    img = _smooth(64, 224, seed=3)
+    img14 = np.minimum(_smooth(24, 198).astype(np.int64),
+                       16368).astype(np.uint16)
+    cases = {
+        put("a.rw2", make_rw2(img)): "rw2-classic",
+        put("b.rw2", make_rw2(img14, payload=encode_panasonic_v6(
+            img14, snap=True)[0], bits=14, rawformat=6)): "rw2-v6",
+        put("c.rw2", make_rw2(img14, payload=encode_panasonic_v5(img14),
+                              bits=14, rawformat=5)): "rw2-v5",
+        put("d.rw2", make_rw2(img14, payload=encode_panasonic_v7(img14),
+                              bits=14, rawformat=7)): "rw2-v7",
+        put("a.nef", make_nef_34713(_rng(4).integers(
+            0, 1 << 14, (48, 64)).astype(np.uint16))): "nef-34713-lossless",
+        put("x.raf", make_raf(_sensor(36, 48))): "raf-classic-xtrans",
+        put("s.raf", make_raf(_sensor(16, 24), pattern=None, extra_recs=[
+            (0x0130, bytes([0, 0])),
+            (0x0121, struct.pack(">HH", 16, 24))])): "raf-superccd",
+        put("t.raf", make_raf_tiff(_sensor(24, 24, seed=7))): "raf-tiff-16bit",
+        put("junk.xyz", b"garbage"): "unknown",
+    }
+    for path, want in cases.items():
+        assert codec_family(path) == want, (path, codec_family(path), want)
+
+
+def test_realfile_harness_selfcheck(tmp_path):
+    """Drive the opt-in real-file harness end-to-end with synthesized
+    containers + hand-built sidecars: the per-file assertions run and the
+    coverage summary is written, so the first REAL-file run is a known-
+    working one-command audit."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tests.test_rw2 import make_rw2, _smooth
+
+    img = _smooth(64, 224, seed=11)
+    rawp = tmp_path / "shot.rw2"
+    rawp.write_bytes(make_rw2(img))
+    np.savez(str(rawp) + ".sidecar.npz", raw_image=img,
+             black=143, white=4095,
+             cam_mul=np.array([470.0, 256.0, 380.0, 0.0]),
+             flip=0)
+    env = dict(__import__("os").environ,
+               IMAGEPIPE_REALFILE_DIR=str(tmp_path),
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_realfiles.py", "-q"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__file__)))
+    assert r.returncode == 0, r.stdout[-3000:]
+    summary = (tmp_path / "coverage_summary.txt").read_text()
+    assert "rw2-classic" in summary and "EXERCISED" in summary
+    assert "awaiting real bytes" in summary   # open questions listed

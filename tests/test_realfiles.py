@@ -44,11 +44,41 @@ pytestmark = pytest.mark.skipif(
     not _DIR, reason="IMAGEPIPE_REALFILE_DIR not set (opt-in harness)")
 
 
+# Codec families with implemented decoders: the coverage summary reports
+# which of these a real-file run actually exercised, so the first run on
+# real camera bytes is a one-command audit (see docs/MIGRATION.md).
+_FAMILIES = [
+    "dng-lj92", "dng-deflate", "dng-uncompressed",
+    "nef-34713-lossless", "nef-34713-lossy", "nef-34713-lossy2",
+    "cr2-lj92", "arw",
+    "raf-fujic", "raf-tiff-16bit", "raf-classic-xtrans",
+    "raf-classic-bayer", "raf-superccd",
+    "orf-compressed", "orf-12bit-packed", "orf-16bit",
+    "pef-compressed",
+    "rw2-classic", "rw2-v5", "rw2-v6", "rw2-v7", "rw2-uncompressed",
+    "mrw", "pgm",
+]
+# Families whose synthetic tests leave a named open question that ONLY
+# real bytes can settle.
+_CONFIRMS = {
+    "raf-fujic": "confirms the X-Trans B2 interpolation mask (fujic.py)",
+    "rw2-v5": "confirms the recalled v5 packet layout (rw2.py)",
+    "rw2-v6": "confirms the recalled v6 page layout (rw2.py)",
+    "rw2-v7": "confirms the recalled pana8 block layout (rw2.py)",
+    "nef-34713-lossy2": "confirms the type-2 quartered curve (nikon.py)",
+    "raf-superccd": "confirms the lattice CFA derivation (raf.py)",
+}
+_seen: dict = {}
+
+
 @pytest.mark.parametrize("rawpath,sidecar", _pairs() or [("", "")])
 def test_real_file_matches_sidecar(rawpath, sidecar):
     if not rawpath:
         pytest.skip("no RAW+sidecar pairs found in IMAGEPIPE_REALFILE_DIR")
-    from imagepipe_tpu.decode import decode_file
+    from imagepipe_tpu.decode import codec_family, decode_file
+
+    _seen.setdefault(codec_family(rawpath), []).append(
+        os.path.basename(rawpath))
 
     side = np.load(sidecar, allow_pickle=False)
     raw = decode_file(rawpath).raw
@@ -91,3 +121,32 @@ def test_real_file_matches_sidecar(rawpath, sidecar):
         want_fl = flips.get(int(side["flip"]))
         if want_fl is not None:
             assert raw.orientation.to_flips() == want_fl
+
+
+def test_zzz_family_coverage_summary():
+    """Runs last (name-ordered): prints + writes the per-family coverage
+    table of this real-file run. Never fails -- it is the audit report."""
+    if not _pairs():
+        pytest.skip("no RAW+sidecar pairs found")
+    lines = ["real-file codec-family coverage:"]
+    for fam in _FAMILIES:
+        files = _seen.get(fam, [])
+        mark = f"EXERCISED ({len(files)}: {', '.join(files[:3])}" + \
+            ("...)" if len(files) > 3 else ")") if files else "not exercised"
+        note = f"  [{_CONFIRMS[fam]}]" if fam in _CONFIRMS and files else ""
+        lines.append(f"  {fam:<22} {mark}{note}")
+    extra = sorted(set(_seen) - set(_FAMILIES))
+    for fam in extra:
+        lines.append(f"  {fam:<22} EXERCISED ({len(_seen[fam])}) "
+                     "[outside the named family list]")
+    open_qs = [f for f in _CONFIRMS if f not in _seen]
+    if open_qs:
+        lines.append("  open questions still awaiting real bytes: "
+                     + ", ".join(open_qs))
+    report = "\n".join(lines)
+    print("\n" + report)
+    try:
+        with open(os.path.join(_DIR, "coverage_summary.txt"), "w") as f:
+            f.write(report + "\n")
+    except OSError:
+        pass

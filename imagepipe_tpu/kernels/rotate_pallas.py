@@ -189,7 +189,8 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
 
         win_bytes = 2 * components * D_y * D_x * 4
         ohx_bytes = D_xr * R * K_x * TC * 4
-        if win_bytes + ohx_bytes > _VMEM_WINDOW_BYTES:
+        rowv_bytes = 2 * 6 * TH * TC * 4   # lane-replicated row terms
+        if win_bytes + ohx_bytes + rowv_bytes > _VMEM_WINDOW_BYTES:
             return None
         # Channel-batched selection holds gsel + its masked product in VMEM
         # ([nch*D_g, R*K_x*TC] f32 each); batch as many channels per matmul as
@@ -219,22 +220,24 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
             # sub-128 tiles make TC the actual last dim (tile-major).
             coltab = coltab.reshape(6, ntc, TC).swapaxes(0, 1).copy()
 
-        # Per-row f32 terms in SMEM: exact host two-rounding values the kernel
-        # reads as scalars -- device-side `tl + skip*r` could contract into an
-        # FMA whose single rounding flips floor() at window boundaries (the trap
-        # documented for scaling.py's host tables).
+        # Per-row f32 terms, exact host two-rounding values -- device-side
+        # `tl + skip*r` could contract into an FMA whose single rounding
+        # flips floor() at window boundaries (the trap documented for
+        # scaling.py's host tables). Lane-replicated into a VMEM table
+        # ([6, nh_pad, TC]) so the kernel's weight/validity math runs in
+        # full [R, TC] register tiles instead of 1-sublane [TC] vectors
+        # (the measured 45-degree residual, VERDICT r3 item 7).
         nh_pad = ntr * TH
         rpad = np.minimum(np.arange(nh_pad), nheight - 1).astype(_f32)
-        rowtab = np.stack([
+        rowbase = np.stack([
             tl1 + syy * rpad,                                       # fyr
             tl1 + syy * (rpad + _f32(1.0)),                         # tyr
             tl0 + syx * rpad,                                       # fxr
             tl0 + syx * (rpad + _f32(1.0)),                         # txr
             tl1 + syy * rpad + _f32(syy / _f32(2.0)) - _f32(0.5),   # cyr
             tl0 + syx * rpad + _f32(syx / _f32(2.0)) - _f32(0.5),   # cxr
-            np.zeros(nh_pad, _f32),
-            np.zeros(nh_pad, _f32),
-        ]).astype(_f32).T.copy()             # [nh_pad, 8] (SMEM block layout)
+        ]).astype(_f32)
+        rowv = np.repeat(rowbase[:, :, None], TC, axis=2)  # [6, nh_pad, TC]
 
         # Geometry params + per-tile-row and per-group aggregates (exact f32
         # minima/maxima of the row terms) for window origins:
@@ -260,7 +263,7 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
         ntiles = ntr * ntc * ngr
         mxu = ntiles * components * D_g * D_xr * R * K_x * TC * 3 / 32.0
         vpu = ntiles * components * R * K_y * D_g * K_x * TC
-        return (mxu + vpu), (statics, coltab, rowtab, aggtab)
+        return (mxu + vpu), (statics, coltab, rowv, aggtab)
 
     # Angle-adaptive tile width: the group sub-window scales with
     # TC*sin(angle) on BOTH axes, so selection FLOPs per output pixel
@@ -274,9 +277,9 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
     return None if best is None else best[1]
 
 
-def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
-                   *, components, height, width, nheight, nwidth, ntr, ntc,
-                   D_y, D_x, D_g, D_xr, K_x, K_y, Hp, Wp, nch, tc):
+def _rotate_kernel(tab_ref, rowv_ref, agg_ref, src_hbm, out_ref, win_ref,
+                   sems, *, components, height, width, nheight, nwidth, ntr,
+                   ntc, D_y, D_x, D_g, D_xr, K_x, K_y, Hp, Wp, nch, tc):
     TC = tc          # angle-adaptive tile width (shadows the module default)
     tile_fmt = tc < 128  # sub-128: tile-major table/output layouts
     f = jnp.float32
@@ -392,55 +395,47 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
         py0_abs = ry0 + pyb * 8
         px0_abs = rx0 + pxb * 128
 
-        # Per-row index vectors and weights (hoisted across channels).
-        from_xs, qys, tos_y = [], [], []
-        ws = []          # ws[rr][ky][kx]: [TC] f32 sample weights
-        counts = []
-        for rr in range(R):
-            rl = g * R + rr
-            fyr = row_ref[rl, 0]
-            tyr = row_ref[rl, 1]
-            fxr = row_ref[rl, 2]
-            txr = row_ref[rl, 3]
-            cyr = row_ref[rl, 4]
-            cxr = row_ref[rl, 5]
-            from_y = sat_v(fyr + fyc, height - 1)    # [TC]
-            to_y = sat_v(tyr + tyc, height - 1)
-            from_x = sat_v(fxr + fxc, width - 1)
-            to_x = sat_v(txr + txc, width - 1)
-            center_y = cyr + cyc
-            center_x = cxr + cxc
-            from_xs.append(from_x)
-            qys.append(from_y - py0_abs)
-            tos_y.append(to_y)
-            wk = []
-            cnt = jnp.zeros((TC,), f)
-            for ky in range(K_y):
-                y = from_y + ky
-                validy = (y <= to_y).astype(f)
-                dy = (y.astype(f) - center_y) / syyf
-                dy2 = dy * dy
-                row_w = []
-                for kx in range(K_x):
-                    x = from_x + kx
-                    validx = (x <= to_x).astype(f)
-                    dx = (x.astype(f) - center_x) / sxxf
-                    fac = (1.0 - dx * dx) - dy2
-                    fac = jnp.where(fac < 0.0, 0.0, fac)
-                    w = fac * validx * validy        # [TC]
-                    row_w.append(w)
-                    cnt = cnt + w                    # reference sample order
-                wk.append(row_w)
-            ws.append(wk)
-            counts.append(cnt)
+        # Group index vectors and weights in FULL [R, TC] / [R, K_x*TC]
+        # register tiles (the r3-measured 45-degree residual was this
+        # section issued as 1-sublane [TC] vectors, 1/8 VPU utilization).
+        # Expressions and per-pixel f32 accumulation order are identical
+        # to the reference loop, so outputs stay bit-exact.
+        rv = lambda k: rowv_ref[k, pl.ds(g * R, R), :]   # [R, TC]
+        from_y_t = sat_v(rv(0) + fyc[None, :], height - 1)
+        to_y_t = sat_v(rv(1) + tyc[None, :], height - 1)
+        from_x_t = sat_v(rv(2) + fxc[None, :], width - 1)
+        to_x_t = sat_v(rv(3) + txc[None, :], width - 1)
+        center_y_t = rv(4) + cyc[None, :]
+        center_x_t = rv(5) + cxc[None, :]
+        qys_t = from_y_t - py0_abs
+        tos_rel_t = to_y_t - py0_abs
+
+        # x-window terms widened across every kx offset in one shot.
+        kx_blk = jax.lax.broadcasted_iota(jnp.int32, (R, K_x * TC), 1) // TC
+        xw = jnp.tile(from_x_t, (1, K_x)) + kx_blk
+        vxw = (xw <= jnp.tile(to_x_t, (1, K_x))).astype(f)
+        dxw = (xw.astype(f) - jnp.tile(center_x_t, (1, K_x))) / sxxf
+        facx = 1.0 - dxw * dxw
+        ws_wide = []                    # per ky: [R, K_x*TC]
+        cnt_t = jnp.zeros((R, TC), f)
+        for ky in range(K_y):
+            y = from_y_t + ky
+            validy = (y <= to_y_t).astype(f)
+            dy = (y.astype(f) - center_y_t) / syyf
+            fac = facx - jnp.tile(dy * dy, (1, K_x))
+            fac = jnp.where(fac < 0.0, 0.0, fac)
+            w = fac * vxw * jnp.tile(validy, (1, K_x))
+            ws_wide.append(w)
+            for kx in range(K_x):       # reference (ky, kx) sample order
+                cnt_t = cnt_t + w[:, kx * TC:(kx + 1) * TC]
 
         # One-hot x selectors for all (rr, kx) at once: hot where
-        # px0 + i == from_x(rr,c) + kx, laid out [(rr*K_x + kx)*TC + c].
+        # px0 + i == from_x(r,c) + kx, laid out [(rr*K_x + kx)*TC + c].
         # Built by tile+select (Mosaic rejects 1-D vector concatenation).
         blk = lane_iota // TC                                    # [1, N]
         fx_all = jnp.zeros((1, R * K_x * TC), jnp.int32)
         for rr in range(R):
-            base = (from_xs[rr] - px0_abs)[None, :]              # [1, TC]
+            base = from_x_t[rr:rr + 1, :] - px0_abs              # [1, TC]
             tiled = jnp.tile(base, (1, R * K_x))                 # [1, N]
             for kx in range(K_x):
                 b = rr * K_x + kx
@@ -448,8 +443,9 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
         ohx = (iota_x == fx_all).astype(f)            # [D_xr, R*K_x*TC]
 
         # Row-selection masks per (rr, ky): [D_g, TC].
-        masks = [[(iota_sub == (qys[rr] + ky)[None, :]).astype(f)
-                  * (qys[rr] + ky <= tos_y[rr] - py0_abs).astype(f)[None, :]
+        masks = [[(iota_sub == qys_t[rr:rr + 1, :] + ky).astype(f)
+                  * (qys_t[rr:rr + 1, :] + ky
+                     <= tos_rel_t[rr:rr + 1, :]).astype(f)
                   for ky in range(K_y)] for rr in range(R)]
 
         ohx_bf = ohx.astype(jnp.bfloat16)
@@ -493,15 +489,16 @@ def _rotate_kernel(tab_ref, row_ref, agg_ref, src_hbm, out_ref, win_ref, sems,
                     # K_x*nc narrow reduce ops (the 45-degree hot loop).
                     m_t = jnp.tile(masks[rr][ky], (nc, K_x))
                     prod = seg * m_t                   # [nc*D_g, K_x*TC]
+                    w_row = ws_wide[ky][rr]            # [K_x*TC]
                     for ci in range(nc):
                         vals = jnp.sum(prod[ci * D_g:(ci + 1) * D_g, :],
                                        axis=0)
+                        pw = w_row * vals              # one wide multiply
                         acc = accs[ci]
-                        for kx in range(K_x):
-                            acc = acc + ws[rr][ky][kx] \
-                                * vals[kx * TC:(kx + 1) * TC]
+                        for kx in range(K_x):          # reference kx order
+                            acc = acc + pw[kx * TC:(kx + 1) * TC]
                         accs[ci] = acc
-                cnt = counts[rr]
+                cnt = cnt_t[rr]
                 for ci, ch in enumerate(chs):
                     res = jnp.where(cnt > 0.0, accs[ci] / cnt, 0.0)
                     if tile_fmt:
@@ -549,8 +546,8 @@ def _rotate_jit(src_chw, coltab, rowtab, aggtab, *, components, height, width,
         grid=(ntr, ntc),
         in_specs=[
             colspec,                                 # column tables
-            pl.BlockSpec((TH, 8), lambda i, j: (i, 0),
-                         memory_space=pltpu.SMEM),   # row tables (scalars)
+            pl.BlockSpec((6, TH, TC), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),   # lane-replicated row terms
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tile/group aggregates
             pl.BlockSpec(memory_space=pltpu.ANY),    # padded source (HBM)
         ],

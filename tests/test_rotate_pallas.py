@@ -210,10 +210,12 @@ def test_rotate_tile_empty_check_is_conservative():
 
         rows = np.arange(nh)
         cols = np.arange(nw)
-        fy = rowtab[rows, 0][:, None] + coltab[2][None, :nw]
-        ty = rowtab[rows, 1][:, None] + coltab[3][None, :nw]
-        fx = rowtab[rows, 2][:, None] + coltab[0][None, :nw]
-        tx = rowtab[rows, 3][:, None] + coltab[1][None, :nw]
+        # rowtab is the lane-replicated [6, nh_pad, TC] VMEM table; every
+        # lane holds the same per-row term, so lane 0 is the scalar.
+        fy = rowtab[0, rows, 0][:, None] + coltab[2][None, :nw]
+        ty = rowtab[1, rows, 0][:, None] + coltab[3][None, :nw]
+        fx = rowtab[2, rows, 0][:, None] + coltab[0][None, :nw]
+        tx = rowtab[3, rows, 0][:, None] + coltab[1][None, :nw]
         satv = lambda a, m: np.clip(np.nan_to_num(np.floor(a), nan=0.0),
                                     0, m).astype(int)
         from_y, to_y = satv(fy, h - 1), satv(ty, h - 1)

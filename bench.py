@@ -387,8 +387,9 @@ def section_rotation():
     from imagepipe_tpu.buffer import OpBuffer
     from imagepipe_tpu.ops.rotatecrop import OpRotateCrop
 
-    # 24MP free rotation (the rotatecrop op at ~11.5 degrees) through the
-    # Pallas MXU one-hot kernel on developed 4-channel f32 data.
+    # 24MP free rotation (the rotatecrop op; rotation is a fraction of
+    # 90 degrees, so 0.2 = 18 degrees) through the Pallas MXU one-hot
+    # kernel on developed 4-channel f32 data.
     rng = np.random.default_rng(1)
     rbuf = OpBuffer.from_hwc(rng.random((4024, 6048, 4), dtype=np.float32))
     rot = OpRotateCrop.empty()
@@ -396,7 +397,7 @@ def section_rotation():
     rout = rot.run(None, rbuf)
     out_mp = rout.width * rout.height / 1e6
     dt = _timed(lambda: rot.run(None, rbuf).data, iters=3)
-    _emit({"metric": "24MP free rotation 11deg (pallas one-hot MXU)",
+    _emit({"metric": "24MP free rotation 18deg (pallas one-hot MXU)",
            "value": round(out_mp / dt, 1), "unit": "output MP/s",
            "vs_baseline": None})
 
@@ -510,14 +511,19 @@ def _wait_for_backend(max_wait_s: int) -> bool:
         time.sleep(delay)
 
 
-def _run_section_child(name: str, timeout_s: int, env_extra=None):
+def _run_section_child(name: str, timeout_s: int, env_extra=None,
+                       seen_metrics=None):
     """Run one section as a child process; stream its JSON stdout lines to
-    our stdout as they arrive. Returns (ok, emitted_lines, err_tail)."""
+    our stdout as they arrive. A retried section re-measures everything,
+    so metrics already streamed by an aborted attempt are suppressed
+    (duplicate records would corrupt downstream tables).
+    Returns (ok, emitted_lines, err_tail)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
     env = dict(os.environ)
     env["PYTHONUNBUFFERED"] = "1"
     env.update(env_extra or {})
     emitted = []
+    seen = seen_metrics if seen_metrics is not None else set()
     with tempfile.TemporaryFile(mode="w+") as errf:
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=errf,
                                 text=True, env=env)
@@ -526,7 +532,17 @@ def _run_section_child(name: str, timeout_s: int, env_extra=None):
             for line in proc.stdout:
                 line = line.rstrip("\n")
                 if line.startswith("{"):
+                    try:
+                        metric = json.loads(line).get("metric")
+                    except ValueError:
+                        metric = None
                     emitted.append(line)
+                    if metric is not None and metric in seen:
+                        _log(f"[{name}] (re-measured, already emitted: "
+                             f"{metric})")
+                        continue
+                    if metric is not None:
+                        seen.add(metric)
                     print(line, flush=True)
                 elif line:
                     _log(f"[{name}] {line}")
@@ -583,11 +599,13 @@ def orchestrate(section_names):
             "BENCH_SECTION_TIMEOUT_S", SECTION_TIMEOUT_S.get(name, 1800)))
         timeout_s = int(min(timeout_s, max(remaining - 60, 180)))
         ok = False
+        seen_metrics: set = set()
         for attempt in range(1, attempts_max + 1):
             _log(f"section {name}: attempt {attempt}/{attempts_max} "
                  f"(timeout {timeout_s}s)")
             ok, lines, tail = _run_section_child(
-                name, timeout_s, env_extra=cpu_env if is_cpu else None)
+                name, timeout_s, env_extra=cpu_env if is_cpu else None,
+                seen_metrics=seen_metrics)
             if ok:
                 if name == "headline":
                     headline_line = lines[0]

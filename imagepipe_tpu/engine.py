@@ -332,6 +332,17 @@ def normalize_plane(plan: DevelopPlan, plane):
     return plane
 
 
+def normalize_plane_np(plan: DevelopPlan, plane) -> np.ndarray:
+    """normalize_plane staying on the HOST: feeds that assemble global
+    arrays themselves (multihost) must not bounce every plane through
+    the device (on the remote tunnel an upload+fetch per image dwarfs
+    the develop)."""
+    plane = np.asarray(plane)
+    if plan.mode == "rgb" and plane.ndim == 2:
+        return plane.reshape(plane.shape[0], -1, 3)
+    return plane
+
+
 def develop_fused(plan: DevelopPlan, plane, bands: int | None = None):
     """Develop one image through the fused chain. plane: device or numpy
     array of raw counts.

@@ -346,6 +346,11 @@ def encode_34713_lossy2(pred: np.ndarray, bits: int = 14,
         samples = np.linspace(0, (1 << bits) - 1, 257).astype(np.uint16)
     samples = np.asarray(samples, np.uint16)
     csize = len(samples)
+    if 12 + 2 * csize > 562:
+        # The split word lives at FIXED blob offset 562 (dcraw seeks
+        # there); samples extending past it would displace it.
+        raise ValueError("type-2 curve must fit before blob offset 562 "
+                         f"(csize {csize} > 275)")
     step = (1 << bits) // (csize - 1)
     if step <= 3:
         raise ValueError("type-2 needs step > 3 (csize too large)")

@@ -51,7 +51,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine import (_develop_batch_perimage_jit, make_develop_plan,
-                      normalize_plane, stack_params)
+                      normalize_plane_np, stack_params)
 from ..pipeline import Pipeline
 from .batch import BatchError
 
@@ -199,19 +199,29 @@ class MultiHostBatchEngine:
         # (statics dict, zeroed example calibration pytree, normalized
         # plane geometry). Every raise below is computed from the same
         # gathered evidence on every host — collective-raise discipline.
+        by_key: dict[tuple, list] = {}
+        for e in entries:
+            by_key.setdefault(tuple(sorted(e[2].statics().items())),
+                              []).append(e)
+        # 30-bit positive hashes give the agreed bucket iteration order;
+        # entries bucket by the FULL key, so a same-host collision can't
+        # silently merge two configs -- it is REPORTED through the gather
+        # (raising before the collective would hang the peers).
         local: dict[int, list] = {}
         meta = []
-        for e in entries:
-            key = tuple(sorted(e[2].statics().items()))
-            # 30-bit positive hash: must survive the int32 gather and
-            # gives the agreed bucket iteration order.
+        hash_of: dict[tuple, int] = {}
+        collided = False
+        for key, es in sorted(by_key.items()):
             kh = int.from_bytes(hashlib.blake2b(
                 repr(key).encode(), digest_size=4).digest(),
                 "little") & 0x3FFFFFFF
-            local.setdefault(kh, []).append(e)
-        for kh, es in sorted(local.items()):
+            hash_of[key] = kh
+            if kh in local:
+                collided = True
+                continue
+            local[kh] = es
             _, src0, plan0 = es[0]
-            plane0 = np.asarray(normalize_plane(plan0, src0.raw.data))
+            plane0 = normalize_plane_np(plan0, src0.raw.data)
             meta.append({
                 "hash": kh,
                 "statics": dict(plan0.statics()),
@@ -219,23 +229,29 @@ class MultiHostBatchEngine:
                     lambda l: np.zeros_like(np.asarray(l)), plan0.params),
                 "plane": (tuple(plane0.shape), plane0.dtype.str),
             })
+        if collided:
+            meta.append({"collision": True})
         # The fleet is our own trusted processes (pickle is fine here;
         # this is coordination state, not external input).
         union: dict[int, dict] = {}
-        collision = None
+        collision = collided
         for blob in _allgather_blob(pickle.dumps(meta)):
             for m in pickle.loads(blob):
+                if m.get("collision"):
+                    collision = True
+                if "hash" not in m:
+                    continue
                 have = union.get(m["hash"])
                 if have is None:
                     union[m["hash"]] = m
                 elif (have["statics"] != m["statics"]
                       or have["plane"] != m["plane"]):
-                    collision = m["hash"]
-        if collision is not None:
-            # Identical union on every host -> identical raise.
+                    collision = True
+        if collision:
+            # Identical union/sentinels on every host -> identical raise.
             raise ValueError(
-                f"plan-statics hash collision across hosts (hash "
-                f"{collision}); rehash with a different digest size")
+                "plan-statics hash collision between camera configs; "
+                "rehash with a different digest size")
         if not union:
             return results  # nothing decodable anywhere
 
@@ -259,7 +275,7 @@ class MultiHostBatchEngine:
                     pad_rows = [es[-1]] * pad
                 else:
                     pad_rows = []
-                planes_l = [np.asarray(normalize_plane(p_, src.raw.data))
+                planes_l = [normalize_plane_np(p_, src.raw.data)
                             for _, src, p_ in list(rows) + pad_rows]
                 params_l = [p_.params for _, _, p_ in list(rows) + pad_rows]
                 if not planes_l or len(planes_l) < self.local_dp:

@@ -175,8 +175,11 @@ def superccd_cfa(fuji_width: int, layout: int) -> CFA:
     demosaics natively on its true lattice through the generic-CFA
     engine, with NO holed intermediate grid; square-pixel geometry is
     restored afterwards by one anisotropic resample (superccd_geometry),
-    which is what dcraw's fuji_rotate approximates bilinearly."""
-    base = CFA("GBRG" if fuji_width % 2 == 0 else "BGGR")
+    which is what dcraw's fuji_rotate approximates bilinearly.
+
+    Upright mosaic per dcraw parse_fuji: `filters = fuji_width & 1 ?
+    0x94949494 : 0x49494949` = RGGB for odd widths, GBRG for even."""
+    base = CFA("GBRG" if fuji_width % 2 == 0 else "RGGB")
     h, w = (4, 2) if layout else (2, 4)
     letters = []
     for row in range(h):

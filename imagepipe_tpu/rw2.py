@@ -364,9 +364,12 @@ def decode_panasonic_v5(payload: bytes, width: int, height: int,
     ppp = 128 // bits
     npix = width * height
     npackets = -(-npix // ppp)
-    logical = _derotate(bytes(payload))
-    if len(logical) < npackets * 16:
+    # Length check BEFORE derotation: _derotate zero-pads partial
+    # sections, which would turn a truncated payload into silent zero
+    # pixels instead of the fail-loud contract.
+    if len(payload) < npackets * 16:
         raise ValueError("RW2 v5: bitstream exhausted")
+    logical = _derotate(bytes(payload))
     if native.have_native() and hasattr(native._lib, "rw2_decode_v5"):
         return _decode_native_wh(native._lib.rw2_decode_v5, logical,
                                  width, height, bits)

@@ -261,7 +261,9 @@ def test_superccd_cfa_matches_dcraw_mapping(layout, fuji_width):
     from imagepipe_tpu.raf import superccd_cfa
     from imagepipe_tpu.raw import CFA
 
-    base = CFA("GBRG" if fuji_width % 2 == 0 else "BGGR")
+    # dcraw parse_fuji: filters = fuji_width & 1 ? 0x94949494 (RGGB)
+    #                                            : 0x49494949 (GBRG)
+    base = CFA("GBRG" if fuji_width % 2 == 0 else "RGGB")
     cfa = superccd_cfa(fuji_width, layout)
     assert (cfa.height, cfa.width) == ((4, 2) if layout else (2, 4))
     seen = set()

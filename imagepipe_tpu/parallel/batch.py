@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine import (make_develop_plan, _develop_batch_perimage_jit,
-                      normalize_plane, planar_to_hwc, stack_params)
+                      normalize_plane_np, planar_to_hwc, stack_params)
 from ..pipeline import Pipeline
 from ..sources import ImageSource
 
@@ -161,8 +161,11 @@ class BatchEngine:
             # Per-image calibration: params (WB, levels, matrices, curves)
             # batch alongside the planes -- images bucket by STATICS only,
             # so their params may differ.
+            # Host-side normalize: the jnp variant would upload + fetch
+            # every plane through the (remote) device before the real
+            # batched transfer below.
             planes = np.stack([
-                np.asarray(normalize_plane(p_, src.raw.data))
+                normalize_plane_np(p_, src.raw.data)
                 for _, src, p_ in chunk])[sel]
             param_dicts = [chunk[i][2].params for i in sel]
             dev = shard_batch(self.mesh, jnp.asarray(planes))

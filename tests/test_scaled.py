@@ -270,3 +270,38 @@ def test_scaled_chunked_batch_and_orientation():
     gb = np.asarray(develop_scaled_batch(plan, planes,
                                          interpret=True)).astype(int)
     assert np.abs(gb - got[None]).max() == 0
+
+
+def test_scaled_probe_matches_build_across_shapes():
+    """scaled_supported (the cheap routing probe) must agree with the
+    full geometry build for every shape class -- a divergence would
+    route plans to an executor that then rejects them (or miss kernel-
+    servable plans), across BOTH the single-pass and chunked envelopes."""
+    from imagepipe_tpu.kernels.develop_scaled import (_GEOM_CACHE,
+                                                      scaled_supported)
+
+    rng = np.random.default_rng(11)
+    checked = 0
+    forms = {"single": 0, "chunked": 0, "none": 0}
+    for _ in range(24):
+        w = int(rng.integers(300, 2400))
+        h = int(rng.integers(200, 1600))
+        maxw = int(rng.integers(24, 520))
+        raw = synthetic_bayer(w - w % 2, h - h % 2, seed=1)
+        plan = _plan(raw, maxw)
+        if plan.dem_path != "scaled":
+            continue
+        checked += 1
+        _GEOM_CACHE.clear()
+        probe = scaled_supported(plan)
+        _GEOM_CACHE.clear()
+        sp = scaled_plan_for(plan)
+        assert probe == (sp is not None), (w, h, maxw)
+        if sp is None:
+            forms["none"] += 1
+        elif sp.statics.get("chunked"):
+            forms["chunked"] += 1
+        else:
+            forms["single"] += 1
+    assert checked >= 10
+    assert forms["chunked"] >= 1 and forms["single"] >= 1, forms

@@ -128,8 +128,10 @@ class OpToLab(ImageOp):
         else:
             cmatrix = self.cam_to_xyz_normalized
             mul = normalize_wbs(self.wb_coeffs)
-        data = _to_lab_kernel(buf.data, jnp.asarray(mul, jnp.float32),
-                              jnp.asarray(cmatrix, jnp.float32))
+        # Host numpy args: the jit dispatch bundles the transfer (an
+        # eager asarray is a separate round-trip per array per edit).
+        data = _to_lab_kernel(buf.data, np.asarray(mul, np.float32),
+                              np.asarray(cmatrix, np.float32))
         return OpBuffer(buf.width, buf.height, 3, buf.monochrome, data)
 
 
@@ -149,5 +151,6 @@ class OpFromLab(ImageOp):
         pass
 
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
-        data = _from_lab_kernel(buf.data, jnp.asarray(cc.XYZ_D65_33))
+        data = _from_lab_kernel(buf.data, np.asarray(cc.XYZ_D65_33,
+                                                     np.float32))
         return OpBuffer(buf.width, buf.height, 3, buf.monochrome, data)

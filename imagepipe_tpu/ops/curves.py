@@ -64,8 +64,17 @@ class OpBaseCurve(ImageOp):
         scale = math.pow(2.0, self.exposure)
         final_points = [(x, y * scale) for (x, y) in self.points]
         func = SplineFunc(final_points)
+        # Coefficients go to the jit as HOST numpy: eager jnp.asarray
+        # would commit five separate device transfers per edit (each a
+        # round-trip on the remote tunnel) before the dispatch bundles
+        # its arguments anyway -- the per-edit host-overhead hot spot.
+        import numpy as np
+
         data = _curve_kernel(
-            buf.data, jnp.asarray(func.xs), jnp.asarray(func.ys),
-            jnp.asarray(func.c1s), jnp.asarray(func.c2s), jnp.asarray(func.c3s),
+            buf.data, np.asarray(func.xs, np.float32),
+            np.asarray(func.ys, np.float32),
+            np.asarray(func.c1s, np.float32),
+            np.asarray(func.c2s, np.float32),
+            np.asarray(func.c3s, np.float32),
             n_knots=len(func.xs))
         return buf.with_data(data)

@@ -127,9 +127,11 @@ class OpGoFloat(ImageOp):
     def _run_raw(self, raw) -> OpBuffer:
         owidth, oheight = raw.width, raw.height
         x, y, width, height = self._size_image(owidth, oheight)
-        mins = jnp.asarray(self.blacklevels, jnp.float32)
-        ranges = jnp.asarray(
-            [w - b for w, b in zip(self.whitelevels, self.blacklevels)], jnp.float32)
+        # Host numpy: levels ride the jit dispatch, not eager transfers.
+        mins = np.asarray(self.blacklevels, np.float32)
+        ranges = np.asarray(
+            [w - b for w, b in zip(self.whitelevels, self.blacklevels)],
+            np.float32)
 
         from ..sources import staged_raw_plane
 

@@ -33,9 +33,16 @@ class OpBuffer:
     monochrome: bool
     data: jnp.ndarray  # [colors, height, width] f32
 
+    _DEFAULT = None
+
     @staticmethod
     def default() -> "OpBuffer":
-        return OpBuffer(0, 0, 0, False, jnp.zeros((0, 0, 0), jnp.float32))
+        # Memoized: pipeline.run creates one per render, and even an
+        # empty-array device op is a round-trip on the remote tunnel.
+        if OpBuffer._DEFAULT is None:
+            OpBuffer._DEFAULT = OpBuffer(0, 0, 0, False,
+                                         jnp.zeros((0, 0, 0), jnp.float32))
+        return OpBuffer._DEFAULT
 
     @staticmethod
     def new(width: int, height: int, colors: int, monochrome: bool) -> "OpBuffer":

@@ -69,7 +69,9 @@ extern "C" int rw2_decode(const char* logical, int64_t nbytes, int width,
         uint32_t j = bits(8, &err);
         if (j) {
           int32_t p = pred[ch] - (0x80 << sh);
-          if (p < 0 || sh == 4) p = pred[ch] & ~(-1 << sh);
+          // (1<<sh)-1 == ~(-1<<sh) without the UB of shifting a
+          // negative value (UBSan-caught).
+          if (p < 0 || sh == 4) p = pred[ch] & ((1 << sh) - 1);
           pred[ch] = p + (static_cast<int32_t>(j) << sh);
         }
       } else {

@@ -176,6 +176,14 @@ def _decode_mrw(path: str) -> Optional[RawImage]:
     return read_mrw(path)
 
 
+def _decode_iiq(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".iiq"):
+        return None
+    from .iiq import read_iiq
+
+    return read_iiq(path)
+
+
 _TIFFEP_EXTS = (".erf", ".rwl", ".srw", ".mef", ".mos", ".kdc", ".dcr",
                 ".3fr", ".fff")
 
@@ -226,9 +234,6 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
             raise ValueError(
                 "X3F: Sigma's Foveon format is not supported; convert "
                 "with Sigma Photo Pro or to DNG")
-    elif low.endswith(".iiq"):
-        raise ValueError(
-            "IIQ: Phase One's IIQ codec is not supported; convert to DNG")
     elif low.endswith(".srf"):
         raise ValueError(
             "SRF: Sony's encrypted SRF format is not supported; convert "
@@ -239,7 +244,8 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
                       _decode_orf, _decode_pef, _decode_rw2, _decode_mrw,
-                      _decode_tiffep, _decode_known_unsupported])
+                      _decode_iiq, _decode_tiffep,
+                      _decode_known_unsupported])
 
 
 def decode_file(path) -> ImageSource:
@@ -297,6 +303,13 @@ def codec_family(path) -> str:
             return _raf_family(path)
         if head[:4] == b"\x00MRM":
             return "mrw"
+        if head[:4] in (b"IIII", b"MMMM"):
+            from .iiq import _parse_entries
+
+            with open(path, "rb") as f:
+                _en, tags = _parse_entries(f.read(), 8)
+            fmt = int(tags[0x10E][2]) if 0x10E in tags else 0
+            return f"iiq-fmt{fmt}" if fmt >= 3 else "iiq-uncompressed"
         from .tiff import TiffFile
 
         with open(path, "rb") as f:

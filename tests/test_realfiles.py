@@ -57,6 +57,7 @@ _FAMILIES = [
     "pef-compressed",
     "rw2-classic", "rw2-v5", "rw2-v6", "rw2-v7", "rw2-uncompressed",
     "mrw", "pgm",
+    "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
 ]
 # Families whose synthetic tests leave a named open question that ONLY
 # real bytes can settle.
@@ -67,6 +68,9 @@ _CONFIRMS = {
     "rw2-v7": "confirms the recalled pana8 block layout (rw2.py)",
     "nef-34713-lossy2": "confirms the type-2 quartered curve (nikon.py)",
     "raf-superccd": "confirms the lattice CFA derivation (raf.py)",
+    "iiq-fmt3": "confirms the recalled IIQ header/bitstream layout (iiq.py)",
+    "iiq-fmt5": "confirms the format-5 companding curve (iiq.py)",
+    "iiq-uncompressed": "confirms the XOR-key swizzle masks (iiq.py)",
 }
 _seen: dict = {}
 

@@ -717,9 +717,11 @@ def test_known_unsupported_formats_named(tmp_path):
     with pytest.raises(ValueError, match="Foveon"):
         decode_file(str(x3f))
 
+    # IIQ decodes natively now (test_iiq.py); a malformed Phase One file
+    # still fails with the parse problem named, not a PIL error.
     iiq = tmp_path / "shot.iiq"
     iiq.write_bytes(b"IIII" + b"\0" * 64)
-    with pytest.raises(ValueError, match="Phase One"):
+    with pytest.raises(ValueError, match="IIQ"):
         decode_file(str(iiq))
 
     srf = tmp_path / "shot.srf"

@@ -327,6 +327,8 @@ def codec_family(path) -> str:
                 return "rw2-uncompressed"
             if rf >= 8:
                 return f"rw2-v{rf}-unsupported"
+            if rf == 6 and int(ifd.get1(0x000A, 14) or 14) == 12:
+                return "rw2-v6-12bit"  # separately-recalled page layout
             if rf >= 5:
                 return f"rw2-v{rf}"
             return "rw2-classic"

@@ -402,23 +402,53 @@ def encode_panasonic_v5(img: np.ndarray, bits: int = 14) -> bytes:
     return bytes(out)
 
 
-# RawFormat-6 page layout: each 16-byte page is consumed from its LAST
-# byte backwards as a big-endian sequence of 14 fields covering 124 of
-# the 128 bits (4 pad bits at the end): two 14-bit absolute pixels, then
-# three groups of [2-bit scale selector + three 10-bit values].
-_V6_FIELDS = (14, 14, 2, 10, 10, 10, 2, 10, 10, 10, 2, 10, 10, 10)
-# Field index consumed by pixel 0..10 (selectors sit at fields 2/6/10).
-_V6_PIX_FIELD = (0, 1, 3, 4, 5, 7, 8, 9, 11, 12, 13)
-_V6_SEL_FIELD = {2: 2, 5: 6, 8: 10}
+# RawFormat-6 page layouts: each 16-byte page is consumed from its LAST
+# byte backwards as a big-endian field sequence. 14-bit: two 14-bit
+# absolute pixels + three [2-bit scale selector + three 10-bit values]
+# groups, 4 pad bits (11 pixels/page). 12-bit: two 12-bit absolutes +
+# FOUR [2-bit selector + three 8-bit values] groups filling all 128
+# bits (14 pixels/page); the reconstruction is the same scaled-delta
+# recurrence with the selector base starting at 0x80 instead of 0x200
+# (so the absolute-coarse rebase threshold is 0x800, not 0x2000).
 _V6_BIAS = 0xF  # the codec's built-in black bias, subtracted on output
 
 
-def _v6_parse_pages(pages: np.ndarray) -> np.ndarray:
-    """(N, 16) u8 -> (N, 14) int32 field values."""
+class _V6Layout:
+    """The per-bit-depth page geometry, with the pixel/selector field
+    maps derived from the field sequence."""
+
+    def __init__(self, bits: int):
+        if bits == 14:
+            self.fields = (14, 14) + (2, 10, 10, 10) * 3
+            self.base0, self.thresh = 0x200, 0x2000
+        elif bits == 12:
+            self.fields = (12, 12) + (2, 8, 8, 8) * 4
+            self.base0, self.thresh = 0x80, 0x800
+        else:
+            raise ValueError(f"RW2 v6: unsupported bit depth {bits}")
+        self.bits = bits
+        self.maxval = (1 << bits) - 1
+        self.emax = (1 << (bits - 4)) - 1  # delta-field capacity (10/8 bit)
+        pix_field, sel_field = [], {}
+        for k, nb in enumerate(self.fields):
+            if nb == 2:
+                sel_field[len(pix_field)] = k
+            else:
+                pix_field.append(k)
+        self.ppb = len(pix_field)  # pixels per 16-byte page
+        self.pix_field = tuple(pix_field)
+        self.sel_field = sel_field
+
+
+_V6_LAYOUTS = {14: _V6Layout(14), 12: _V6Layout(12)}
+
+
+def _v6_parse_pages(pages: np.ndarray, lay: _V6Layout) -> np.ndarray:
+    """(N, 16) u8 -> (N, nfields) int32 field values."""
     rev = pages[:, ::-1].astype(np.uint32)
-    out = np.empty((len(pages), 14), np.int32)
+    out = np.empty((len(pages), len(lay.fields)), np.int32)
     bitpos = 0
-    for k, nb in enumerate(_V6_FIELDS):
+    for k, nb in enumerate(lay.fields):
         vals = np.zeros(len(pages), np.uint32)
         for b in range(nb):
             bit = bitpos + b
@@ -428,12 +458,12 @@ def _v6_parse_pages(pages: np.ndarray) -> np.ndarray:
     return out
 
 
-def _v6_emit_pages(fields: np.ndarray) -> bytes:
-    """(N, 14) -> (N*16,) bytes; inverse of _v6_parse_pages."""
+def _v6_emit_pages(fields: np.ndarray, lay: _V6Layout) -> bytes:
+    """(N, nfields) -> (N*16,) bytes; inverse of _v6_parse_pages."""
     n = len(fields)
     rev = np.zeros((n, 16), np.uint8)
     bitpos = 0
-    for k, nb in enumerate(_V6_FIELDS):
+    for k, nb in enumerate(lay.fields):
         v = fields[:, k].astype(np.uint32)
         for b in range(nb):
             bit = bitpos + b
@@ -443,29 +473,29 @@ def _v6_emit_pages(fields: np.ndarray) -> bytes:
     return rev[:, ::-1].tobytes()
 
 
-def _v6_reconstruct(fields: np.ndarray) -> np.ndarray:
+def _v6_reconstruct(fields: np.ndarray, lay: _V6Layout) -> np.ndarray:
     """Run the per-page scaled-delta reconstruction, vectorized across
-    pages (state resets every page): (N, 14) fields -> (N, 11) u16."""
+    pages (state resets every page): (N, nfields) fields -> (N, ppb)."""
     n = len(fields)
     f = fields.astype(np.int64)
     oddeven = np.zeros((n, 2), np.int64)
     nonzero = np.zeros((n, 2), np.int64)
     pmul = np.zeros(n, np.int64)
     pbase = np.zeros(n, np.int64)
-    out = np.empty((n, 11), np.uint16)
-    for pix in range(11):
+    out = np.empty((n, lay.ppb), np.uint16)
+    for pix in range(lay.ppb):
         p = pix & 1
         if pix % 3 == 2:
-            sel = f[:, _V6_SEL_FIELD[pix]]
+            sel = f[:, lay.sel_field[pix]]
             sel = np.where(sel == 3, 4, sel)
-            pbase = np.int64(0x200) << sel
+            pbase = np.int64(lay.base0) << sel
             pmul = np.int64(1) << sel
-        e = f[:, _V6_PIX_FIELD[pix]]
+        e = f[:, lay.pix_field[pix]]
         has = oddeven[:, p] != 0
         # Scaled-delta branch: value = e*pmul (+ prev - pbase when the
         # previous same-parity value exceeds the rebase threshold and
-        # the selector is not the absolute-coarse one, pbase >= 0x2000).
-        add = np.where((pbase < 0x2000) & (nonzero[:, p] > pbase),
+        # the selector is not the absolute-coarse one, pbase >= thresh).
+        add = np.where((pbase < lay.thresh) & (nonzero[:, p] > pbase),
                        nonzero[:, p] - pbase, 0)
         val_scaled = e * pmul + add
         # Establishment branch: raw value; zero repeats the last nonzero.
@@ -477,62 +507,75 @@ def _v6_reconstruct(fields: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_panasonic_v6(payload: bytes, width: int, height: int) -> np.ndarray:
-    """RawFormat 6 (14-bit): rows of 16-byte pages, 11 pixels per page.
-    No section rotation. Trailing width % 11 pixels (none on real
-    sensors) are left zero, mirroring the public decoder."""
-    blocks = width // 11
+def decode_panasonic_v6(payload: bytes, width: int, height: int,
+                        bits: int = 14) -> np.ndarray:
+    """RawFormat 6: rows of 16-byte pages (11 pixels each at 14 bits,
+    14 at 12). No section rotation. Trailing width % ppb pixels (none
+    on real sensors) are left zero, mirroring the public decoder."""
+    lay = _V6_LAYOUTS.get(bits)
+    if lay is None:
+        raise ValueError(f"RW2 v6: unsupported bit depth {bits}")
+    blocks = width // lay.ppb
     bpr = blocks * 16
     if len(payload) < bpr * height:
         raise ValueError("RW2 v6: bitstream exhausted")
     if native.have_native() and hasattr(native._lib, "rw2_decode_v6"):
         return _decode_native_wh(native._lib.rw2_decode_v6,
-                                 bytes(payload), width, height, 14)
+                                 bytes(payload), width, height, bits)
     pages = np.frombuffer(payload, np.uint8,
                           count=bpr * height).reshape(-1, 16)
-    pix = _v6_reconstruct(_v6_parse_pages(pages))
+    pix = _v6_reconstruct(_v6_parse_pages(pages, lay), lay)
     out = np.zeros((height, width), np.uint16)
-    out[:, :blocks * 11] = pix.reshape(height, blocks * 11)
+    out[:, :blocks * lay.ppb] = pix.reshape(height, blocks * lay.ppb)
     return out
 
 
-def encode_panasonic_v6(img: np.ndarray, snap: bool = False):
-    """Encode a u16 plane (values <= 16368) as a RawFormat-6 stream.
+def encode_panasonic_v6(img: np.ndarray, snap: bool = False,
+                        bits: int = 14):
+    """Encode a u16 plane (values <= 2^bits - 1 - bias) as a
+    RawFormat-6 stream (14- or 12-bit page layout).
 
     Deltas quantize by the selector scale (1/2/4, or absolute/16), so not
     every sequence is representable: with snap=False unencodable values
     raise; with snap=True they snap to the nearest representable value
     and (stream, snapped) is returned with decode(stream) == snapped."""
+    lay = _V6_LAYOUTS.get(bits)
+    if lay is None:
+        raise ValueError(f"RW2 v6: unsupported bit depth {bits}")
     img = np.asarray(img)
     if img.ndim != 2:
         raise ValueError("expected a 2-D sensor plane")
     height, width = img.shape
-    if width % 11:
-        raise ValueError("RW2 v6 width must be a multiple of 11")
-    snapped = np.minimum(img.astype(np.int64), 16383 - _V6_BIAS)
+    ppb = lay.ppb
+    if width % ppb:
+        raise ValueError(f"RW2 v6 ({bits}-bit) width must be a multiple "
+                         f"of {ppb}")
+    snapped = np.minimum(img.astype(np.int64), lay.maxval - _V6_BIAS)
     if not snap and (snapped != img).any():
-        raise ValueError("RW2 v6: values above 16368 (use snap=True)")
-    fields = np.zeros((height * width // 11, 14), np.int32)
+        raise ValueError(f"RW2 v6: values above {lay.maxval - _V6_BIAS} "
+                         "(use snap=True)")
+    fields = np.zeros((height * width // ppb, len(lay.fields)), np.int32)
 
     def dec_one(e, sel, nz):
-        pbase = 0x200 << sel
+        pbase = lay.base0 << sel
         pmul = 1 << sel
-        if pbase < 0x2000 and nz > pbase:
+        if pbase < lay.thresh and nz > pbase:
             return e * pmul + nz - pbase
         return e * pmul
 
     page = 0
     for row in range(height):
-        for blk in range(width // 11):
-            base = img[row, blk * 11:blk * 11 + 11].astype(np.int64) + _V6_BIAS
-            tgt = np.minimum(base, 16383)
+        for blk in range(width // ppb):
+            base = img[row, blk * ppb:blk * ppb + ppb].astype(
+                np.int64) + _V6_BIAS
+            tgt = np.minimum(base, lay.maxval)
             nonzero = [0, 0]
             sel = 0
-            for pix in range(11):
+            for pix in range(ppb):
                 p = pix & 1
                 te = int(tgt[pix])
                 if pix < 2:
-                    fields[page, _V6_PIX_FIELD[pix]] = te
+                    fields[page, lay.pix_field[pix]] = te
                     nonzero[p] = te
                     got = te
                 else:
@@ -544,42 +587,42 @@ def encode_panasonic_v6(img: np.ndarray, snap: bool = False):
                             s = 4 if cand == 3 else cand
                             nz2 = list(nonzero)
                             err = 0
-                            for q in range(pix, min(pix + 3, 11)):
+                            for q in range(pix, min(pix + 3, ppb)):
                                 t2 = int(tgt[q])
-                                e2 = _v6_best_e(t2, s, nz2[q & 1])
+                                e2 = _v6_best_e(t2, s, nz2[q & 1], lay)
                                 d2 = dec_one(e2, s, nz2[q & 1])
                                 err += abs(d2 - t2)
                                 nz2[q & 1] = d2
                             if best_err is None or err < best_err:
                                 best_err, best_sel = err, cand
-                        fields[page, _V6_SEL_FIELD[pix]] = best_sel
+                        fields[page, lay.sel_field[pix]] = best_sel
                         sel = 4 if best_sel == 3 else best_sel
-                    e = _v6_best_e(te, sel, nonzero[p])
+                    e = _v6_best_e(te, sel, nonzero[p], lay)
                     got = dec_one(e, sel, nonzero[p])
-                    fields[page, _V6_PIX_FIELD[pix]] = e
+                    fields[page, lay.pix_field[pix]] = e
                     nonzero[p] = got
                 if got != te:
                     if not snap:
                         raise ValueError(
                             f"value {te - _V6_BIAS} not encodable at "
-                            f"({row},{blk * 11 + pix}) (use snap=True)")
-                    snapped[row, blk * 11 + pix] = max(got - _V6_BIAS, 0)
+                            f"({row},{blk * ppb + pix}) (use snap=True)")
+                    snapped[row, blk * ppb + pix] = max(got - _V6_BIAS, 0)
                 else:
-                    snapped[row, blk * 11 + pix] = max(te - _V6_BIAS, 0)
+                    snapped[row, blk * ppb + pix] = max(te - _V6_BIAS, 0)
             page += 1
-    blob = _v6_emit_pages(fields)
+    blob = _v6_emit_pages(fields, lay)
     if snap:
         return blob, snapped.astype(np.uint16)
     return blob
 
 
-def _v6_best_e(target: int, sel: int, nz: int) -> int:
-    """Best 10-bit field value reproducing `target` under selector state."""
-    pbase = 0x200 << sel
+def _v6_best_e(target: int, sel: int, nz: int, lay: _V6Layout) -> int:
+    """Best delta-field value reproducing `target` under selector state."""
+    pbase = lay.base0 << sel
     pmul = 1 << sel
-    off = nz - pbase if (pbase < 0x2000 and nz > pbase) else 0
+    off = nz - pbase if (pbase < lay.thresh and nz > pbase) else 0
     e = (target - off + pmul // 2) // pmul
-    return int(min(max(e, 0), 1023))
+    return int(min(max(e, 0), lay.emax))
 
 
 def decode_panasonic_v7(payload: bytes, width: int, height: int,
@@ -673,11 +716,7 @@ def read_rw2(path: str) -> RawImage:
     elif rf == 7:
         data = decode_panasonic_v7(buf[off:], width, height, bits)
     elif rf == 6:
-        if bits != 14:
-            raise ValueError(
-                f"RW2: RawFormat 6 at {bits} bits is unsupported (only "
-                "the 14-bit page layout is implemented); convert to DNG")
-        data = decode_panasonic_v6(buf[off:], width, height)
+        data = decode_panasonic_v6(buf[off:], width, height, bits)
     elif rf == 5:
         data = decode_panasonic_v5(buf[off:], width, height, bits)
     else:

@@ -151,59 +151,81 @@ extern "C" int rw2_decode_v7(const char* payload, int64_t nbytes, int width,
   return 0;
 }
 
-// --- RawFormat 6: 16-byte pages of 11 scaled-delta pixels ------------------
+// --- RawFormat 6: 16-byte pages of scaled-delta pixels ---------------------
 
 namespace {
-// Page fields (big-endian over the page's bytes REVERSED): two 14-bit
-// absolute pixels, then 3 x [2-bit selector + three 10-bit values];
-// 4 pad bits. See rw2.py's _V6_FIELDS.
-inline void v6_parse_page(const uint8_t* page, uint32_t* f) {
+// Page fields (big-endian over the page's bytes REVERSED). 14-bit: two
+// 14-bit absolute pixels + 3 x [2-bit selector + three 10-bit values],
+// 4 pad bits (11 pixels). 12-bit: two 12-bit absolutes + 4 x [2-bit
+// selector + three 8-bit values] filling all 128 bits (14 pixels). The
+// selector base starts at 0x200 (14-bit) / 0x80 (12-bit); the rebase
+// threshold is base0 << 4. See rw2.py's _V6Layout.
+struct V6Layout {
+  int nfields;
+  const int* fields;     // bit width per field
+  int ppb;               // pixels per page
+  const int* pix_field;  // field index per pixel
+  const int* sel_field;  // field index per selector group (pix/3)
+  int64_t base0, thresh;
+};
+
+const int kF14[14] = {14, 14, 2, 10, 10, 10, 2, 10, 10, 10, 2, 10, 10, 10};
+const int kP14[11] = {0, 1, 3, 4, 5, 7, 8, 9, 11, 12, 13};
+const int kS14[3] = {2, 6, 10};
+const int kF12[18] = {12, 12, 2, 8, 8, 8, 2, 8, 8, 8, 2, 8, 8, 8, 2, 8, 8, 8};
+const int kP12[14] = {0, 1, 3, 4, 5, 7, 8, 9, 11, 12, 13, 15, 16, 17};
+const int kS12[4] = {2, 6, 10, 14};
+const V6Layout kV6_14 = {14, kF14, 11, kP14, kS14, 0x200, 0x2000};
+const V6Layout kV6_12 = {18, kF12, 14, kP12, kS12, 0x80, 0x800};
+
+inline void v6_parse_page(const uint8_t* page, const V6Layout& lay,
+                          uint32_t* f) {
   uint8_t rev[16];
   for (int i = 0; i < 16; i++) rev[i] = page[15 - i];
-  static const int kBits[14] = {14, 14, 2, 10, 10, 10, 2,
-                                10, 10, 10, 2, 10, 10, 10};
   int bitpos = 0;
-  for (int k = 0; k < 14; k++) {
+  for (int k = 0; k < lay.nfields; k++) {
     uint32_t v = 0;
-    for (int b = 0; b < kBits[k]; b++) {
+    for (int b = 0; b < lay.fields[k]; b++) {
       int bit = bitpos + b;
       v = (v << 1) | ((rev[bit >> 3] >> (7 - (bit & 7))) & 1);
     }
     f[k] = v;
-    bitpos += kBits[k];
+    bitpos += lay.fields[k];
   }
 }
 }  // namespace
 
 extern "C" int rw2_decode_v6(const char* payload, int64_t nbytes, int width,
                              int height, int bits, uint16_t* out) {
-  if (width <= 0 || height <= 0 || bits != 14) return 1;
+  if (width <= 0 || height <= 0) return 1;
+  if (bits != 14 && bits != 12) return 1;
+  const V6Layout& lay = bits == 14 ? kV6_14 : kV6_12;
   const uint8_t* data = reinterpret_cast<const uint8_t*>(payload);
-  int64_t blocks = width / 11;
+  int64_t blocks = width / lay.ppb;
   if (nbytes < blocks * 16 * height) return 3;
-  static const int kPixField[11] = {0, 1, 3, 4, 5, 7, 8, 9, 11, 12, 13};
   for (int64_t row = 0; row < height; row++) {
     uint16_t* o = out + row * width;
     const uint8_t* r = data + row * blocks * 16;
-    for (int w = blocks * 11; w < width; w++) o[w] = 0;
+    for (int w = blocks * lay.ppb; w < width; w++) o[w] = 0;
     for (int64_t blk = 0; blk < blocks; blk++) {
-      uint32_t f[14];
-      v6_parse_page(r + blk * 16, f);
+      uint32_t f[18];
+      v6_parse_page(r + blk * 16, lay, f);
       int64_t oddeven[2] = {0, 0}, nonzero[2] = {0, 0};
       int64_t pmul = 0, pbase = 0;
-      for (int pix = 0; pix < 11; pix++) {
+      for (int pix = 0; pix < lay.ppb; pix++) {
         int p = pix & 1;
         if (pix % 3 == 2) {
-          int64_t sel = f[pix == 2 ? 2 : pix == 5 ? 6 : 10];
+          int64_t sel = f[lay.sel_field[pix / 3]];
           if (sel == 3) sel = 4;
-          pbase = static_cast<int64_t>(0x200) << sel;
+          pbase = lay.base0 << sel;
           pmul = static_cast<int64_t>(1) << sel;
         }
-        int64_t e = f[kPixField[pix]];
+        int64_t e = f[lay.pix_field[pix]];
         int64_t val;
         if (oddeven[p]) {
           val = e * pmul;
-          if (pbase < 0x2000 && nonzero[p] > pbase) val += nonzero[p] - pbase;
+          if (pbase < lay.thresh && nonzero[p] > pbase)
+            val += nonzero[p] - pbase;
           nonzero[p] = val;
         } else {
           oddeven[p] = e;
@@ -211,7 +233,7 @@ extern "C" int rw2_decode_v6(const char* payload, int64_t nbytes, int width,
           nonzero[p] = val;
         }
         int64_t s = val - 0xF;
-        o[blk * 11 + pix] = static_cast<uint16_t>(s > 0 ? s : 0);
+        o[blk * lay.ppb + pix] = static_cast<uint16_t>(s > 0 ? s : 0);
       }
     }
   }

@@ -55,7 +55,8 @@ _FAMILIES = [
     "raf-classic-bayer", "raf-superccd",
     "orf-compressed", "orf-12bit-packed", "orf-16bit",
     "pef-compressed",
-    "rw2-classic", "rw2-v5", "rw2-v6", "rw2-v7", "rw2-uncompressed",
+    "rw2-classic", "rw2-v5", "rw2-v6", "rw2-v6-12bit", "rw2-v7",
+    "rw2-uncompressed",
     "mrw", "pgm",
     "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
 ]
@@ -65,6 +66,7 @@ _CONFIRMS = {
     "raf-fujic": "confirms the X-Trans B2 interpolation mask (fujic.py)",
     "rw2-v5": "confirms the recalled v5 packet layout (rw2.py)",
     "rw2-v6": "confirms the recalled v6 page layout (rw2.py)",
+    "rw2-v6-12bit": "confirms the recalled 12-bit v6 page layout (rw2.py)",
     "rw2-v7": "confirms the recalled pana8 block layout (rw2.py)",
     "nef-34713-lossy2": "confirms the type-2 quartered curve (nikon.py)",
     "raf-superccd": "confirms the lattice CFA derivation (raf.py)",

@@ -257,13 +257,18 @@ def test_rw2_unknown_rawformat_named(tmp_path):
         read_rw2(path)
 
 
-def test_rw2_v6_12bit_named(tmp_path):
-    img = _smooth(8, 22, seed=7)
+def test_rw2_v6_12bit_container_roundtrip(tmp_path):
+    from imagepipe_tpu.rw2 import decode_panasonic_v6, encode_panasonic_v6
+
+    img = (_smooth(8, 28, seed=7) % 3000 + 600).astype(np.uint16)
+    payload, snapped = encode_panasonic_v6(img, snap=True, bits=12)
+    np.testing.assert_array_equal(snapped, img)
     path = str(tmp_path / "v6_12.rw2")
     with open(path, "wb") as f:
-        f.write(make_rw2(img, payload=b"\0" * 4096, rawformat=6, bits=12))
-    with pytest.raises(ValueError, match="RawFormat 6 at 12 bits"):
-        read_rw2(path)
+        f.write(make_rw2(img, payload=payload, rawformat=6, bits=12))
+    raw = read_rw2(path)
+    np.testing.assert_array_equal(raw.data, img)
+    assert raw.whitelevels[0] == 4095
 
 
 def test_rw2_develops_end_to_end(tmp_path):
@@ -380,18 +385,23 @@ def test_v6_width_alignment():
         encode_panasonic_v6(np.zeros((2, 12), np.uint16), snap=True)
 
 
-def test_v6_page_field_roundtrip():
+@pytest.mark.parametrize("bits", [14, 12])
+def test_v6_page_field_roundtrip(bits):
     # The page bit layout is its own mechanism: emit<->parse must be
     # exact for every field pattern including all-ones boundaries.
+    from imagepipe_tpu.rw2 import _V6_LAYOUTS
+
+    lay = _V6_LAYOUTS[bits]
     rng = np.random.default_rng(6)
-    widths = np.array([14, 14, 2, 10, 10, 10, 2, 10, 10, 10, 2, 10, 10, 10])
-    fields = np.empty((64, 14), np.int32)
+    widths = np.array(lay.fields)
+    fields = np.empty((64, len(widths)), np.int32)
     for k, nb in enumerate(widths):
         fields[:, k] = rng.integers(0, 1 << nb, 64)
     fields[0] = (1 << widths) - 1
     fields[1] = 0
-    blob = _v6_emit_pages(fields)
-    back = _v6_parse_pages(np.frombuffer(blob, np.uint8).reshape(-1, 16))
+    blob = _v6_emit_pages(fields, lay)
+    back = _v6_parse_pages(np.frombuffer(blob, np.uint8).reshape(-1, 16),
+                           lay)
     np.testing.assert_array_equal(back, fields)
 
 
@@ -399,24 +409,33 @@ def test_v6_page_field_roundtrip():
 def test_v567_native_matches_python_differential():
     rng = np.random.default_rng(8)
     lib = native._lib
+    from imagepipe_tpu.rw2 import _V6_LAYOUTS
+
     for trial in range(8):
         h = int(rng.integers(2, 12))
-        # v6 on encoded content
-        w6 = 11 * int(rng.integers(1, 6))
-        img = rng.integers(0, 16368, (h, w6), dtype=np.uint16)
-        blob, snapped = encode_panasonic_v6(img, snap=True)
-        pages = np.frombuffer(blob, np.uint8).reshape(-1, 16)
-        py = np.zeros((h, w6), np.uint16)
-        py[:, :] = _v6_reconstruct(_v6_parse_pages(pages)).reshape(h, w6)
-        nat = _decode_native_wh(lib.rw2_decode_v6, blob, w6, h, 14)
-        np.testing.assert_array_equal(py, nat)
-        np.testing.assert_array_equal(py, snapped)
-        # v6 on arbitrary bytes (every byte pattern is a valid stream)
-        raw = rng.integers(0, 256, h * (w6 // 11) * 16, dtype=np.uint8)
-        rpages = raw.reshape(-1, 16)
-        py = _v6_reconstruct(_v6_parse_pages(rpages)).reshape(h, w6)
-        nat = _decode_native_wh(lib.rw2_decode_v6, raw.tobytes(), w6, h, 14)
-        np.testing.assert_array_equal(py, nat)
+        for bits in (14, 12):
+            lay = _V6_LAYOUTS[bits]
+            # v6 on encoded content
+            w6 = lay.ppb * int(rng.integers(1, 6))
+            img = rng.integers(0, (1 << bits) - 16, (h, w6),
+                               dtype=np.uint16)
+            blob, snapped = encode_panasonic_v6(img, snap=True, bits=bits)
+            pages = np.frombuffer(blob, np.uint8).reshape(-1, 16)
+            py = np.zeros((h, w6), np.uint16)
+            py[:, :] = _v6_reconstruct(
+                _v6_parse_pages(pages, lay), lay).reshape(h, w6)
+            nat = _decode_native_wh(lib.rw2_decode_v6, blob, w6, h, bits)
+            np.testing.assert_array_equal(py, nat)
+            np.testing.assert_array_equal(py, snapped)
+            # v6 on arbitrary bytes (every byte pattern is a valid stream)
+            raw = rng.integers(0, 256, h * (w6 // lay.ppb) * 16,
+                               dtype=np.uint8)
+            rpages = raw.reshape(-1, 16)
+            py = _v6_reconstruct(_v6_parse_pages(rpages, lay),
+                                 lay).reshape(h, w6)
+            nat = _decode_native_wh(lib.rw2_decode_v6, raw.tobytes(),
+                                    w6, h, bits)
+            np.testing.assert_array_equal(py, nat)
         # v5/v7 on arbitrary bytes
         for bits in (12, 14):
             ppp = 128 // bits

@@ -176,6 +176,14 @@ def _decode_mrw(path: str) -> Optional[RawImage]:
     return read_mrw(path)
 
 
+def _decode_srf(path: str) -> Optional[RawImage]:
+    if not path.lower().endswith(".srf"):
+        return None
+    from .sony_srf import read_srf
+
+    return read_srf(path)
+
+
 def _decode_iiq(path: str) -> Optional[RawImage]:
     if not path.lower().endswith(".iiq"):
         return None
@@ -234,17 +242,13 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
             raise ValueError(
                 "X3F: Sigma's Foveon format is not supported; convert "
                 "with Sigma Photo Pro or to DNG")
-    elif low.endswith(".srf"):
-        raise ValueError(
-            "SRF: Sony's encrypted SRF format is not supported; convert "
-            "to DNG")
     return None
 
 
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
                       _decode_orf, _decode_pef, _decode_rw2, _decode_mrw,
-                      _decode_iiq, _decode_tiffep,
+                      _decode_iiq, _decode_srf, _decode_tiffep,
                       _decode_known_unsupported])
 
 
@@ -385,6 +389,8 @@ def codec_family(path) -> str:
             return "cr2-lj92"
         if ext in (".arw", ".sr2"):
             return "arw"
+        if ext == ".srf":
+            return "srf"
         if ext in _TIFFEP_EXTS:
             return f"tiffep-{ext[1:]}"
         return "unknown"

@@ -59,6 +59,7 @@ _FAMILIES = [
     "rw2-uncompressed",
     "mrw", "pgm",
     "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
+    "srf",
 ]
 # Families whose synthetic tests leave a named open question that ONLY
 # real bytes can settle.
@@ -73,6 +74,7 @@ _CONFIRMS = {
     "iiq-fmt3": "confirms the recalled IIQ header/bitstream layout (iiq.py)",
     "iiq-fmt5": "confirms the format-5 companding curve (iiq.py)",
     "iiq-uncompressed": "confirms the XOR-key swizzle masks (iiq.py)",
+    "srf": "confirms the key-block offsets + F828 geometry (sony_srf.py)",
 }
 _seen: dict = {}
 

@@ -724,9 +724,11 @@ def test_known_unsupported_formats_named(tmp_path):
     with pytest.raises(ValueError, match="IIQ"):
         decode_file(str(iiq))
 
+    # SRF decodes natively now (test_srf.py); unknown Sony models still
+    # refuse with the geometry gap named.
     srf = tmp_path / "shot.srf"
     srf.write_bytes(b"II*\x00" + b"\0" * 64)
-    with pytest.raises(ValueError, match="SRF"):
+    with pytest.raises(ValueError, match="SRF|decode"):
         decode_file(str(srf))
 
 

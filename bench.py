@@ -460,6 +460,19 @@ def section_decoders():
     _emit({"metric": "LJ92 lossless JPEG decode (CR2/ARW/DNG; native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
+    from imagepipe_tpu.iiq import decode_phase_one, encode_phase_one
+    idata, ioffs = encode_phase_one(smooth)
+    dt = timed(lambda: decode_phase_one(idata, ioffs, smooth.shape[1],
+                                        smooth.shape[0]))
+    _emit({"metric": "Phase One IIQ compressed decode (native, host)",
+           "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
+
+    from imagepipe_tpu.sony_srf import sony_crypt
+    srf_payload = smooth.astype(">u2").tobytes()
+    dt = timed(lambda: sony_crypt(srf_payload, 0x31415926))
+    _emit({"metric": "Sony SRF keystream decrypt (numpy, host)",
+           "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
+
 
 SECTIONS = {
     "headline": section_headline,

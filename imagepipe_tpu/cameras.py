@@ -124,6 +124,19 @@ def _lookup(key: str):
     return _TABLE.get(key)
 
 
+def xyz_to_cam_from_cam2srgb(m: np.ndarray) -> np.ndarray:
+    """[4,3] xyz_to_cam from a camera->sRGB-linear 3x3 (the form several
+    vendors embed per file -- Olympus ImageProcessing 0x0200, and the
+    dcraw `cmatrix` convention): cam->XYZ = (sRGB->XYZ) @ M, inverted.
+    Per-file colorimetry with no guessed per-body constants."""
+    from .color import SRGB_D65_33
+
+    m = np.asarray(m, np.float64).reshape(3, 3)
+    xyz_to_cam = np.linalg.inv(SRGB_D65_33.astype(np.float64) @ m)
+    return np.concatenate([xyz_to_cam.astype(np.float32),
+                           np.zeros((1, 3), np.float32)], axis=0)
+
+
 def xyz_to_cam_for(make: str, model: str) -> np.ndarray:
     """[4,3] f32 xyz_to_cam for a body; sRGB identity fallback (with a
     warning) so unknown cameras still develop."""

@@ -506,30 +506,107 @@ def register_orf_pattern(model: str, pattern: str) -> None:
     _ORF_PATTERNS[model.strip().upper()] = CFA(pattern)
 
 
-def _olympus_makernote_wb(tf: TiffFile):
-    """Olympus maker-note WB: tags 0x1017/0x1018 (red/blue balance, x256)
-    from the classic 'OLYMP\\0' note (a bare IFD with FILE-relative
-    offsets, like Canon's). The newer 'OLYMPUS\\0II' note uses
-    note-relative offsets inside nested sub-IFDs; WB stays NaN there
-    (neutral-estimate fallback) rather than risking a misread."""
+def _olympus_makernote(tf: TiffFile):
+    """The Olympus maker note as (Ifd, owner TiffFile-ish), or None.
+
+    Two public header flavors: classic 'OLYMP\\0\\0\\0' (a bare IFD at
+    note+8, FILE-relative offsets, container byte order) and newer
+    'OLYMPUS\\0' + 'II'/'MM' + version (the IFD starts at note+12,
+    offsets are NOTE-relative, own byte order)."""
     for ifd in tf.ifds:
         if 37500 not in ifd.entries:
             continue
         typ, count, off = ifd.entries[37500]
-        head = bytes(tf.buf[off:off + 8])
-        if not head.startswith(b"OLYMP\0"):
-            return None
+        head = bytes(tf.buf[off:off + 12])
         try:
-            entries, _ = tf._read_ifd(off + 8 - tf.base)
-            mn_ifd = Ifd(tf, entries, off)
+            if head.startswith(b"OLYMP\0"):
+                entries, _ = tf._read_ifd(off + 8 - tf.base)
+                return Ifd(tf, entries, off), tf
+            if head.startswith(b"OLYMPUS\0"):
+                order = {b"II": "<", b"MM": ">"}.get(head[8:10])
+                if order is None:
+                    return None
+                sub = object.__new__(TiffFile)
+                sub.buf = tf.buf
+                sub.base = off
+                sub.endian = order
+                sub.ifds = []
+                entries, _ = sub._read_ifd(12)
+                return Ifd(sub, entries, off), sub
         except ValueError:
-            return None
-        red = mn_ifd.get(0x1017)
-        blue = mn_ifd.get(0x1018)
-        if red and blue and float(red[0]) > 0 and float(blue[0]) > 0:
-            return (float(red[0]) / 256.0, 1.0, float(blue[0]) / 256.0,
-                    float("nan"))
+            return None  # bounds-checked walk failed: ignore the note
     return None
+
+
+def _olympus_imageprocessing(tf: TiffFile):
+    """The ImageProcessing sub-IFD (maker-note tag 0x2040) as an Ifd, or
+    None. The subdirectory rides either inline (UNDEFINED payload that IS
+    the nested IFD) or as a note-relative offset value; the nested IFD's
+    own value offsets keep the note's convention either way."""
+    found = _olympus_makernote(tf)
+    if found is None:
+        return None
+    mn, owner = found
+    if 0x2040 not in mn.entries:
+        return None
+    typ, count, off = mn.entries[0x2040]
+    try:
+        if typ in (4, 13) and count == 1:
+            (ptr,) = struct.unpack_from(owner.endian + "I", owner.buf, off)
+            entries, _ = owner._read_ifd(ptr)
+        else:
+            entries, _ = owner._read_ifd(off - owner.base)
+        return Ifd(owner, entries, off)
+    except ValueError:
+        return None
+
+
+def _olympus_calibration(tf: TiffFile):
+    """(wb, cam_to_srgb|None, blacks|None, valid_bits|None, crop|None)
+    from the maker note. Classic notes carry WB in 0x1017/0x1018
+    (red/blue balance x256); newer bodies put calibration in the
+    ImageProcessing sub-IFD: 0x0100 WB R/B levels (x256), 0x0200 the
+    3x3 camera->sRGB color matrix (signed, /256 -- the public
+    dcraw/exiftool semantics; per-FILE colorimetry, no per-body
+    registry), 0x0600 per-CFA-position black levels, 0x0611 valid bits,
+    0x0612..0x0615 crop left/top/width/height."""
+    wb = None
+    cam2srgb = blacks = valid_bits = crop = None
+    found = _olympus_makernote(tf)
+    if found is not None:
+        mn, _owner = found
+        red = mn.get(0x1017)
+        blue = mn.get(0x1018)
+        if red and blue and float(red[0]) > 0 and float(blue[0]) > 0:
+            wb = (float(red[0]) / 256.0, 1.0, float(blue[0]) / 256.0,
+                  float("nan"))
+    ip = _olympus_imageprocessing(tf)
+    if ip is not None:
+        rb = ip.get(0x0100)
+        if rb and len(rb) >= 2 and float(rb[0]) > 0 and float(rb[1]) > 0:
+            wb = (float(rb[0]) / 256.0, 1.0, float(rb[1]) / 256.0,
+                  float("nan"))
+        cm = ip.get(0x0200)
+        if cm and len(cm) >= 9:
+            m = np.array([v - 65536 if v >= 32768 else v
+                          for v in cm[:9]], np.float32).reshape(3, 3) / 256.0
+            # Plausibility: rows of a camera->sRGB matrix sum near 1.
+            if np.all(np.abs(m.sum(axis=1) - 1.0) < 0.25) and \
+                    np.linalg.det(m.astype(np.float64)) > 1e-3:
+                cam2srgb = m
+        bl = ip.get(0x0600)
+        if bl and len(bl) >= 4:
+            # Stored per 2x2 CFA position (reading order); channel order
+            # here follows the Pentax convention (R, G1, B, G2).
+            blacks = (int(bl[0]), int(bl[1]), int(bl[3]), int(bl[2]))
+        vb = ip.get(0x0611)
+        if vb and 8 <= int(vb[0]) <= 16:
+            valid_bits = int(vb[0])
+        cl, ct = ip.get1(0x0612), ip.get1(0x0613)
+        cw, ch = ip.get1(0x0614), ip.get1(0x0615)
+        if None not in (cl, ct, cw, ch) and int(cw) > 0 and int(ch) > 0:
+            crop = (int(cl), int(ct), int(cw), int(ch))
+    return wb, cam2srgb, blacks, valid_bits, crop
 
 
 def read_orf(path: str) -> RawImage:
@@ -610,12 +687,27 @@ def read_orf(path: str) -> RawImage:
             raise ValueError(
                 "ORF: raw IFD carries no CFA tags and no pattern is "
                 "registered for this body (register_orf_pattern)")
-    wb = _olympus_makernote_wb(tf) or (float("nan"),) * 4
+    wb, cam2srgb, mn_blacks, valid_bits, mn_crop = _olympus_calibration(tf)
+    wb = wb or (float("nan"),) * 4
     black, white = _vendor_levels(model, bits)
+    blacks = mn_blacks if mn_blacks is not None else (black,) * 4
+    if valid_bits is not None:
+        white = (1 << valid_bits) - 1
+    if cam2srgb is not None:
+        from .cameras import xyz_to_cam_from_cam2srgb
+
+        xyz_to_cam = xyz_to_cam_from_cam2srgb(cam2srgb)
+    else:
+        xyz_to_cam = xyz_to_cam_for(make, model)
+    crops = (0, 0, 0, 0)
+    if mn_crop is not None:
+        cl, ct, cw, ch = mn_crop
+        if ct + ch <= height and cl + cw <= width:
+            crops = (ct, width - cl - cw, height - ct - ch, cl)
     return RawImage(
-        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
-        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
-        wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
+        width=width, height=height, cpp=1, crops=crops,
+        blacklevels=blacks, whitelevels=(white,) * 4,
+        wb_coeffs=wb, xyz_to_cam=xyz_to_cam,
         orientation=_orientation(tf), cfa=cfa, data=data,
         make=make, model=model)
 

@@ -75,6 +75,9 @@ _CONFIRMS = {
     "iiq-fmt5": "confirms the format-5 companding curve (iiq.py)",
     "iiq-uncompressed": "confirms the XOR-key swizzle masks (iiq.py)",
     "srf": "confirms the key-block offsets + F828 geometry (sony_srf.py)",
+    "orf-compressed": "confirms the ImageProcessing calibration tags "
+                      "(ColorMatrix /256, BlackLevel2, ValidBits, crop; "
+                      "vendor.py _olympus_calibration)",
 }
 _seen: dict = {}
 

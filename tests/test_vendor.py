@@ -462,8 +462,48 @@ def test_vendor_truncated_files_raise(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def olympus_new_note(ip_tags, subdir_inline=False) -> bytes:
+    """A self-contained new-style Olympus maker note ('OLYMPUS\\0II' +
+    version, IFD at note+12, NOTE-relative offsets) whose single entry
+    is the ImageProcessing sub-IFD (0x2040) — stored as an IFD-typed
+    pointer or inline UNDEFINED payload."""
+    import struct as s
+
+    def pack_vals(typ, vals):
+        fmt = {3: "H", 4: "I", 8: "h"}[typ]
+        return s.pack("<%d%s" % (len(vals), fmt), *vals)
+
+    def build_ifd(tags, data_start):
+        body, extra = b"", b""
+        for tag, typ, vals in tags:
+            pv = pack_vals(typ, vals)
+            if len(pv) <= 4:
+                body += s.pack("<HHI", tag, typ, len(vals)) + pv.ljust(4, b"\0")
+            else:
+                body += s.pack("<HHII", tag, typ, len(vals),
+                               data_start + len(extra))
+                extra += pv
+        return s.pack("<H", len(tags)) + body + s.pack("<I", 0), extra
+
+    head = b"OLYMPUS\0II\x03\x00"
+    main_size = 2 + 1 * 12 + 4
+    nested_off = 12 + main_size
+    nested_size = 2 + len(ip_tags) * 12 + 4
+    nested, extra = build_ifd(ip_tags, nested_off + nested_size)
+    if subdir_inline:
+        main = (s.pack("<H", 1)
+                + s.pack("<HHII", 0x2040, 7, len(nested) + len(extra),
+                         nested_off)
+                + s.pack("<I", 0))
+    else:
+        main = (s.pack("<H", 1) + s.pack("<HHII", 0x2040, 13, 1, nested_off)
+                + s.pack("<I", 0))
+    return head + main + nested + extra
+
+
 def make_orf(data, model="E-M1MarkII", wb=None, bits=12,
-             with_cfa_tags=False, compression=1, payload=None) -> bytes:
+             with_cfa_tags=False, compression=1, payload=None,
+             ip_tags=None, ip_inline=False) -> bytes:
     from tests.tiffgen import pack_12le
 
     h, w = data.shape
@@ -477,7 +517,12 @@ def make_orf(data, model="E-M1MarkII", wb=None, bits=12,
     strip = b.add_blob(payload)
 
     exif_ifd = None
-    if wb is not None:
+    if ip_tags is not None:
+        note = olympus_new_note(ip_tags, subdir_inline=ip_inline)
+        noteoff = b.add_blob(note)
+        exif_ifd = b.add_ifd([(37500, 7, ("ptr", len(note), noteoff))],
+                             chain=False)
+    elif wb is not None:
         # Old-style Olympus note: "OLYMP\0\0\0" + bare IFD, file-relative.
         prefix = b.add_blob(b"OLYMP\0\0\0")
         b.add_ifd([(0x1017, 3, [int(wb[0] * 256), 256]),
@@ -517,6 +562,60 @@ def test_orf_decode_12bit_packed(tmp_path):
     assert raw.whitelevels[0] == 4095
     assert raw.wb_coeffs[0] == pytest.approx(2.1, abs=1e-2)
     assert raw.wb_coeffs[2] == pytest.approx(1.6, abs=1e-2)
+
+
+_IP_MATRIX_256 = [432, 65536 - 96, 65536 - 80,
+                  65536 - 64, 400, 65536 - 80,
+                  16, 65536 - 160, 400]  # rows sum to 256 (cam->sRGB x256)
+
+
+@pytest.mark.parametrize("inline", [False, True])
+def test_orf_imageprocessing_calibration(tmp_path, inline):
+    """The new-style 'OLYMPUS\\0II' note's ImageProcessing sub-IFD feeds
+    per-FILE calibration: WB levels, the camera->sRGB color matrix
+    (signed /256), per-position black levels, valid bits, and crop."""
+    from imagepipe_tpu.cameras import xyz_to_cam_from_cam2srgb
+    from imagepipe_tpu.vendor import read_orf, register_orf_pattern
+
+    register_orf_pattern("E-M1MarkII", "RGGB")
+    data = _sensor(24, 64, seed=33, bits=12)
+    ip_tags = [
+        (0x0100, 3, [520, 370]),            # WB R/B x256
+        (0x0200, 3, _IP_MATRIX_256),        # ColorMatrix
+        (0x0600, 3, [255, 254, 253, 252]),  # BlackLevel2 (positions)
+        (0x0611, 3, [12, 12]),              # ValidBits
+        (0x0612, 3, [4]), (0x0613, 3, [2]),
+        (0x0614, 3, [56]), (0x0615, 3, [20]),
+    ]
+    path = str(tmp_path / "ip.orf")
+    with open(path, "wb") as f:
+        f.write(make_orf(data, ip_tags=ip_tags, ip_inline=inline))
+    raw = read_orf(path)
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.wb_coeffs[0] == pytest.approx(520 / 256)
+    assert raw.wb_coeffs[2] == pytest.approx(370 / 256)
+    m = np.array([432, -96, -80, -64, 400, -80, 16, -160, 400],
+                 np.float32).reshape(3, 3) / 256.0
+    np.testing.assert_allclose(raw.xyz_to_cam,
+                               xyz_to_cam_from_cam2srgb(m), rtol=1e-5)
+    assert raw.blacklevels == (255, 254, 252, 253)  # R G1 B G2
+    assert raw.whitelevels[0] == 4095
+    assert raw.crops == (2, 64 - 4 - 56, 24 - 2 - 20, 4)
+
+
+def test_orf_imageprocessing_implausible_matrix_ignored(tmp_path):
+    from imagepipe_tpu.vendor import read_orf, register_orf_pattern
+
+    register_orf_pattern("E-M1MarkII", "RGGB")
+    data = _sensor(8, 32, seed=34, bits=12)
+    ip_tags = [(0x0200, 3, [9999] * 9)]  # rows don't sum near 1
+    path = str(tmp_path / "bad.orf")
+    with open(path, "wb") as f:
+        f.write(make_orf(data, ip_tags=ip_tags))
+    raw = read_orf(path)
+    # Falls back to the registry path (sRGB identity warning for this
+    # synthetic model) instead of trusting a nonsense matrix.
+    assert raw.xyz_to_cam[0, 0] != 0
 
 
 def test_orf_16bit_with_cfa_tags(tmp_path):

@@ -412,6 +412,45 @@ def _arw2_decode(payload: bytes, height: int, width: int,
     return res
 
 
+def _sony_sr2_private(tf: TiffFile, buf: bytes):
+    """Decrypt + parse the SR2Private metadata block: tag 0x7200 is the
+    block's file offset, 0x7201 its length, 0x7221 the LFSR key (the
+    same public sony_decrypt keystream as SRF). The decrypted bytes are
+    an IFD whose value pointers are FILE-relative and land inside the
+    block, so parsing works over the buffer with the block patched in
+    place (dcraw's negative-base tmpfile trick, without the tmpfile).
+    Returns {tag: values} or None."""
+    off = tf.find1(0x7200)
+    length = tf.find1(0x7201)
+    key = tf.find1(0x7221)
+    if not off or not length or key is None:
+        return None
+    off, length = int(off), int(length)
+    if not (0 <= off and off + length <= len(buf) and 0 < length < 1 << 24):
+        return None
+    from .sony_srf import sony_crypt
+
+    nwords = length // 4
+    plain = sony_crypt(buf[off:off + nwords * 4], int(key))
+    patched = buf[:off] + plain + buf[off + nwords * 4:]
+    try:
+        sub = object.__new__(TiffFile)
+        sub.buf = patched
+        sub.base = 0
+        sub.endian = tf.endian
+        sub.ifds = []
+        entries, _ = sub._read_ifd(off)
+        ifd = Ifd(sub, entries, off)
+    except ValueError:
+        return None
+    out = {}
+    for tag in (0x7303, 0x7310, 0x7312, 0x7313, 0x787F):
+        v = ifd.get(tag)
+        if v:
+            out[tag] = v
+    return out
+
+
 def read_arw(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
@@ -457,14 +496,31 @@ def read_arw(path: str) -> RawImage:
     else:
         raise ValueError(f"unsupported ARW compression {compression}")
 
-    # Sony calibration tags (searched across the IFD tree).
+    # Sony calibration tags (searched across the IFD tree). Modern ARWs
+    # carry them in plaintext; SR2 and early bodies hide them in the
+    # LFSR-encrypted SR2Private block (tags 0x7200/0x7201/0x7221) --
+    # decrypt it with the shared Sony keystream and search there too.
+    sr2 = None
+
+    def _find(tag):
+        v = tf.find(tag)
+        if v:
+            return v
+        nonlocal sr2
+        if sr2 is None:
+            sr2 = _sony_sr2_private(tf, buf) or {}
+        return sr2.get(tag)
+
     wb = (float("nan"),) * 4
-    rggb = tf.find(0x7313)
+    rggb = _find(0x7313)  # stored R G1 G2 B
+    grbg = _find(0x7303)  # stored G R B G2 (older bodies)
     if rggb and len(rggb) >= 4 and rggb[0] > 0 and rggb[1] > 0:
         wb = (float(rggb[0]), float(rggb[1]), float(rggb[3]), float("nan"))
-    bl = tf.find(0x7310)
+    elif grbg and len(grbg) >= 4 and grbg[0] > 0 and grbg[1] > 0:
+        wb = (float(grbg[1]), float(grbg[0]), float(grbg[2]), float("nan"))
+    bl = _find(0x7310)
     black = int(round(sum(bl[:4]) / len(bl[:4]))) if bl else 0
-    wl = tf.find(0x787F)
+    wl = _find(0x787F)
     if wl:
         white = int(wl[0])
     elif arw2_white is not None:

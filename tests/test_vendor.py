@@ -267,6 +267,81 @@ def make_arw(data, model="ILCE-7RM3", bits=16, wb=(2100, 1024, 1024, 1600),
     return b.bytes()
 
 
+def make_arw_sr2private(data, model="DSC-R1", key=0x4D2F9C01,
+                        tags=None) -> bytes:
+    """An ARW/SR2-style container whose calibration rides the
+    LFSR-encrypted SR2Private block: the inner IFD's value pointers are
+    FILE-relative and land inside the block (the layout dcraw's
+    negative-base trick implies)."""
+    import struct as s
+
+    from imagepipe_tpu.sony_srf import sony_crypt
+
+    if tags is None:
+        tags = [(0x7313, 3, [2100, 1024, 1024, 1600]),
+                (0x7310, 3, [512] * 4), (0x787F, 3, [16300])]
+    h, w = data.shape
+    b = TiffBuilder("<")
+    payload = data.astype("<u2").tobytes()
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.align(4)
+    blockoff = b.tell()
+    n = len(tags)
+    ifdsz = 2 + n * 12 + 4
+    body, extra = b"", b""
+    for tag, typ, vals in tags:
+        pv = s.pack("<%dH" % len(vals), *vals)
+        if len(pv) <= 4:
+            body += s.pack("<HHI", tag, typ, len(vals)) + pv.ljust(4, b"\0")
+        else:
+            body += s.pack("<HHII", tag, typ, len(vals),
+                           blockoff + ifdsz + len(extra))
+            extra += pv
+    content = s.pack("<H", n) + body + s.pack("<I", 0) + extra
+    content += b"\0" * (-len(content) % 4)
+    b.add_blob(sony_crypt(content, key))
+    b.add_ifd([
+        (271, 2, "SONY"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]),
+        (0x7200, 4, [blockoff]), (0x7201, 4, [len(content)]),
+        (0x7221, 4, [key]),
+    ])
+    return b.bytes()
+
+
+def test_arw_sr2private_encrypted_calibration(tmp_path):
+    data = _sensor(16, 32, seed=6, bits=12)
+    path = str(tmp_path / "r1.sr2")
+    with open(path, "wb") as f:
+        f.write(make_arw_sr2private(data))
+    raw = decode_file(path).raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.wb_coeffs[:3] == (pytest.approx(2100.0),
+                                 pytest.approx(1024.0),
+                                 pytest.approx(1600.0))
+    assert raw.blacklevels == (512,) * 4
+    assert raw.whitelevels[0] == 16300
+
+
+def test_arw_sr2private_grbg_order(tmp_path):
+    # Older bodies store WB as 0x7303 (G R B G2).
+    data = _sensor(8, 32, seed=7, bits=12)
+    path = str(tmp_path / "old.sr2")
+    with open(path, "wb") as f:
+        f.write(make_arw_sr2private(
+            data, tags=[(0x7303, 3, [1024, 2100, 1600, 1024])]))
+    raw = decode_file(path).raw
+    assert raw.wb_coeffs[:3] == (pytest.approx(2100.0),
+                                 pytest.approx(1024.0),
+                                 pytest.approx(1600.0))
+
+
 @pytest.mark.parametrize("bits", [16, 12])
 def test_arw_decode(tmp_path, bits):
     data = _sensor(32, 48, seed=5, bits=min(bits, 12))

@@ -512,7 +512,8 @@ def read_arw(path: str) -> RawImage:
         return sr2.get(tag)
 
     wb = (float("nan"),) * 4
-    rggb = _find(0x7313)  # stored R G1 G2 B
+    # As-shot RGGB (0x7313) first; auto-WB RGGB (0x7312) as fallback.
+    rggb = _find(0x7313) or _find(0x7312)  # stored R G1 G2 B
     grbg = _find(0x7303)  # stored G R B G2 (older bodies)
     if rggb and len(rggb) >= 4 and rggb[0] > 0 and rggb[1] > 0:
         wb = (float(rggb[0]), float(rggb[1]), float(rggb[3]), float("nan"))

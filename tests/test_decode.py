@@ -790,6 +790,19 @@ def test_codec_family_labels(tmp_path):
         put("t.raf", make_raf_tiff(_sensor(24, 24, seed=7))): "raf-tiff-16bit",
         put("junk.xyz", b"garbage"): "unknown",
     }
+    img12 = (_smooth(8, 28) % 3000 + 600).astype(np.uint16)
+    from imagepipe_tpu.rw2 import encode_panasonic_v6 as _enc6
+    cases[put("e.rw2", make_rw2(img12, payload=_enc6(
+        img12, snap=True, bits=12)[0], bits=12,
+        rawformat=6))] = "rw2-v6-12bit"
+    from tests.test_iiq import make_iiq
+    cases[put("p.iiq", make_iiq(_smooth(16, 24, seed=5)))] = "iiq-fmt3"
+    cases[put("u.iiq", make_iiq(_smooth(8, 12, seed=6),
+                                fmt=1))] = "iiq-uncompressed"
+    from imagepipe_tpu.sony_srf import _MODELS, encode_srf
+    g = _MODELS["DSC-F828"]
+    cases[put("f.srf", encode_srf(np.zeros(
+        (g["raw_height"], g["raw_width"]), np.uint16), g))] = "srf"
     for path, want in cases.items():
         assert codec_family(path) == want, (path, codec_family(path), want)
 

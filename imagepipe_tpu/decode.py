@@ -307,6 +307,12 @@ def codec_family(path) -> str:
             return _raf_family(path)
         if head[:4] == b"\x00MRM":
             return "mrw"
+        if head[4:8] == b"ftyp" and head[8:11] == b"crx":
+            return "cr3-crx-unsupported"
+        if head[6:14] == b"HEAPCCDR":
+            return "crw-ciff-unsupported"
+        if head[:4] == b"FOVb":
+            return "x3f-foveon-unsupported"
         if head[:4] in (b"IIII", b"MMMM"):
             from .iiq import _parse_entries
 

@@ -789,6 +789,11 @@ def test_codec_family_labels(tmp_path):
             (0x0121, struct.pack(">HH", 16, 24))])): "raf-superccd",
         put("t.raf", make_raf_tiff(_sensor(24, 24, seed=7))): "raf-tiff-16bit",
         put("junk.xyz", b"garbage"): "unknown",
+        put("c.cr3", b"\x00\x00\x00\x18ftypcrx " + b"\0" * 64):
+            "cr3-crx-unsupported",
+        put("c.crw", b"II\x1a\x00\x00\x00HEAPCCDR" + b"\0" * 64):
+            "crw-ciff-unsupported",
+        put("c.x3f", b"FOVb" + b"\0" * 64): "x3f-foveon-unsupported",
     }
     img12 = (_smooth(8, 28) % 3000 + 600).astype(np.uint16)
     from imagepipe_tpu.rw2 import encode_panasonic_v6 as _enc6

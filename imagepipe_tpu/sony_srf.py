@@ -39,7 +39,7 @@ from .raw import CFA, Orientation, RawImage
 from .tiff import TiffFile
 
 __all__ = ["read_srf", "sony_keystream", "sony_crypt", "decode_srf",
-           "encode_srf"]
+           "encode_srf", "register_srf_geometry"]
 
 _KEY1_POS = 200896
 _HEAD_POS = 164600
@@ -50,6 +50,19 @@ _MODELS = {
     "DSC-F828": dict(raw_width=3360, raw_height=2460, data_offset=862144,
                      width=3288, left_margin=5, cfa="REGB"),
 }
+
+
+def register_srf_geometry(model: str, raw_width: int, raw_height: int,
+                          data_offset: int, width: int | None = None,
+                          left_margin: int = 0, cfa: str = "RGGB") -> None:
+    """Register raw geometry for an SRF body the built-in table refuses
+    (e.g. DSC-V3) -- the growth path users confirm against a known file,
+    mirroring register_orf_pattern / register_raf_pattern."""
+    _MODELS[model.strip()] = dict(
+        raw_width=int(raw_width), raw_height=int(raw_height),
+        data_offset=int(data_offset),
+        width=int(width) if width else int(raw_width) - int(left_margin),
+        left_margin=int(left_margin), cfa=cfa)
 
 
 def sony_keystream(key: int, nwords: int) -> np.ndarray:

@@ -89,6 +89,25 @@ def test_unknown_model_refuses_by_name(tmp_path):
         read_srf(str(p))
 
 
+def test_register_srf_geometry_growth_path(tmp_path):
+    from imagepipe_tpu.sony_srf import _MODELS, register_srf_geometry
+
+    geom = dict(raw_width=48, raw_height=16, data_offset=_GEOM["data_offset"],
+                width=44, left_margin=2, cfa="RGGB")
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 1 << 14, (16, 48), dtype=np.uint16)
+    p = tmp_path / "reg.srf"
+    p.write_bytes(encode_srf(img, geom, model="DSC-V3"))
+    register_srf_geometry("DSC-V3", 48, 16, _GEOM["data_offset"],
+                          width=44, left_margin=2)
+    try:
+        raw = read_srf(str(p))
+        np.testing.assert_array_equal(raw.data, img)
+        assert raw.cfa.name == "RGGB"
+    finally:
+        del _MODELS["DSC-V3"]
+
+
 def test_truncated_fails_loud(f828_file, tmp_path):
     path, _img = f828_file
     blob = open(path, "rb").read()

@@ -259,19 +259,27 @@ def encode_phase_one(img: np.ndarray) -> tuple[bytes, np.ndarray]:
     return bytes(blob), offsets
 
 
+# Pair-swizzle bit masks, dcraw phase_one_load_raw:
+#   mask = ph1.format == 1 ? 0x5555 : 0x1354
+_SWIZZLE_MASK = {1: 0x5555, 2: 0x1354}
+
+
 def unswizzle_phase_one(raw: np.ndarray, akey: int, bkey: int,
                         fmt: int) -> np.ndarray:
     """Undo the uncompressed formats' XOR-key pair swizzle (dcraw
     phase_one_load_raw): pairs are XORed with the keys, then a fixed
-    format-dependent bit mask swaps between the two."""
+    format-dependent bit mask swaps between the two. A trailing odd
+    word (never produced by real geometry) passes through untouched,
+    mirroring dcraw's i += 2 loop bound."""
     if fmt == 0:
         return raw
-    mask = np.uint16(0x383 if fmt == 1 else 0x3838)
+    mask = np.uint16(_SWIZZLE_MASK.get(fmt, _SWIZZLE_MASK[2]))
     flat = raw.reshape(-1).astype(np.uint16).copy()
-    a = flat[0::2] ^ np.uint16(akey)
-    b = flat[1::2] ^ np.uint16(bkey)
-    flat[0::2] = (a & mask) | (b & ~mask)
-    flat[1::2] = (b & mask) | (a & ~mask)
+    npairs = flat.size // 2
+    a = flat[0:npairs * 2:2] ^ np.uint16(akey)
+    b = flat[1:npairs * 2:2] ^ np.uint16(bkey)
+    flat[0:npairs * 2:2] = (a & mask) | (b & ~mask)
+    flat[1:npairs * 2:2] = (b & mask) | (a & ~mask)
     return flat.reshape(raw.shape)
 
 
@@ -281,14 +289,15 @@ def swizzle_phase_one(img: np.ndarray, akey: int, bkey: int,
     to the XOR order: swap the masked halves back, then XOR)."""
     if fmt == 0:
         return img
-    mask = np.uint16(0x383 if fmt == 1 else 0x3838)
+    mask = np.uint16(_SWIZZLE_MASK.get(fmt, _SWIZZLE_MASK[2]))
     flat = img.reshape(-1).astype(np.uint16).copy()
-    x = flat[0::2]
-    y = flat[1::2]
+    npairs = flat.size // 2
+    x = flat[0:npairs * 2:2]
+    y = flat[1:npairs * 2:2]
     a = (x & mask) | (y & ~mask)
     b = (y & mask) | (x & ~mask)
-    flat[0::2] = a ^ np.uint16(akey)
-    flat[1::2] = b ^ np.uint16(bkey)
+    flat[0:npairs * 2:2] = a ^ np.uint16(akey)
+    flat[1:npairs * 2:2] = b ^ np.uint16(bkey)
     return flat.reshape(img.shape)
 
 
@@ -318,21 +327,19 @@ _ROMM_TO_SRGB = np.array(
     [[2.034193, -0.727420, -0.306766],
      [-0.228811, 1.231729, -0.002922],
      [-0.009127, -0.153724, 1.162851]], np.float64)
-# sRGB linear -> XYZ D65 (IEC 61966-2-1).
-_SRGB_TO_XYZ = np.array(
-    [[0.412453, 0.357580, 0.180423],
-     [0.212671, 0.715160, 0.072169],
-     [0.019334, 0.119193, 0.950227]], np.float64)
 
 
 def romm_to_xyz_to_cam(romm_cam: np.ndarray) -> np.ndarray:
-    """[4,3] xyz_to_cam from the file's ROMM->camera matrix (tag 0x106):
-    camera->sRGB = (ROMM->sRGB) @ (camera->ROMM)^-1 ... equivalently
-    xyz_to_cam = inv(sRGB_to_XYZ @ ROMM_to_sRGB @ inv(romm_cam)) built
-    from public ProPhoto/sRGB primaries -- per-file colorimetry with no
-    guessed per-body constants."""
+    """[4,3] xyz_to_cam from the file's camera->ROMM matrix (tag 0x106;
+    dcraw's `romm_cam` in its `a_b` = b->a naming, composed WITHOUT
+    inversion exactly as romm_coeff does): camera->sRGB =
+    (ROMM->sRGB) @ (camera->ROMM), then camera->XYZ through the public
+    sRGB primaries, inverted once into xyz_to_cam -- per-file
+    colorimetry with no guessed per-body constants."""
+    from .color import SRGB_D65_33  # the one sRGB->XYZ source of truth
+
     romm_cam = np.asarray(romm_cam, np.float64).reshape(3, 3)
-    cam_to_xyz = _SRGB_TO_XYZ @ _ROMM_TO_SRGB @ np.linalg.inv(romm_cam)
+    cam_to_xyz = SRGB_D65_33.astype(np.float64) @ _ROMM_TO_SRGB @ romm_cam
     xyz_to_cam = np.linalg.inv(cam_to_xyz).astype(np.float32)
     return np.concatenate([xyz_to_cam, np.zeros((1, 3), np.float32)], axis=0)
 

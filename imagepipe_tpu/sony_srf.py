@@ -68,8 +68,14 @@ def register_srf_geometry(model: str, raw_width: int, raw_height: int,
 def sony_keystream(key: int, nwords: int) -> np.ndarray:
     """`nwords` keystream words as the decoder XORs them over
     little-endian-viewed data (i.e. the big-endian serialization of the
-    LFSR state, which the XOR-linear recurrence preserves)."""
-    pad = np.zeros(128, np.uint32)
+    LFSR state, which the XOR-linear recurrence preserves).
+
+    Exact dcraw ring semantics: 127 seed words s[0..126]; the pointer
+    enters the stream loop at slot 127, so the FIRST output word is
+    k[0] = s[0] ^ s[64] (written into the never-seeded slot 127 before
+    anything reads it — there is NO zero tap), and in sequence form
+    k[i] = ext[i-127] ^ ext[i-63] over ext = seeds ++ outputs."""
+    pad = np.zeros(127, np.uint32)
     k = key & 0xFFFFFFFF
     for p in range(4):
         k = (k * 48828125 + 1) & 0xFFFFFFFF
@@ -79,17 +85,17 @@ def sony_keystream(key: int, nwords: int) -> np.ndarray:
         pad[p] = ((int(pad[p - 4]) ^ int(pad[p - 2])) << 1
                   | (int(pad[p - 3]) ^ int(pad[p - 1])) >> 31) & 0xFFFFFFFF
     pad = pad.byteswap()  # dcraw htonl's the seed words
-    # t[p] = t[p-127] ^ t[p-63] over the seed window (pad[127] = 0):
-    # generate in <=63-wide blocks so both taps are already available.
-    out = np.empty(128 + nwords, np.uint32)
-    out[:128] = pad
-    filled = 128
-    while filled < 128 + nwords:
-        n = min(63, 128 + nwords - filled)
+    # k[i] = ext[i-127] ^ ext[i-63]: generate in <=63-wide blocks so
+    # both taps are already available.
+    out = np.empty(127 + nwords, np.uint32)
+    out[:127] = pad
+    filled = 127
+    while filled < 127 + nwords:
+        n = min(63, 127 + nwords - filled)
         out[filled:filled + n] = (out[filled - 127:filled - 127 + n]
                                   ^ out[filled - 63:filled - 63 + n])
         filled += n
-    return out[128:]
+    return out[127:]
 
 
 def sony_crypt(data: bytes, key: int) -> bytes:

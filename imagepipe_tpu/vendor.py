@@ -514,11 +514,15 @@ def read_arw(path: str) -> RawImage:
     wb = (float("nan"),) * 4
     # As-shot RGGB (0x7313) first; auto-WB RGGB (0x7312) as fallback.
     rggb = _find(0x7313) or _find(0x7312)  # stored R G1 G2 B
-    grbg = _find(0x7303)  # stored G R B G2 (older bodies)
     if rggb and len(rggb) >= 4 and rggb[0] > 0 and rggb[1] > 0:
         wb = (float(rggb[0]), float(rggb[1]), float(rggb[3]), float("nan"))
-    elif grbg and len(grbg) >= 4 and grbg[0] > 0 and grbg[1] > 0:
-        wb = (float(grbg[1]), float(grbg[0]), float(grbg[2]), float("nan"))
+    else:
+        # Only older bodies store G R B G2 (0x7303) -- looked up lazily
+        # so the common case never touches the encrypted block for it.
+        grbg = _find(0x7303)
+        if grbg and len(grbg) >= 4 and grbg[0] > 0 and grbg[1] > 0:
+            wb = (float(grbg[1]), float(grbg[0]), float(grbg[2]),
+                  float("nan"))
     bl = _find(0x7310)
     black = int(round(sum(bl[:4]) / len(bl[:4]))) if bl else 0
     wl = _find(0x787F)
@@ -595,12 +599,13 @@ def _olympus_makernote(tf: TiffFile):
     return None
 
 
-def _olympus_imageprocessing(tf: TiffFile):
+def _olympus_imageprocessing(found):
     """The ImageProcessing sub-IFD (maker-note tag 0x2040) as an Ifd, or
-    None. The subdirectory rides either inline (UNDEFINED payload that IS
-    the nested IFD) or as a note-relative offset value; the nested IFD's
-    own value offsets keep the note's convention either way."""
-    found = _olympus_makernote(tf)
+    None. `found` is the (Ifd, owner) pair from _olympus_makernote (the
+    note is parsed once and shared). The subdirectory rides either
+    inline (UNDEFINED payload that IS the nested IFD) or as a
+    note-relative offset value; the nested IFD's own value offsets keep
+    the note's convention either way."""
     if found is None:
         return None
     mn, owner = found
@@ -637,7 +642,7 @@ def _olympus_calibration(tf: TiffFile):
         if red and blue and float(red[0]) > 0 and float(blue[0]) > 0:
             wb = (float(red[0]) / 256.0, 1.0, float(blue[0]) / 256.0,
                   float("nan"))
-    ip = _olympus_imageprocessing(tf)
+    ip = _olympus_imageprocessing(found)
     if ip is not None:
         rb = ip.get(0x0100)
         if rb and len(rb) >= 2 and float(rb[0]) > 0 and float(rb[1]) > 0:

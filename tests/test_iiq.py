@@ -141,19 +141,25 @@ def test_black_correct_splits_and_clamp():
 
 
 def test_romm_matrix_colorimetry():
-    # An identity ROMM->camera matrix means camera == ProPhoto primaries;
-    # the pseudo-inverse of the derived xyz_to_cam must invert back to
-    # (sRGB->XYZ) @ (ROMM->sRGB) within float tolerance.
-    from imagepipe_tpu.iiq import _ROMM_TO_SRGB, _SRGB_TO_XYZ
-    from imagepipe_tpu.raw import RawImage, CFA
+    # An identity camera->ROMM matrix means camera == ProPhoto primaries;
+    # the inverse of the derived xyz_to_cam must give back
+    # (sRGB->XYZ) @ (ROMM->sRGB) -- composed WITHOUT inverting the tag
+    # matrix (dcraw romm_coeff's form). Non-identity must enter
+    # UN-inverted: cam_to_xyz(M) == cam_to_xyz(I) @ M.
+    from imagepipe_tpu.color import SRGB_D65_33
+    from imagepipe_tpu.iiq import _ROMM_TO_SRGB
 
     m = romm_to_xyz_to_cam(np.eye(3))
     assert m.shape == (4, 3) and (m[3] == 0).all()
     cam_to_xyz = np.linalg.inv(m[:3].astype(np.float64))
-    np.testing.assert_allclose(cam_to_xyz, _SRGB_TO_XYZ @ _ROMM_TO_SRGB,
-                               rtol=1e-4)
+    np.testing.assert_allclose(
+        cam_to_xyz, SRGB_D65_33.astype(np.float64) @ _ROMM_TO_SRGB,
+        rtol=1e-4)
     # White (1,1,1) in camera space maps to a plausible positive XYZ.
     assert (cam_to_xyz @ np.ones(3) > 0).all()
+    romm = np.array([[0.9, 0.05, 0.05], [0.1, 0.8, 0.1], [0.0, 0.1, 0.9]])
+    got = np.linalg.inv(romm_to_xyz_to_cam(romm)[:3].astype(np.float64))
+    np.testing.assert_allclose(got, cam_to_xyz @ romm, rtol=1e-4)
 
 
 # ---------------------------------------------------------------------------

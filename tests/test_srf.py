@@ -31,14 +31,28 @@ def test_keystream_recurrence_and_involution():
     assert sony_crypt(enc, 0x31415926) == blob
 
 
-def test_keystream_seed_tail_uses_zero_pad127():
-    # pad[127] is never seeded (dcraw's static zero): the first stream
-    # word with tap (p+1)&127 == 127 must see 0 there. Equivalent check:
-    # the generator is deterministic and stable against an off-by-one in
-    # the seed window, pinned by a fixed regression vector.
-    ks = sony_keystream(1, 8)
-    assert ks.dtype == np.uint32 and len(ks) == 8
-    np.testing.assert_array_equal(ks, sony_keystream(1, 8))
+def test_keystream_ring_entry_semantics():
+    # dcraw's pointer enters the stream loop at slot 127 with 127 seeded
+    # words, so k[0] = s[0] ^ s[64] (no zero tap: slot 127 is WRITTEN
+    # before anything reads it) and k[63] = s[63] ^ k[0]. Re-derive the
+    # seeds independently and pin both identities.
+    key = 0xBADC0FFE
+    seeds = np.zeros(127, np.uint32)
+    k = key
+    for p in range(4):
+        k = (k * 48828125 + 1) & 0xFFFFFFFF
+        seeds[p] = k
+    seeds[3] = (int(seeds[3]) << 1
+                | (int(seeds[0]) ^ int(seeds[2])) >> 31) & 0xFFFFFFFF
+    for p in range(4, 127):
+        seeds[p] = ((int(seeds[p - 4]) ^ int(seeds[p - 2])) << 1
+                    | (int(seeds[p - 3]) ^ int(seeds[p - 1])) >> 31) \
+            & 0xFFFFFFFF
+    seeds = seeds.byteswap()
+    ks = sony_keystream(key, 64)
+    assert ks[0] == seeds[0] ^ seeds[64]
+    assert ks[62] == seeds[62] ^ seeds[126]
+    assert ks[63] == seeds[63] ^ ks[0]
 
 
 @pytest.fixture(scope="module")

@@ -62,12 +62,15 @@ _LEN_CODE = {l: (i // 2 + 1, i % 2) for i, l in enumerate(_LEN_TABLE)}
 
 
 class _Ph1Bits:
-    """dcraw's ph1_bits: 32-bit little-endian words, bits MSB-first
-    within each word, buffered in a 64-bit cache."""
+    """dcraw's ph1_bits: 32-bit words in the CONTAINER's byte order
+    (get4 honors the order mark; real files are "IIII" so little-endian
+    is the common case), bits MSB-first within each word, buffered in a
+    64-bit cache."""
 
-    def __init__(self, data: bytes, pos: int):
+    def __init__(self, data: bytes, pos: int, en: str = "<"):
         self.data = data
         self.pos = pos
+        self.fmt = en + "I"
         self.bitbuf = 0
         self.vbits = 0
 
@@ -77,7 +80,7 @@ class _Ph1Bits:
         if self.vbits < n:
             if self.pos + 4 > len(self.data):
                 raise ValueError("IIQ: bitstream exhausted")
-            (w,) = struct.unpack_from("<I", self.data, self.pos)
+            (w,) = struct.unpack_from(self.fmt, self.data, self.pos)
             self.pos += 4
             self.bitbuf = ((self.bitbuf << 32) | w) & 0xFFFFFFFFFFFFFFFF
             self.vbits += 32
@@ -87,7 +90,7 @@ class _Ph1Bits:
 
 
 def _decode_python(data: bytes, offsets: np.ndarray, width: int,
-                   height: int) -> np.ndarray:
+                   height: int, en: str = "<") -> np.ndarray:
     out = np.zeros((height, width), np.uint16)
     tail_start = width & ~7
     # The two chains' difference lengths persist ACROSS rows (dcraw
@@ -97,7 +100,7 @@ def _decode_python(data: bytes, offsets: np.ndarray, width: int,
         off = int(offsets[row])
         if not 0 <= off <= len(data):
             raise ValueError("IIQ: strip offset out of range")
-        bits = _Ph1Bits(data, off)
+        bits = _Ph1Bits(data, off, en)
         pred = [0, 0]
         for col in range(width):
             if col >= tail_start:
@@ -129,18 +132,19 @@ def _decode_python(data: bytes, offsets: np.ndarray, width: int,
 
 
 def _decode_native(data: bytes, offsets: np.ndarray, width: int,
-                   height: int) -> np.ndarray:
+                   height: int, en: str = "<") -> np.ndarray:
     lib = native._lib
     fn = lib.iiq_decode
     fn.restype = ctypes.c_int
     fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
-                   ctypes.c_int, ctypes.POINTER(ctypes.c_uint16)]
+                   ctypes.c_int, ctypes.c_int,
+                   ctypes.POINTER(ctypes.c_uint16)]
     offs = np.ascontiguousarray(offsets, np.int64)
     out = np.empty((height, width), np.uint16)
     rc = fn(data, len(data),
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            width, height,
+            width, height, 1 if en == ">" else 0,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
     if rc != 0:
         raise ValueError(f"IIQ: corrupt compressed stream (rc={rc})")
@@ -154,16 +158,17 @@ _FMT5_CURVE = (np.arange(256, dtype=np.float64) ** 2 / 3.969 + 0.5).astype(
 
 
 def decode_phase_one(data: bytes, offsets, width: int, height: int,
-                     fmt: int = 3) -> np.ndarray:
+                     fmt: int = 3, en: str = "<") -> np.ndarray:
     """Decode a compressed Phase One payload. `data` is the blob at the
-    raw-data offset; `offsets` the per-row strip offsets into it."""
+    raw-data offset; `offsets` the per-row strip offsets into it; `en`
+    the container byte order the 32-bit stream words follow."""
     offsets = np.asarray(offsets, np.int64)
     if offsets.shape != (height,):
         raise ValueError("IIQ: need one strip offset per raw row")
     if native.have_native() and hasattr(native._lib, "iiq_decode"):
-        out = _decode_native(bytes(data), offsets, width, height)
+        out = _decode_native(bytes(data), offsets, width, height, en)
     else:
-        out = _decode_python(bytes(data), offsets, width, height)
+        out = _decode_python(bytes(data), offsets, width, height, en)
     if fmt == 5:
         low = out < 256
         out[low] = _FMT5_CURVE[out[low]]
@@ -172,9 +177,10 @@ def decode_phase_one(data: bytes, offsets, width: int, height: int,
 
 class _Ph1BitsWriter:
     """Mirror of _Ph1Bits: accumulates MSB-first bits, flushes 32-bit
-    little-endian words."""
+    words in the container byte order."""
 
-    def __init__(self):
+    def __init__(self, en: str = "<"):
+        self.en = en
         self.words: list[int] = []
         self.acc = 0
         self.nacc = 0
@@ -192,7 +198,7 @@ class _Ph1BitsWriter:
     def row_bytes(self) -> bytes:
         if self.nacc:
             self.put(32 - self.nacc, 0)
-        return struct.pack(f"<{len(self.words)}I", *self.words)
+        return struct.pack(f"{self.en}{len(self.words)}I", *self.words)
 
 
 def _len_for(deltas) -> int:
@@ -204,7 +210,8 @@ def _len_for(deltas) -> int:
     return 14
 
 
-def encode_phase_one(img: np.ndarray) -> tuple[bytes, np.ndarray]:
+def encode_phase_one(img: np.ndarray,
+                     en: str = "<") -> tuple[bytes, np.ndarray]:
     """Encode a u16 plane as a compressed Phase One payload (lossless --
     length 14 carries any 16-bit value). Returns (data, strip_offsets).
 
@@ -221,7 +228,7 @@ def encode_phase_one(img: np.ndarray) -> tuple[bytes, np.ndarray]:
     ln = [0, 0]
     for row in range(height):
         offsets[row] = len(blob)
-        w = _Ph1BitsWriter()
+        w = _Ph1BitsWriter(en)
         pred = [0, 0]
         first_group = True
         for g in range(0, tail_start, 8):
@@ -424,6 +431,7 @@ def read_iiq(path: str) -> RawImage:
             akey, bkey = struct.unpack_from(en + "2H", buf, pos)
         data = unswizzle_phase_one(data.astype(np.uint16), akey, bkey, fmt)
         blacks = (scalar(0x21D, 0),) * 4
+        white = 0xFFFF
     else:
         strip_off = scalar(0x21C)
         if strip_off is None:
@@ -432,7 +440,7 @@ def read_iiq(path: str) -> RawImage:
         offsets = np.frombuffer(buf, en + "u4", count=raw_height,
                                 offset=strip_off).astype(np.int64)
         pix = decode_phase_one(buf[data_off:], offsets, raw_width,
-                               raw_height, fmt)
+                               raw_height, fmt, en)
         cblack = rblack = None
         if 0x223 in tags:
             cblack = np.frombuffer(
@@ -442,9 +450,13 @@ def read_iiq(path: str) -> RawImage:
             rblack = np.frombuffer(
                 buf, en + "i2", count=raw_width * 2,
                 offset=base + tags[0x225][2]).reshape(raw_width, 2)
-        data = black_correct(pix, fmt, scalar(0x21D, 0), cblack, rblack,
+        black = scalar(0x21D, 0)
+        data = black_correct(pix, fmt, black, cblack, rblack,
                              scalar(0x222, 0), scalar(0x224, 0))
         blacks = (0,) * 4
+        # dcraw: maximum = 0xfffc - ph1.black (the brightest value the
+        # <<2 + black-subtracted chain can produce).
+        white = max(0xFFFC - black, 1)
 
     left = scalar(0x10A, 0)
     top = scalar(0x10B, 0)
@@ -476,6 +488,6 @@ def read_iiq(path: str) -> RawImage:
     orient = _ORIENT_BY_CODE[scalar(0x100, 0) & 3]
     return RawImage(
         width=raw_width, height=raw_height, cpp=1, crops=crops,
-        blacklevels=blacks, whitelevels=(0xFFFF,) * 4,
+        blacklevels=blacks, whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam, orientation=orient,
         cfa=CFA("RGGB"), data=data, make="Phase One", model=model)

@@ -503,7 +503,12 @@ def _v6_reconstruct(fields: np.ndarray, lay: _V6Layout) -> np.ndarray:
         val = np.where(has, val_scaled, val_raw)
         nonzero[:, p] = np.where(has, val_scaled, val_raw)
         oddeven[:, p] = np.where(has, oddeven[:, p], e)
-        out[:, pix] = np.maximum(val - _V6_BIAS, 0).astype(np.uint16)
+        # The published decoder clamps both ways: biased values below
+        # 0xF floor at 0, and chains grown past the pixel mask saturate
+        # at maxval (possible in a crafted stream via repeated max
+        # deltas; real sensors stay in range).
+        out[:, pix] = np.minimum(np.maximum(val - _V6_BIAS, 0),
+                                 lay.maxval).astype(np.uint16)
     return out
 
 

@@ -336,11 +336,11 @@ def read_cr2(path: str) -> RawImage:
 # ---------------------------------------------------------------------------
 
 
-def _sony_curve(tf: TiffFile) -> np.ndarray:
+def _sony_curve(bp) -> np.ndarray:
     """ARW2 tone curve: 4096-entry LUT from the four SR2 breakpoints in tag
     0x7010 (dcraw's sony curve: segment i of [0, b0..b3, 4095] steps by
-    2^i; decoded 11-bit samples index it as curve[pix*2] >> 2)."""
-    bp = tf.find(0x7010)
+    2^i; decoded 11-bit samples index it as curve[pix*2] >> 2). `bp` is
+    the breakpoint list (plaintext tag or the decrypted SR2Private's)."""
     if not bp or len(bp) < 4:
         raise ValueError("ARW2: missing tone-curve breakpoints (tag 0x7010)")
     pts = [0] + [(int(v) >> 2) & 0xFFF for v in bp[:4]] + [4095]
@@ -444,7 +444,7 @@ def _sony_sr2_private(tf: TiffFile, buf: bytes):
     except ValueError:
         return None
     out = {}
-    for tag in (0x7303, 0x7310, 0x7312, 0x7313, 0x787F):
+    for tag in (0x7010, 0x7303, 0x7310, 0x7312, 0x7313, 0x787F):
         v = ifd.get(tag)
         if v:
             out[tag] = v
@@ -476,10 +476,26 @@ def read_arw(path: str) -> RawImage:
                              "(tiled mosaics are not supported)")
         return int(offs[0]), int(cnts[0])
 
+    # Sony calibration tags (searched across the IFD tree). Modern ARWs
+    # carry them in plaintext; SR2 and early bodies hide them in the
+    # LFSR-encrypted SR2Private block (tags 0x7200/0x7201/0x7221) --
+    # decrypt it with the shared Sony keystream and search there too.
+    sr2 = None
+
+    def _find(tag):
+        v = tf.find(tag)
+        if v:
+            return v
+        nonlocal sr2
+        if sr2 is None:
+            sr2 = _sony_sr2_private(tf, buf) or {}
+        return sr2.get(tag)
+
     if compression == 32767:
         off, cnt = strip0()
         tf._check(off, cnt, "ARW2 raw strip")
-        curve = _sony_curve(tf)
+        # Curve breakpoints ride the encrypted block on early bodies.
+        curve = _sony_curve(_find(0x7010))
         data = _arw2_decode(bytes(buf[off:off + cnt]), height, width, curve)
         arw2_white = int(curve[0xFFE] >> 2)
     elif compression == 7:
@@ -496,21 +512,6 @@ def read_arw(path: str) -> RawImage:
     else:
         raise ValueError(f"unsupported ARW compression {compression}")
 
-    # Sony calibration tags (searched across the IFD tree). Modern ARWs
-    # carry them in plaintext; SR2 and early bodies hide them in the
-    # LFSR-encrypted SR2Private block (tags 0x7200/0x7201/0x7221) --
-    # decrypt it with the shared Sony keystream and search there too.
-    sr2 = None
-
-    def _find(tag):
-        v = tf.find(tag)
-        if v:
-            return v
-        nonlocal sr2
-        if sr2 is None:
-            sr2 = _sony_sr2_private(tf, buf) or {}
-        return sr2.get(tag)
-
     wb = (float("nan"),) * 4
     # As-shot RGGB (0x7313) first; auto-WB RGGB (0x7312) as fallback.
     rggb = _find(0x7313) or _find(0x7312)  # stored R G1 G2 B
@@ -524,7 +525,15 @@ def read_arw(path: str) -> RawImage:
             wb = (float(grbg[1]), float(grbg[0]), float(grbg[2]),
                   float("nan"))
     bl = _find(0x7310)
-    black = int(round(sum(bl[:4]) / len(bl[:4]))) if bl else 0
+    if bl and len(bl) >= 4:
+        # Stored R G1 G2 B (dcraw's c ^ (c >> 1)) -> repo order R G1 B G2,
+        # kept per channel (averaging would tint shadows on bodies with
+        # unequal channel blacks).
+        blacks = (int(bl[0]), int(bl[1]), int(bl[3]), int(bl[2]))
+    elif bl:
+        blacks = (int(bl[0]),) * 4
+    else:
+        blacks = (0,) * 4
     wl = _find(0x787F)
     if wl:
         white = int(wl[0])
@@ -535,7 +544,7 @@ def read_arw(path: str) -> RawImage:
 
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
-        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        blacklevels=blacks, whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam_for(make, model),
         orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
         make=make, model=model)

@@ -21,6 +21,7 @@ struct Ph1BitReader {
   const uint8_t* data;
   int64_t nbytes;
   int64_t pos;
+  bool big_endian;  // word order follows the container order mark
   uint64_t bitbuf = 0;
   int vbits = 0;
   bool exhausted = false;
@@ -32,10 +33,18 @@ struct Ph1BitReader {
         exhausted = true;
         return 0;
       }
-      uint32_t w = static_cast<uint32_t>(data[pos]) |
-                   static_cast<uint32_t>(data[pos + 1]) << 8 |
-                   static_cast<uint32_t>(data[pos + 2]) << 16 |
-                   static_cast<uint32_t>(data[pos + 3]) << 24;
+      uint32_t w;
+      if (big_endian) {
+        w = static_cast<uint32_t>(data[pos]) << 24 |
+            static_cast<uint32_t>(data[pos + 1]) << 16 |
+            static_cast<uint32_t>(data[pos + 2]) << 8 |
+            static_cast<uint32_t>(data[pos + 3]);
+      } else {
+        w = static_cast<uint32_t>(data[pos]) |
+            static_cast<uint32_t>(data[pos + 1]) << 8 |
+            static_cast<uint32_t>(data[pos + 2]) << 16 |
+            static_cast<uint32_t>(data[pos + 3]) << 24;
+      }
       pos += 4;
       bitbuf = bitbuf << 32 | w;
       vbits += 32;
@@ -52,7 +61,7 @@ const int kLenTable[10] = {8, 7, 6, 9, 11, 10, 5, 12, 14, 13};
 
 extern "C" int iiq_decode(const char* payload, int64_t nbytes,
                           const int64_t* offsets, int width, int height,
-                          uint16_t* out) {
+                          int big_endian, uint16_t* out) {
   if (width <= 0 || height <= 0) return 1;
   const uint8_t* data = reinterpret_cast<const uint8_t*>(payload);
   const int tail_start = width & ~7;
@@ -60,7 +69,7 @@ extern "C" int iiq_decode(const char* payload, int64_t nbytes,
   for (int row = 0; row < height; row++) {
     const int64_t off = offsets[row];
     if (off < 0 || off > nbytes) return 2;  // strip offset out of range
-    Ph1BitReader br{data, nbytes, off};
+    Ph1BitReader br{data, nbytes, off, big_endian != 0};
     int32_t pred[2] = {0, 0};
     for (int col = 0; col < width; col++) {
       int l;

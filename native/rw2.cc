@@ -232,8 +232,13 @@ extern "C" int rw2_decode_v6(const char* payload, int64_t nbytes, int width,
           val = e ? e : nonzero[p];
           nonzero[p] = val;
         }
+        // Clamp both ways like the published decoder: floor 0, and
+        // saturate chains grown past the pixel mask (crafted streams).
+        const int64_t maxval = (lay.base0 << 5) - 1;  // 0xFFF / 0x3FFF
         int64_t s = val - 0xF;
-        o[blk * lay.ppb + pix] = static_cast<uint16_t>(s > 0 ? s : 0);
+        if (s < 0) s = 0;
+        if (s > maxval) s = maxval;
+        o[blk * lay.ppb + pix] = static_cast<uint16_t>(s);
       }
     }
   }

@@ -58,6 +58,26 @@ def test_roundtrip_random_and_extremes():
     _roundtrip(img)
 
 
+def test_roundtrip_big_endian_words():
+    # dcraw's ph1_bits honors the container order mark; the "MMMM"
+    # flavor packs the same MSB-first bitstream into big-endian words.
+    img = _smooth(8, 24, seed=12)
+    data, offsets = encode_phase_one(img, en=">")
+    out = decode_phase_one(data, offsets, 24, 8, en=">")
+    np.testing.assert_array_equal(out, img)
+    a = _decode_python(data, offsets, 24, 8, en=">")
+    np.testing.assert_array_equal(a, img)
+    if _HAVE_NATIVE:
+        b = _decode_native(data, offsets, 24, 8, en=">")
+        np.testing.assert_array_equal(b, img)
+    # The LE decode of a BE stream must NOT silently agree.
+    try:
+        le = decode_phase_one(data, offsets, 24, 8, en="<")
+        assert (le != img).any()
+    except ValueError:
+        pass  # corrupt-stream rejection is equally fine
+
+
 def test_roundtrip_ragged_tail_and_narrow():
     _roundtrip(_smooth(6, 37))   # width % 8 = 5 raw-16 tail columns
     _roundtrip(_smooth(6, 7))    # width < 8: every column is raw 16-bit
@@ -244,6 +264,7 @@ def test_container_compressed_end_to_end(tmp_path):
     assert raw.blacklevels == (0,) * 4  # black folded into the data
     expect = np.maximum((img.astype(np.int32) << 2) - 8, 0).astype(np.uint16)
     np.testing.assert_array_equal(raw.data, expect)
+    assert raw.whitelevels == (0xFFFC - 8,) * 4  # dcraw: 0xfffc - black
     assert raw.wb_coeffs[0] == pytest.approx(1.9)
     assert codec_family(str(path)) == "iiq-fmt3"
     src = decode_file(str(path))  # full decoder-chain integration

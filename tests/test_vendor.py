@@ -433,7 +433,7 @@ def test_arw2_decode_matches_scalar_oracle(tmp_path):
     from imagepipe_tpu.tiff import TiffFile
 
     with open(path, "rb") as f:
-        curve = _sony_curve(TiffFile(f.read()))
+        curve = _sony_curve(TiffFile(f.read()).find(0x7010))
     got = read_arw(path)
 
     want = np.zeros((h, w), np.uint16)

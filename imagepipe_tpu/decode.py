@@ -398,6 +398,15 @@ def codec_family(path) -> str:
         if ext == ".srf":
             return "srf"
         if ext in _TIFFEP_EXTS:
+            if ext in (".3fr", ".fff"):
+                try:
+                    from .vendor import _raw_cfa_ifd
+
+                    tf = TiffFile(buf)
+                    if int(_raw_cfa_ifd(tf).get1(259, 1) or 1) == 7:
+                        return "3fr-compressed"
+                except Exception:
+                    pass
             return f"tiffep-{ext[1:]}"
         return "unknown"
     except Exception:

@@ -921,6 +921,35 @@ def read_tiffep(path: str) -> RawImage:
     if not width or not height or width * height > 500_000_000:
         raise ValueError("TIFF-EP: missing/implausible raw dimensions")
     compression = ifd.get1(T_COMPRESSION, 1)
+    if compression == 7 and "HASSELBLAD" in make.upper():
+        # Compressed 3FR: TIFF compression 7, but the strip payload is
+        # the Hasselblad variant of lossless JPEG (Phase One bit order,
+        # paired-column predictor) — see hasselblad.py.
+        if int(ifd.get1(277, 1) or 1) != 1:
+            raise ValueError(
+                f"3FR ({model}): multi-shot files (SamplesPerPixel > 1) "
+                "are not supported")
+        offsets = ifd.get(T_STRIP_OFFSETS) or []
+        if len(offsets) != 1:
+            raise ValueError(
+                f"3FR ({model}): expected a single JPEG strip, got "
+                f"{len(offsets)}")
+        from .hasselblad import decode_hasselblad
+
+        off = int(offsets[0])
+        if not 0 <= off < len(tf.buf):
+            raise ValueError("3FR: strip offset out of range")
+        # Byte counts can undershoot (dcraw seeks and reads the same
+        # way); the bit reader consumes what it needs.
+        data = decode_hasselblad(bytes(tf.buf[off:]), width, height)
+        black, white = _vendor_levels(model, 16)
+        return RawImage(
+            width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+            blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+            wb_coeffs=(float("nan"),) * 4,
+            xyz_to_cam=xyz_to_cam_for(make, model),
+            orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd),
+            data=data, make=make, model=model)
     if compression != 1:
         raise ValueError(
             f"TIFF-EP raw ({make} {model}): vendor-compressed payload "

@@ -59,7 +59,7 @@ _FAMILIES = [
     "rw2-uncompressed",
     "mrw", "pgm",
     "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
-    "srf",
+    "srf", "3fr-compressed",
 ]
 # Families whose synthetic tests leave a named open question that ONLY
 # real bytes can settle.
@@ -78,6 +78,8 @@ _CONFIRMS = {
     "orf-compressed": "confirms the ImageProcessing calibration tags "
                       "(ColorMatrix /256, BlackLevel2, ValidBits, crop; "
                       "vendor.py _olympus_calibration)",
+    "3fr-compressed": "confirms the paired-column predictor + psv-11 "
+                      "row-2 correction (hasselblad.py)",
 }
 _seen: dict = {}
 

@@ -885,10 +885,13 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
 
 
 # Fold the batch into the Pallas grid (one pallas_call per batch) instead
-# of a python loop of per-image kernels inside the jit. A/B in
-# scripts/exp_batchgrid.py; the loop form stays for comparison. Default
-# OFF until the Mosaic compile + hardware A/B validate it (interpret-mode
-# tests cannot check Mosaic constraints).
+# of a python loop of per-image kernels inside the jit. Settled by the
+# hardware A/B (scripts/exp_batchgrid.py, v5e 2026-08-18): for the
+# FULL-SIZE megakernel the grid form measured equal-or-slower in all
+# three interleaved reps (2.43/2.51/2.37 ms/img vs 2.35/2.46/1.66 loop)
+# — the per-image stack/slice overhead it removes is smaller than what
+# the megagrid costs in scheduling — so the default stays OFF here. The
+# SCALED kernel's A/B went the other way; see develop_scaled.BATCH_GRID.
 BATCH_GRID = False
 
 

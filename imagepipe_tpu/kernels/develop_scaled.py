@@ -883,6 +883,16 @@ def _develop_scaled_batchgrid_jit(planes_padded, ohy, ohx, w_off, col_off,
         CKX=CKX, nkx=nkx)
 
 
+# Batch folded into the Pallas grid vs a loop of per-image kernels.
+# Settled by the hardware A/B (scripts/exp_batchgrid.py, v5e 2026-08-18):
+# for the SCALED kernel the grid form won every interleaved rep
+# (1.00/0.92/1.04 ms/img vs 1.25/1.15/1.25 loop, ~20% — the per-image
+# stack/slice overhead dominates this short kernel), so it defaults ON.
+# The full-size megakernel's A/B went the other way
+# (develop_pallas.BATCH_GRID stays False).
+BATCH_GRID = True
+
+
 def develop_scaled_batch(plan, planes, interpret: bool = False,
                          staged: bool = False, param_plans=None):
     """Batched scaled develop: kernel chained per image inside one jit (one
@@ -906,9 +916,7 @@ def develop_scaled_batch(plan, planes, interpret: bool = False,
 
         scal, spline, _ = calib_tables_device(plan)
     tabs_d = _tables_device(sp)
-    from . import develop_pallas as _dp
-
-    if _dp.BATCH_GRID:
+    if BATCH_GRID:
         scal = jnp.asarray(scal)
         spline = jnp.asarray(spline)
         if not per_image:

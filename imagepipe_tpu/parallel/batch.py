@@ -267,7 +267,7 @@ class BatchEngine:
         """Thumbnail batches on the fused scaled-demosaic kernel, dp-sharded
         like the full-size path (geometry tables replicate as shard_map
         closure constants; per-image calibration shards with the planes)."""
-        from ..kernels import develop_pallas as _dp
+        from ..kernels import develop_scaled as _ds
         from ..kernels.develop_scaled import (
             _develop_scaled_batch_jit, _develop_scaled_batchgrid_jit,
             _statics_for, _tables_device, scaled_plan_for, stage_scaled_np)
@@ -286,7 +286,7 @@ class BatchEngine:
         spline_d = jax.device_put(jnp.asarray(spline), spec_in)
 
         def local(planes_l, scal_l, spline_l):
-            if _dp.BATCH_GRID:
+            if _ds.BATCH_GRID:
                 return _develop_scaled_batchgrid_jit(
                     planes_l, *tabs_d, scal_l, spline_l, interpret=interp,
                     **st)

@@ -74,6 +74,7 @@ print("summary:", {k: [f"{x:.2f}" for x in v] for k, v in res.items()},
       flush=True)
 
 # --- Scaled (thumbnail) kernel: same A/B ---
+from imagepipe_tpu.kernels import develop_scaled as ds
 from imagepipe_tpu.kernels.develop_scaled import (develop_scaled_batch,
                                                   scaled_plan_for,
                                                   stage_scaled_np)
@@ -88,10 +89,10 @@ tstaged = jnp.stack([jnp.asarray(stage_scaled_np(tplan, raw.data, spn))] * B)
 sync(tstaged)
 tplans = [tplan] * B
 
-dp.BATCH_GRID = True
+ds.BATCH_GRID = True
 ga = np.asarray(develop_scaled_batch(tplan, tstaged, staged=True,
                                      param_plans=tplans))
-dp.BATCH_GRID = False
+ds.BATCH_GRID = False
 la = np.asarray(develop_scaled_batch(tplan, tstaged, staged=True,
                                      param_plans=tplans))
 print("scaled bit-equal:", np.array_equal(ga, la), flush=True)
@@ -99,7 +100,7 @@ print("scaled bit-equal:", np.array_equal(ga, la), flush=True)
 sres = {}
 for rep in range(3):
     for gridform in (False, True):
-        dp.BATCH_GRID = gridform
+        ds.BATCH_GRID = gridform
         fn = lambda: develop_scaled_batch(tplan, tstaged, staged=True,
                                           param_plans=tplans)
         out = fn(); sync(out)

@@ -108,25 +108,25 @@ def test_scaled_batch_grid_matches_loop():
     """The grid-batched scaled pallas_call (BATCH_GRID) must be
     bit-identical to the loop-of-kernels batched jit, per-image and
     shared calibration."""
-    from imagepipe_tpu.kernels import develop_pallas as dp
+    from imagepipe_tpu.kernels import develop_scaled as ds
     from imagepipe_tpu.kernels.develop_scaled import develop_scaled_batch
 
     raws = [synthetic_bayer(1200, 800, seed=40 + s) for s in range(2)]
     raws[1].wb_coeffs = (1.2, 1.0, 2.4, float("nan"))
     plans = [_plan(r, 192) for r in raws]
     batch = np.stack([r.data for r in raws])
-    old = dp.BATCH_GRID
+    old = ds.BATCH_GRID
     try:
         for param_plans in (plans, None):
-            dp.BATCH_GRID = True
+            ds.BATCH_GRID = True
             grid = np.asarray(develop_scaled_batch(
                 plans[0], batch, interpret=True, param_plans=param_plans))
-            dp.BATCH_GRID = False
+            ds.BATCH_GRID = False
             loop = np.asarray(develop_scaled_batch(
                 plans[0], batch, interpret=True, param_plans=param_plans))
             np.testing.assert_array_equal(grid, loop)
     finally:
-        dp.BATCH_GRID = old
+        ds.BATCH_GRID = old
 
 
 def test_scaled_geometry_cache_respects_crop_origin():

@@ -382,15 +382,24 @@ def codec_family(path) -> str:
             comp = int(_raw_cfa_ifd(tf).get1(259, 1) or 1)
             return "pef-compressed" if comp == 65535 else f"pef-comp{comp}"
         if ext == ".dng":
-            from .vendor import _raw_cfa_ifd
-
             tf = TiffFile(buf)
-            ifd = _raw_cfa_ifd(tf)
+            # Same IFD pick as read_dng: CFA photometric preferred, else
+            # the largest raster IFD (LinearRaw DNGs have no CFA IFD).
+            cands = [e for e in tf.ifds if e.get1(262) == 32803]
+            if not cands:
+                cands = [e for e in tf.ifds
+                         if e.get1(256) and (e.get(273) or e.get(324))]
+            if not cands:
+                return "unknown"
+            ifd = max(cands, key=lambda e: (e.get1(256, 0) or 0)
+                      * (e.get1(257, 0) or 0))
             comp = int(ifd.get1(259, 1) or 1)
             fmt = int(ifd.get1(339, 1) or 1)   # SampleFormat 3 = float
             base = {1: "dng-uncompressed", 7: "dng-lj92",
                     8: "dng-deflate"}.get(comp, f"dng-comp{comp}")
-            return base + ("-float" if fmt == 3 else "")
+            spp = int(ifd.get1(277, 1) or 1)   # 3 = LinearRaw/demosaiced
+            return (base + ("-float" if fmt == 3 else "")
+                    + ("-linear" if spp == 3 else ""))
         if ext == ".cr2":
             return "cr2-lj92"
         if ext in (".arw", ".sr2"):

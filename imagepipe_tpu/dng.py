@@ -11,8 +11,12 @@ Reader surface: strips or tiles, Compression 1 (uncompressed), 7
 (lossless JPEG), or 8 (Deflate/ZIP per DNG 1.4 with TIFF Predictor
 1/2/3 -- the shape Adobe tools write for compressed integer and float/HDR
 DNGs), BitsPerSample 8/12/14/16 integer plus 16/32-bit float
-payloads (SampleFormat 3), CFA (PhotometricInterpretation 32803) or linear
-gray; pulls the DNG calibration tags the pipeline needs (ColorMatrix1 ==
+payloads (SampleFormat 3), CFA (PhotometricInterpretation 32803), linear
+gray, or demosaiced LinearRaw at SamplesPerPixel 3 (the Lightroom
+"linear DNG" / HDR-merge shape — decodes to a cpp=3 RawImage that
+develops through the engine's rgb mode with no demosaic, exactly as
+rawloader hands 3-component raws to the reference's gofloat.rs:101-127);
+pulls the DNG calibration tags the pipeline needs (ColorMatrix1 ==
 xyz_to_cam, AsShotNeutral -> wb_coeffs, BlackLevel/BlackLevelRepeatDim/
 WhiteLevel, LinearizationTable, ActiveArea/DefaultCrop, Orientation,
 CFAPattern). Anything else is rejected with a ValueError naming the gap;
@@ -95,8 +99,12 @@ def read_dng(path: str) -> RawImage:
             f"unsupported DNG compression {compression} "
             "(uncompressed=1, lossless JPEG=7, Deflate=8)")
     spp = get(e, T_SAMPLES_PER_PIXEL, [1])[0]
-    if spp != 1:
-        raise ValueError("only 1 sample/pixel CFA or gray DNGs supported")
+    if spp not in (1, 3):
+        raise ValueError(
+            f"DNG with {spp} samples/pixel unsupported (1 = CFA/gray, "
+            "3 = LinearRaw/demosaiced)")
+    if spp == 3 and get(e, T_PHOTOMETRIC, [1])[0] == 32803:
+        raise ValueError("CFA photometric with 3 samples/pixel is invalid")
     sample_format = get(e, T_SAMPLE_FORMAT, [1])[0]
     is_float = sample_format == 3
     if sample_format not in (1, 3):
@@ -172,11 +180,13 @@ def read_dng(path: str) -> RawImage:
         if len(payload) < need:
             raise ValueError(f"truncated inflated DNG {what}")
         if predictor == 2:
-            # Horizontal differencing on samples, per row, modulo 2^bits.
+            # Horizontal differencing per row, modulo 2^bits. TIFF 6.0:
+            # each sample differences against the previous pixel's SAME
+            # component, so spp=3 rows cumsum per channel.
             fmt = ("<" if endian == "<" else ">") + ("u2" if bits == 16 else "u1")
-            vals = np.frombuffer(payload, fmt, nrows * ncols).reshape(nrows, ncols)
+            vals = np.frombuffer(payload, fmt, nrows * ncols).reshape(nrows, -1, spp)
             vals = np.cumsum(vals.astype(np.int64), axis=1) & ((1 << bits) - 1)
-            return vals.astype(np.uint16)
+            return vals.reshape(nrows, ncols).astype(np.uint16)
         # Predictor 3 (TIFF TechNote 3): each row holds MSB-first byte
         # planes of the samples, byte-differenced; undo the differencing
         # then reassemble big-endian samples (plane order is independent
@@ -212,6 +222,9 @@ def read_dng(path: str) -> RawImage:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(lambda j: decode_chunk(*j), jobs))
 
+    # Samples per row scale by spp; a LinearRaw (spp=3) payload stays in
+    # the flat [H, W*3] interleaved layout RawImage permits (raw.py:215 —
+    # engine.normalize_plane reshapes it on the way into the develop).
     payload_dtype = np.float32 if is_float else np.uint16
     if T_TILE_OFFSETS in e:
         # Tiled layout (the common shape for Compression=7 DNGs).
@@ -221,16 +234,17 @@ def read_dng(path: str) -> RawImage:
         counts = get(e, T_TILE_BYTECOUNTS)
         tiles_x = -(-width // tw)
         tiles_y = -(-height // tl)
-        data = np.zeros((tiles_y * tl, tiles_x * tw), payload_dtype)
+        data = np.zeros((tiles_y * tl, tiles_x * tw * spp), payload_dtype)
         jobs = []
         for off, cnt in zip(offsets, counts):
             tf._check(off, cnt, "tile data")
-            jobs.append((np.frombuffer(buf, np.uint8, cnt, off), tl, tw,
+            jobs.append((np.frombuffer(buf, np.uint8, cnt, off), tl, tw * spp,
                          "tile data"))
         for ti, tile in enumerate(decode_chunks(jobs)):
             ty, tx = divmod(ti, tiles_x)
-            data[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = tile
-        data = data[:height, :width]
+            data[ty * tl:(ty + 1) * tl,
+                 tx * tw * spp:(tx + 1) * tw * spp] = tile
+        data = data[:height, :width * spp]
     else:
         offsets = get(e, T_STRIP_OFFSETS)
         counts = get(e, T_STRIP_BYTECOUNTS)
@@ -240,10 +254,10 @@ def read_dng(path: str) -> RawImage:
             nrows = min(rows_per_strip, height - si * rows_per_strip)
             tf._check(off, cnt, "strip data")
             jobs.append((np.frombuffer(buf, np.uint8, cnt, off), nrows,
-                         width, "strip data"))
+                         width * spp, "strip data"))
         data = np.concatenate(decode_chunks(jobs), axis=0)
-    if data.shape != (height, width):
-        raise ValueError(f"DNG payload {data.shape} != {(height, width)}")
+    if data.shape != (height, width * spp):
+        raise ValueError(f"DNG payload {data.shape} != {(height, width * spp)}")
 
     # LinearizationTable (DNG 1.0, tag 50712): u16 LUT applied to the raw
     # counts before level subtraction (rawloader applies it the same way).
@@ -277,7 +291,19 @@ def read_dng(path: str) -> RawImage:
         white = int(get(e, T_WHITE_LEVEL, [(1 << bits) - 1])[0])
     blacks = get(e, T_BLACK_LEVEL, [0])
     repeat = get(e, T_BLACK_LEVEL_REPEAT, None)
-    if repeat is not None:
+    if spp == 3:
+        # LinearRaw: BlackLevel count is per SAMPLE (1 shared or spp
+        # per-channel entries); a spatial repeat pattern is meaningless
+        # on demosaiced data.
+        if repeat is not None and (int(repeat[0]), int(repeat[1])) != (1, 1):
+            raise ValueError("BlackLevelRepeatDim on a LinearRaw DNG "
+                             "must be 1x1")
+        if len(blacks) not in (1, 3):
+            raise ValueError(f"LinearRaw BlackLevel with {len(blacks)} "
+                             "entries (1 or 3 supported)")
+        if len(blacks) == 3:
+            blacks = list(blacks) + [0]
+    elif repeat is not None:
         rr, rc = int(repeat[0]), int(repeat[1])
         if (rr, rc) not in ((1, 1), (2, 2)) or rr * rc != len(blacks):
             raise ValueError(
@@ -320,7 +346,7 @@ def read_dng(path: str) -> RawImage:
     orientation = exif_to_orientation(orient_v or 1)
 
     return RawImage(
-        width=width, height=height, cpp=1, crops=crops,
+        width=width, height=height, cpp=spp, crops=crops,
         blacklevels=tuple(blacks), whitelevels=(white,) * 4,
         wb_coeffs=wb, xyz_to_cam=xyz_to_cam, orientation=orientation,
         cfa=cfa, data=data)
@@ -338,32 +364,37 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
     (the HDR-DNG shape). With Deflate, predictor defaults to the shape
     Adobe tools emit: 2 (horizontal) for integers, 3 (floating-point
     byte-planar) for floats; pass predictor=1 for plain inflate."""
-    assert raw.cpp == 1, "writer supports single-plane CFA/gray"
+    assert raw.cpp in (1, 3), "writer supports CFA/gray and LinearRaw"
     assert compression in (1, 7, 8)
+    spp = raw.cpp
     is_float = np.asarray(raw.data).dtype == np.float32
     if is_float:
         assert compression in (1, 8), "float DNG writes uncompressed or Deflate"
         data = np.ascontiguousarray(
-            np.asarray(raw.data, np.float32).reshape(raw.height, raw.width))
+            np.asarray(raw.data, np.float32).reshape(raw.height,
+                                                     raw.width * spp))
     else:
         data = np.ascontiguousarray(
-            np.asarray(raw.data, np.uint16).reshape(raw.height, raw.width))
+            np.asarray(raw.data, np.uint16).reshape(raw.height,
+                                                    raw.width * spp))
     if predictor is None:
         predictor = (3 if is_float else 2) if compression == 8 else 1
     assert predictor in (1, 2, 3) and (predictor == 1 or compression == 8)
     assert (predictor != 2 or not is_float) and (predictor != 3 or is_float)
-    is_cfa = raw.cfa.is_valid()
+    is_cfa = raw.cfa.is_valid() and spp == 1
     if compression == 7:
         from .lj92 import encode as lj92_encode
 
-        # Two interleaved components for even-width CFA rows (like real DNG
-        # encoders): each component then predicts from its own color plane.
-        ncomp = 2 if (is_cfa and raw.width % 2 == 0) else 1
+        # Interleaved components so each predicts from its own plane:
+        # 3 for LinearRaw; 2 for even-width CFA rows (like real DNG
+        # encoders).
+        ncomp = 3 if spp == 3 else (
+            2 if (is_cfa and raw.width % 2 == 0) else 1)
         payload = lj92_encode(data, ncomp=ncomp, precision=16)
     elif compression == 8:
         import zlib
 
-        h, w = raw.height, raw.width
+        h, w = raw.height, raw.width * spp
         if predictor == 3:
             # TIFF TechNote 3 float predictor: per row, MSB-first byte
             # planes of the big-endian samples, then byte differencing.
@@ -372,8 +403,10 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
             rowsb[:, 1:] = (rowsb[:, 1:] - rowsb[:, :-1]) & 0xFF
             payload = zlib.compress(rowsb.astype(np.uint8).tobytes())
         elif predictor == 2:
+            # Horizontal differencing against the previous pixel's SAME
+            # component (TIFF 6.0) — stride spp.
             d = data.astype(np.int32)
-            d[:, 1:] = (d[:, 1:] - d[:, :-1]) & 0xFFFF
+            d[:, spp:] = (d[:, spp:] - d[:, :-spp]) & 0xFFFF
             payload = zlib.compress(d.astype("<u2").tobytes())
         elif is_float:
             payload = zlib.compress(data.astype("<f4").tobytes())
@@ -404,7 +437,7 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
         add(T_MAKE, 2, raw.make)
     if raw.model:
         add(T_MODEL, 2, raw.model)
-    add(T_SAMPLES_PER_PIXEL, 3, [1])
+    add(T_SAMPLES_PER_PIXEL, 3, [spp])
     add(T_ROWS_PER_STRIP, 4, [raw.height])
     add(T_STRIP_BYTECOUNTS, 4, [len(payload)])
     if is_cfa:
@@ -413,7 +446,10 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
         add(T_CFA_REPEAT, 3, [raw.cfa.height, raw.cfa.width])
         add(T_CFA_PATTERN, 1, [int(v) for v in raw.cfa.pattern.ravel()])
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
-    add(T_BLACK_LEVEL, 3, [int(b) for b in raw.blacklevels])
+    if spp == 3:
+        add(T_BLACK_LEVEL, 3, [int(b) for b in raw.blacklevels[:3]])
+    else:
+        add(T_BLACK_LEVEL, 3, [int(b) for b in raw.blacklevels])
     add(T_WHITE_LEVEL, 3, [int(raw.whitelevels[0])])
     top, right, bottom, left = raw.crops
     add(T_DEFAULT_CROP_ORIGIN, 4, [left, top])

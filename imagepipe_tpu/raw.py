@@ -341,3 +341,29 @@ def synthetic_mono(width: int = 6000, height: int = 4000, seed: int = 0,
         xyz_to_cam=_SYNTH_XYZ_TO_CAM, orientation=Orientation.Normal,
         cfa=CFA(""), data=data, make="synthetic",
         model=f"synth-mono-{width}x{height}")
+
+
+def synthetic_linear(width: int = 6000, height: int = 4000, seed: int = 0,
+                     blacklevel: int = 0, whitelevel: int = 65535) -> RawImage:
+    """A synthetic demosaiced (cpp=3) RAW — the LinearRaw DNG shape
+    (Lightroom linear exports, HDR merges). Data is the flat [H, W*3]
+    interleaved layout RawImage permits; develops through the engine's
+    rgb mode (no demosaic), like rawloader's 3-component raws feed the
+    reference's gofloat.rs:101-127."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(0, 1, height),
+                         np.linspace(0, 1, width), indexing="ij")
+    base = np.stack([0.25 + 0.5 * xx, 0.3 + 0.4 * yy,
+                     0.65 - 0.4 * xx], axis=-1)
+    noise = rng.standard_normal((height // 16 + 1, width // 16 + 1, 3)) * 0.03
+    noise = np.kron(noise, np.ones((16, 16, 1)))[:height, :width, :]
+    rgb = np.clip(base + noise, 0.0, 1.0).astype(np.float32)
+    data = (rgb * (whitelevel - blacklevel) + blacklevel).astype(np.uint16)
+    return RawImage(
+        width=width, height=height, cpp=3, crops=(0, 0, 0, 0),
+        blacklevels=(blacklevel,) * 3 + (0,),
+        whitelevels=(whitelevel,) * 4,
+        wb_coeffs=(1.8, 1.0, 1.3, float("nan")),
+        xyz_to_cam=_SYNTH_XYZ_TO_CAM, orientation=Orientation.Normal,
+        cfa=CFA(""), data=data.reshape(height, width * 3),
+        make="synthetic", model=f"synth-linear-{width}x{height}")

@@ -843,3 +843,101 @@ def test_realfile_harness_selfcheck(tmp_path):
     summary = (tmp_path / "coverage_summary.txt").read_text()
     assert "rw2-classic" in summary and "EXERCISED" in summary
     assert "awaiting real bytes" in summary   # open questions listed
+
+
+# ---------------------------------------------------------------- LinearRaw
+
+
+def test_dng_linear_roundtrip_all_compressions(tmp_path):
+    """SamplesPerPixel=3 (LinearRaw/demosaiced) DNGs: the Lightroom
+    'linear DNG' / HDR-merge shape, reached via rawloader in the
+    reference (pipeline.rs:264). Uncompressed, Deflate (predictor 1 and
+    the per-CHANNEL horizontal predictor 2), and 3-component LJ92 all
+    round-trip bit-exact through the canonical writer."""
+    from imagepipe_tpu.raw import synthetic_linear
+
+    raw = synthetic_linear(96, 64, seed=11, blacklevel=256, whitelevel=60000)
+    for comp, pred in ((1, None), (8, None), (8, 1), (7, None)):
+        path = str(tmp_path / f"lin_{comp}_{pred}.dng")
+        write_dng(path, raw, compression=comp, predictor=pred)
+        back = read_dng(path)
+        assert back.cpp == 3
+        assert not back.cfa.is_valid()
+        np.testing.assert_array_equal(np.asarray(back.data),
+                                      np.asarray(raw.data))
+        assert back.blacklevels[:3] == raw.blacklevels[:3]
+        assert back.whitelevels[0] == raw.whitelevels[0]
+
+
+def test_dng_linear_float_hdr(tmp_path):
+    """Float LinearRaw (SampleFormat 3, spp=3): the Adobe HDR-merge DNG
+    shape, Deflate with the byte-planar predictor."""
+    from imagepipe_tpu.raw import synthetic_linear
+
+    raw = synthetic_linear(48, 32, seed=3, blacklevel=0, whitelevel=1)
+    raw.data = (np.asarray(raw.data, np.float32) / 65535.0).reshape(32, 48 * 3)
+    path = str(tmp_path / "hdr.dng")
+    write_dng(path, raw, compression=8)
+    back = read_dng(path)
+    assert back.cpp == 3
+    np.testing.assert_allclose(np.asarray(back.data), np.asarray(raw.data))
+
+
+def test_dng_linear_through_pipeline(tmp_path):
+    """LinearRaw decodes to cpp=3 and develops through the engine's rgb
+    mode (no demosaic), matching the direct-source develop; codec_family
+    labels the variant."""
+    from imagepipe_tpu import ImageSource, Pipeline, simple_decode_8bit
+    from imagepipe_tpu.decode import codec_family
+    from imagepipe_tpu.raw import synthetic_linear
+
+    raw = synthetic_linear(96, 64, seed=6)
+    path = str(tmp_path / "lin.dng")
+    write_dng(path, raw)
+    assert codec_family(path) == "dng-uncompressed-linear"
+    out = simple_decode_8bit(path)
+    assert (out.width, out.height) == (96, 64)
+    direct = Pipeline.new_from_source(
+        ImageSource.from_raw(raw)).output_8bit(None)
+    # wb rationals quantize to 1e-4 in the container.
+    assert np.abs(out.data.astype(int) - direct.data.astype(int)).max() <= 1
+
+
+def test_dng_linear_rejects_invalid_shapes(tmp_path):
+    """spp=2 refused by name; CFA photometric with spp=3 invalid; a
+    spatial BlackLevelRepeatDim on LinearRaw refused."""
+    from imagepipe_tpu.raw import synthetic_linear
+
+    raw = synthetic_linear(24, 16, seed=1)
+    path = str(tmp_path / "lin.dng")
+    write_dng(path, raw)
+    with open(path, "rb") as f:
+        buf = bytearray(f.read())
+
+    def patch(tag, short_value, blob=buf):
+        # Locate the IFD entry by scanning (little-endian, 12-byte
+        # entries after the 2-byte count at offset 8 — the writer puts
+        # IFD0 right after the header).
+        n = struct.unpack_from("<H", blob, 8)[0]
+        for i in range(n):
+            eo = 10 + 12 * i
+            if struct.unpack_from("<H", blob, eo)[0] == tag:
+                struct.pack_into("<H", blob, eo + 8, short_value)
+                return
+        raise AssertionError(f"tag {tag} not found")
+
+    bad = bytearray(buf)
+    patch(277, 2, bad)           # SamplesPerPixel = 2
+    p2 = str(tmp_path / "spp2.dng")
+    with open(p2, "wb") as f:
+        f.write(bad)
+    with pytest.raises(ValueError, match="samples/pixel"):
+        read_dng(p2)
+
+    bad = bytearray(buf)
+    patch(262, 32803, bad)       # CFA photometric on spp=3
+    p3 = str(tmp_path / "cfa3.dng")
+    with open(p3, "wb") as f:
+        f.write(bad)
+    with pytest.raises(ValueError, match="invalid"):
+        read_dng(p3)

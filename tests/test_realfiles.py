@@ -49,6 +49,7 @@ pytestmark = pytest.mark.skipif(
 # real camera bytes is a one-command audit (see docs/MIGRATION.md).
 _FAMILIES = [
     "dng-lj92", "dng-deflate", "dng-uncompressed",
+    "dng-lj92-linear", "dng-deflate-linear", "dng-uncompressed-linear",
     "nef-34713-lossless", "nef-34713-lossy", "nef-34713-lossy2",
     "cr2-lj92", "arw",
     "raf-fujic", "raf-tiff-16bit", "raf-classic-xtrans",

@@ -941,3 +941,48 @@ def test_dng_linear_rejects_invalid_shapes(tmp_path):
         f.write(bad)
     with pytest.raises(ValueError, match="invalid"):
         read_dng(p3)
+
+
+def test_dng_linear_tiled_lj92(tmp_path):
+    """Tiled 3-component LJ92 LinearRaw — the layout Adobe tools write
+    for compressed linear DNGs (tiles + lossless JPEG). Hand-assembled
+    (the writer emits strips); checks tile reassembly at spp=3 and the
+    ragged right/bottom tile crop."""
+    from imagepipe_tpu import lj92
+    from imagepipe_tpu.decode import codec_family
+    from tests.tiffgen import TiffBuilder
+
+    h, w, tl, tw = 20, 24, 12, 16  # 2x2 tiles, padded on both axes
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 65535, (h, w, 3), np.uint16)
+
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((tl, tw, 3), np.uint16)
+            ys, xs = ty * tl, tx * tw
+            sub = img[ys:min(h, ys + tl), xs:min(w, xs + tw)]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            tiles.append(lj92.encode(tile.reshape(tl, tw * 3),
+                                     ncomp=3, precision=16))
+
+    b = TiffBuilder("<")
+    offs = [b.add_blob(t) for t in tiles]
+    b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [16, 16, 16]),
+        (259, 3, [7]), (262, 3, [34892]), (277, 3, [3]),
+        (322, 4, [tw]), (323, 4, [tl]),
+        (324, 4, offs), (325, 4, [len(t) for t in tiles]),
+        (50714, 3, [128, 130, 132]),           # per-channel BlackLevel
+        (50717, 4, [65535]),
+    ])
+    path = str(tmp_path / "lin_tiled.dng")
+    with open(path, "wb") as f:
+        f.write(b.bytes())
+
+    back = read_dng(path)
+    assert back.cpp == 3
+    np.testing.assert_array_equal(
+        np.asarray(back.data).reshape(h, w, 3), img)
+    assert back.blacklevels == (128, 130, 132, 0)
+    assert codec_family(path) == "dng-lj92-linear"

@@ -75,6 +75,34 @@ SECTION_TIMEOUT_S = {
 }
 
 
+def _ensure_native() -> bool:
+    """Build native/ if the host library is missing (this checkout ships
+    sources, not build artifacts). Without it every 'native, host' decoder
+    line silently measures the pure-Python fallback (~100-400x slower) and
+    measure_baseline() can't remeasure the reference-equivalent C++ single
+    core — both misattributed in the artifact. Skipped in --section
+    children (the orchestrator builds once before spawning them)."""
+    lib = os.path.join(REPO, "native", "build", "libimagepipe_host.so")
+    exe = os.path.join(REPO, "native", "build", "baseline_bench")
+    if os.path.exists(lib) and os.path.exists(exe):
+        return True
+    script = os.path.join(REPO, "scripts", "build_native.py")
+    _log("native library missing; building native/ (cmake+ninja, <=900s)")
+    try:
+        r = subprocess.run([sys.executable, script], timeout=900,
+                           capture_output=True, text=True)
+        ok = r.returncode == 0 and os.path.exists(lib)
+        if not ok:
+            _log("native build failed: "
+                 + (r.stderr or r.stdout or "").strip()[-300:])
+    except Exception as e:  # cmake/ninja missing, timeout: fallbacks still run
+        _log(f"native build failed: {e}")
+        return False
+    if ok:
+        _log("native build succeeded")
+    return ok
+
+
 def measure_baseline() -> float:
     exe = os.path.join(REPO, "native", "build", "baseline_bench")
     if os.path.exists(exe):
@@ -432,6 +460,16 @@ def section_decoders():
               + rng.integers(0, 32, yy.shape)).astype(np.uint16)
     mp = smooth.size / 1e6
 
+    # Every decoder transparently falls back to pure Python when the
+    # native lib isn't built — record which path was measured so a
+    # ~100-400x-slower fallback number can't masquerade as native.
+    from imagepipe_tpu.native import have_native
+    _have = have_native()
+
+    def _emit_dec(rec):
+        rec.setdefault("extra", {})["native_lib"] = _have
+        _emit(rec)
+
     def timed(fn, iters=3):
         best = float("inf")
         for _ in range(iters):
@@ -443,19 +481,19 @@ def section_decoders():
     from imagepipe_tpu.fujic import decode_fuji, encode_fuji
     blob, _ = encode_fuji(smooth, raw_type=16, raw_bits=14, block_size=768)
     dt = timed(lambda: decode_fuji(blob))
-    _emit({"metric": "fuji-compressed RAF decode (native, host)",
+    _emit_dec({"metric": "fuji-compressed RAF decode (native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu.olympus import decode_olympus, encode_olympus
     oblob = encode_olympus(smooth)
     dt = timed(lambda: decode_olympus(oblob, smooth.shape[1], smooth.shape[0]))
-    _emit({"metric": "olympus-compressed ORF decode (native, host)",
+    _emit_dec({"metric": "olympus-compressed ORF decode (native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu.pentax import decode_pentax, encode_pentax
     pblob = encode_pentax(np.minimum(smooth, 4095))
     dt = timed(lambda: decode_pentax(pblob, smooth.shape[1], smooth.shape[0]))
-    _emit({"metric": "pentax-compressed PEF decode (native, host)",
+    _emit_dec({"metric": "pentax-compressed PEF decode (native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu.rw2 import decode_panasonic, encode_panasonic
@@ -464,33 +502,33 @@ def section_decoders():
     rblob, _ = encode_panasonic(pana, snap=True)
     pmp = pana.size / 1e6
     dt = timed(lambda: decode_panasonic(rblob, pana.shape[1], pana.shape[0]))
-    _emit({"metric": "panasonic RW2 classic decode (native, host)",
+    _emit_dec({"metric": "panasonic RW2 classic decode (native, host)",
            "value": round(pmp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu.nikon import decode_34713, encode_34713
     npayload, nmeta = encode_34713(smooth, bits=14)
     dt = timed(lambda: decode_34713(npayload, smooth.shape[1],
                                     smooth.shape[0], 14, nmeta))
-    _emit({"metric": "NEF 34713 lossless decode (native, host)",
+    _emit_dec({"metric": "NEF 34713 lossless decode (native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu import lj92
     ljblob = lj92.encode(smooth, ncomp=1, precision=14)
     dt = timed(lambda: lj92.decode(ljblob))
-    _emit({"metric": "LJ92 lossless JPEG decode (CR2/ARW/DNG; native, host)",
+    _emit_dec({"metric": "LJ92 lossless JPEG decode (CR2/ARW/DNG; native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu.iiq import decode_phase_one, encode_phase_one
     idata, ioffs = encode_phase_one(smooth)
     dt = timed(lambda: decode_phase_one(idata, ioffs, smooth.shape[1],
                                         smooth.shape[0]))
-    _emit({"metric": "Phase One IIQ compressed decode (native, host)",
+    _emit_dec({"metric": "Phase One IIQ compressed decode (native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
     from imagepipe_tpu.sony_srf import sony_crypt
     srf_payload = smooth.astype(">u2").tobytes()
     dt = timed(lambda: sony_crypt(srf_payload, 0x31415926))
-    _emit({"metric": "Sony SRF keystream decrypt (numpy, host)",
+    _emit_dec({"metric": "Sony SRF keystream decrypt (numpy, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
 
@@ -678,6 +716,7 @@ def main(argv):
         fn = SECTIONS[name]
         fn()
         return 0
+    _ensure_native()
     if "--headline-only" in argv:
         return orchestrate(["headline"])
     # Default and --all: every section, headline first, incremental lines.

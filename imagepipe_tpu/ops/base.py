@@ -49,6 +49,30 @@ class ImageOp:
         h.from_serialize(self)
         return h.result()
 
+    def device_chain(self, globals_, meta):
+        """Fused-suffix support (single-dispatch dirty-suffix re-render).
+
+        `meta` is the host-side buffer descriptor `(width, height, colors,
+        monochrome)` this op would receive. Return None when the op cannot
+        join a fused dispatch (the pipeline falls back to per-stage
+        `run()`), else a 4-tuple `(key, fn, params, out_meta)`:
+
+        - `key`: hashable statics that select this op's trace (knot count,
+          orientation flips, ...) — any value change that alters the traced
+          program MUST change the key;
+        - `fn`: pure traceable `fn(data, *params) -> data`, or None for an
+          identity stage (no-op crop, linear-mode gamma, ...);
+        - `params`: host-numpy jit arguments (NOT baked into the trace, so
+          interactive edits re-dispatch without recompiling);
+        - `out_meta`: the descriptor of the op's output.
+
+        The pipeline runs the composed stages inside ONE jit, separated by
+        `lax.optimization_barrier` so each stage's arithmetic (and hence
+        rounding) is exactly the standalone per-op kernel's — the fusion
+        removes per-dispatch overhead, not stage boundaries, and every
+        intermediate is still returned and cached per stage."""
+        return None
+
     def transform_forward(self, width: int, height: int) -> tuple[int, int]:
         return (width, height)
 

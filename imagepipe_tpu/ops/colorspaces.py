@@ -119,6 +119,25 @@ class OpToLab(ImageOp):
                     xyz[i] += float(self.cam_to_xyz[i][j]) / mul
         return xyz_to_temp(xyz)
 
+    def device_chain(self, globals_, meta):
+        w, h, colors, mono = meta
+        if colors != 4:
+            return None
+        if mono:
+            cmatrix = cc.SRGB_D65_43
+            mul = [1.0, 1.0, 1.0, 1.0]
+        else:
+            cmatrix = self.cam_to_xyz_normalized
+            mul = normalize_wbs(self.wb_coeffs)
+        params = (np.asarray(mul, np.float32), np.asarray(cmatrix, np.float32))
+
+        def fn(data, mul_, cmatrix_):
+            L, A, B = cc.camera_to_lab_planar(
+                mul_, cmatrix_, [data[c] for c in range(4)])
+            return jnp.stack([L, A, B], axis=0)
+
+        return (("to_lab",), fn, params, (w, h, 3, mono))
+
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         # Monochrome: treat the camera as D65 sRGB with unity WB
         # (colorspaces.rs:90-101).
@@ -149,6 +168,19 @@ class OpFromLab(ImageOp):
 
     def load_settings_dict(self, d: dict) -> None:
         pass
+
+    def device_chain(self, globals_, meta):
+        w, h, colors, mono = meta
+        if colors != 3:
+            return None
+        params = (np.asarray(cc.XYZ_D65_33, np.float32),)
+
+        def fn(data, rgbmatrix):
+            r, g, b = cc.lab_to_rgb_planar(
+                rgbmatrix, (data[0], data[1], data[2]))
+            return jnp.stack([r, g, b], axis=0)
+
+        return (("from_lab",), fn, params, meta)
 
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         data = _from_lab_kernel(buf.data, np.asarray(cc.XYZ_D65_33,

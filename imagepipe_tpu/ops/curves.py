@@ -58,6 +58,28 @@ class OpBaseCurve(ImageOp):
     def get_spline(self) -> SplineFunc:
         return SplineFunc(self.points)
 
+    def device_chain(self, globals_, meta):
+        if len(self.points) == 0 and abs(self.exposure) < 0.001:
+            return (("basecurve", None), None, (), meta)
+        import numpy as np
+
+        scale = math.pow(2.0, self.exposure)
+        func = SplineFunc([(x, y * scale) for (x, y) in self.points])
+        n_knots = len(func.xs)
+        params = (np.asarray(func.xs, np.float32),
+                  np.asarray(func.ys, np.float32),
+                  np.asarray(func.c1s, np.float32),
+                  np.asarray(func.c2s, np.float32),
+                  np.asarray(func.c3s, np.float32))
+
+        def fn(data, xs, ys, c1, c2, c3):
+            from ..spline import eval_spline_arrays
+
+            return data.at[0].set(
+                eval_spline_arrays(xs, ys, c1, c2, c3, n_knots, data[0]))
+
+        return (("basecurve", n_knots), fn, params, meta)
+
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         if len(self.points) == 0 and abs(self.exposure) < 0.001:
             return buf

@@ -39,6 +39,15 @@ class OpGamma(ImageOp):
     def load_settings_dict(self, d: dict) -> None:
         pass
 
+    def device_chain(self, globals_, meta):
+        if globals_.settings.linear:
+            return (("gamma", "linear"), None, (), meta)
+
+        def fn(data):
+            return apply_srgb_gamma(jnp.clip(data, 0.0, 1.0))
+
+        return (("gamma",), fn, (), meta)
+
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         if globals_.settings.linear:
             return buf

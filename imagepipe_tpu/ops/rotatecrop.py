@@ -150,6 +150,13 @@ class OpRotateCrop(ImageOp):
 
     # -- execution (rotatecrop.rs:39-64) -----------------------------------
 
+    def device_chain(self, globals_, meta):
+        # Only the (common, default) no-op joins a fused suffix; an active
+        # crop/rotation routes through the resampler machinery per-stage.
+        if self._noop():
+            return (("rotatecrop", None), None, (), meta)
+        return None
+
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         if self._noop():
             return buf

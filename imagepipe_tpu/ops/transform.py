@@ -96,6 +96,28 @@ class OpTransform(ImageOp):
         f1, f2, f3 = _ROT_TO_ORIENT[self.rotation].to_flips()
         return Orientation.from_flips((f1, f2 != self.fliph, f3 != self.flipv))
 
+    def device_chain(self, globals_, meta):
+        w, h, colors, mono = meta
+        orientation = self._orientation()
+        if orientation in (Orientation.Normal, Orientation.Unknown):
+            return (("transform", None), None, (), meta)
+        if colors != 3:
+            return None
+        transpose, flip_x, flip_y = orientation.to_flips()
+
+        def fn(data):
+            # Same permutation as rotate_buffer, traced into the suffix.
+            if flip_x:
+                data = data[:, :, ::-1]
+            if flip_y:
+                data = data[:, ::-1, :]
+            if transpose:
+                data = data.transpose(0, 2, 1)
+            return data
+
+        out_meta = (h, w, 3, mono) if transpose else (w, h, 3, mono)
+        return (("transform", transpose, flip_x, flip_y), fn, (), out_meta)
+
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         orientation = self._orientation()
         if orientation in (Orientation.Normal, Orientation.Unknown):

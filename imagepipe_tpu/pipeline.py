@@ -38,6 +38,11 @@ log = logging.getLogger("imagepipe_tpu")
 
 SERIAL_VERSION = 0
 
+# Collapse a cached run's dirty suffix into one device dispatch when every
+# remaining op supports it (ImageOp.device_chain). Module flag so tests can
+# pin fused-vs-staged bit-equality by toggling it.
+FUSE_SUFFIX = True
+
 PipelineCache = MultiCache
 
 
@@ -239,7 +244,20 @@ class Pipeline:
                         bufin = hit
                         startpos = i + 1
 
-            # Phase D: execute the dirty suffix.
+            # Phase D: execute the dirty suffix. With a stage cache the
+            # suffix is collapsed into ONE device dispatch when every
+            # remaining op can join (see ImageOp.device_chain): per-stage
+            # dispatch overhead dominates interactive re-renders (~6 ms of
+            # fixed cost per ~2MP elementwise call on the remote TPU vs
+            # <1 ms of HBM-roofline compute for the whole suffix). Stage
+            # semantics are preserved exactly — every intermediate is
+            # barrier-separated inside the jit, returned, and cached under
+            # its chain hash, so cache resume depth is unchanged.
+            if cache is not None and FUSE_SUFFIX and startpos < len(ops):
+                fused = self._run_suffix_fused(ops, startpos, bufin,
+                                               ophashes, cache)
+                if fused is not None:
+                    return fused
             for i, op in enumerate(ops):
                 if i >= startpos:
                     with _timing("    " + op.name()):
@@ -247,6 +265,61 @@ class Pipeline:
                     if cache is not None:
                         cache.put_arc(ophashes[i], bufin, bufin.nbytes())
             return bufin
+
+    def _run_suffix_fused(self, ops, startpos, bufin, ophashes, cache):
+        """One-dispatch dirty suffix; returns the final OpBuffer, or None
+        when any remaining op declines (-> per-stage fallback). Identity
+        stages pass their input through; their cache entry shares the
+        underlying array exactly like `op.run` returning `buf` does."""
+        from . import color as cc
+
+        chains = []
+        meta = (bufin.width, bufin.height, bufin.colors, bufin.monochrome)
+        for op in ops[startpos:]:
+            c = op.device_chain(self.globals, meta)
+            if c is None:
+                return None
+            chains.append(c)
+            meta = c[3]
+        if sum(1 for c in chains if c[1] is not None) < 2:
+            return None  # nothing to fuse; keep the proven per-stage path
+
+        key = (startpos, bufin.data.shape, str(bufin.data.dtype),
+               cc.get_numerics_mode(), tuple(c[0] for c in chains))
+        memo = getattr(self, "_suffix_jits", None)
+        if memo is None:
+            memo = self._suffix_jits = {}
+        jitted = memo.get(key)
+        if jitted is None:
+            import jax
+
+            fns = [c[1] for c in chains]
+
+            def suffix_fn(data, all_params):
+                outs = []
+                for fn, p in zip(fns, all_params):
+                    if fn is not None:
+                        # The barrier pins each stage's arithmetic to the
+                        # standalone kernel's exact rounding (no cross-stage
+                        # FMA contraction/fusion): the win is one dispatch,
+                        # not a changed program.
+                        data = jax.lax.optimization_barrier(fn(data, *p))
+                    outs.append(data)
+                return tuple(outs)
+
+            if len(memo) >= 16:   # bound retained traces per pipeline
+                memo.pop(next(iter(memo)))
+            jitted = memo[key] = jax.jit(suffix_fn)
+
+        names = "+".join(op.name() for op in ops[startpos:])
+        with _timing("    fused-suffix " + names):
+            outs = jitted(bufin.data, tuple(c[2] for c in chains))
+        result = bufin
+        for i, (c, out) in enumerate(zip(chains, outs)):
+            w, h, colors, mono = c[3]
+            result = OpBuffer(w, h, colors, mono, out)
+            cache.put_arc(ophashes[startpos + i], result, result.nbytes())
+        return result
 
     # -- outputs (pipeline.rs:377-469) -------------------------------------
 

@@ -91,9 +91,14 @@ def _ensure_native() -> bool:
     try:
         r = subprocess.run([sys.executable, script], timeout=900,
                            capture_output=True, text=True)
-        ok = r.returncode == 0 and os.path.exists(lib)
+        # Success must match the early-return condition or every later run
+        # re-pays the build while decoder lines claim native_lib=True.
+        ok = (r.returncode == 0 and os.path.exists(lib)
+              and os.path.exists(exe))
         if not ok:
-            _log("native build failed: "
+            missing = [p for p in (lib, exe) if not os.path.exists(p)]
+            _log("native build failed (missing: "
+                 + ", ".join(os.path.basename(p) for p in missing) + "): "
                  + (r.stderr or r.stdout or "").strip()[-300:])
     except Exception as e:  # cmake/ninja missing, timeout: fallbacks still run
         _log(f"native build failed: {e}")

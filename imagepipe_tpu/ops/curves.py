@@ -66,19 +66,26 @@ class OpBaseCurve(ImageOp):
         scale = math.pow(2.0, self.exposure)
         func = SplineFunc([(x, y * scale) for (x, y) in self.points])
         n_knots = len(func.xs)
-        params = (np.asarray(func.xs, np.float32),
-                  np.asarray(func.ys, np.float32),
-                  np.asarray(func.c1s, np.float32),
-                  np.asarray(func.c2s, np.float32),
-                  np.asarray(func.c3s, np.float32))
+        # ONE packed [5, n] coefficient table, not five arrays: every numpy
+        # jit argument is a separate blocking host->device transfer per
+        # edit, and those transfers (not dispatch count) are the measured
+        # interactive-edit bottleneck on tunneled hosts. c2/c3 have n-1
+        # entries; the zero pad is never indexed (eval stops at n_int-1).
+        coeffs = np.zeros((5, n_knots), np.float32)
+        coeffs[0] = func.xs
+        coeffs[1] = func.ys
+        coeffs[2] = func.c1s
+        coeffs[3, :n_knots - 1] = func.c2s
+        coeffs[4, :n_knots - 1] = func.c3s
 
-        def fn(data, xs, ys, c1, c2, c3):
+        def fn(data, coeffs_):
             from ..spline import eval_spline_arrays
 
             return data.at[0].set(
-                eval_spline_arrays(xs, ys, c1, c2, c3, n_knots, data[0]))
+                eval_spline_arrays(coeffs_[0], coeffs_[1], coeffs_[2],
+                                   coeffs_[3], coeffs_[4], n_knots, data[0]))
 
-        return (("basecurve", n_knots), fn, params, meta)
+        return (("basecurve", n_knots), fn, (coeffs,), meta)
 
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         if len(self.points) == 0 and abs(self.exposure) < 0.001:

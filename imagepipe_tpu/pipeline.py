@@ -201,6 +201,15 @@ class Pipeline:
     # -- the scheduler (pipeline.rs:311-375) -------------------------------
 
     def run(self, cache: Optional[MultiCache] = None) -> OpBuffer:
+        return self._run_impl(cache, final_quant=None)[0]
+
+    def _run_impl(self, cache, final_quant):
+        """run() plus an optional fused final quantize: when the dirty
+        suffix's last fused segment reaches the end of the chain, the
+        output8bit/output16bit quantize joins the SAME device dispatch so
+        an interactive edit is one dispatch + one small u8/u16 fetch
+        (pipeline.rs:354-372 + :408-414 collapsed). Returns
+        (final OpBuffer, quantized device array or None)."""
         with _timing("  total pipeline"):
             ops = self.ops.all_ops()
 
@@ -244,56 +253,101 @@ class Pipeline:
                         bufin = hit
                         startpos = i + 1
 
-            # Phase D: execute the dirty suffix. With a stage cache the
-            # suffix is collapsed into ONE device dispatch when every
-            # remaining op can join (see ImageOp.device_chain): per-stage
-            # dispatch overhead dominates interactive re-renders (~6 ms of
-            # fixed cost per ~2MP elementwise call on the remote TPU vs
-            # <1 ms of HBM-roofline compute for the whole suffix). Stage
-            # semantics are preserved exactly — every intermediate is
-            # barrier-separated inside the jit, returned, and cached under
-            # its chain hash, so cache resume depth is unchanged.
-            if cache is not None and FUSE_SUFFIX and startpos < len(ops):
-                fused = self._run_suffix_fused(ops, startpos, bufin,
-                                               ophashes, cache)
-                if fused is not None:
-                    return fused
-            for i, op in enumerate(ops):
-                if i >= startpos:
-                    with _timing("    " + op.name()):
-                        bufin = op.run(self.globals, bufin)
-                    if cache is not None:
-                        cache.put_arc(ophashes[i], bufin, bufin.nbytes())
-            return bufin
+            # Phase D: execute the dirty suffix (fused segments where the
+            # ops allow; see _execute_suffix).
+            return self._execute_suffix(ops, startpos, bufin, ophashes,
+                                        cache, final_quant)
 
-    def _run_suffix_fused(self, ops, startpos, bufin, ophashes, cache):
-        """One-dispatch dirty suffix; returns the final OpBuffer, or None
-        when any remaining op declines (-> per-stage fallback). Identity
-        stages pass their input through; their cache entry shares the
-        underlying array exactly like `op.run` returning `buf` does."""
+    def _execute_suffix(self, ops, startpos, bufin, ophashes, cache,
+                        final_quant):
+        """Phase D: execute ops[startpos:], collapsing every maximal run of
+        chainable ops (ImageOp.device_chain) into ONE device dispatch.
+
+        Why: per-edit host-blocking costs (dispatch issue + param transfer
+        round-trips through a remote-TPU link) dominate interactive
+        re-renders, not device compute (<1 ms of HBM-roofline work for the
+        whole suffix). Stage semantics are preserved exactly — stages are
+        barrier-separated inside the jit, every intermediate is returned
+        and cached under its chain hash, so cache resume depth is
+        unchanged. A declining op (e.g. an active rotatecrop) runs
+        per-stage and fusion restarts after it (maximal fusable tail), so
+        the tolab→…→transform tail still fuses during a crop drag.
+
+        Returns (final OpBuffer, quantized array or None). The quantize
+        only joins when the last fused segment reaches the chain end."""
+        i, n = startpos, len(ops)
+        quant = None
+        fuse_ok = FUSE_SUFFIX
+        while i < n:
+            if fuse_ok:
+                chains = []
+                meta = (bufin.width, bufin.height, bufin.colors,
+                        bufin.monochrome)
+                j = i
+                while j < n:
+                    c = ops[j].device_chain(self.globals, meta)
+                    if c is None:
+                        break
+                    chains.append(c)
+                    meta = c[3]
+                    j += 1
+                is_tail = j == n
+                nfns = sum(1 for c in chains if c[1] is not None)
+                # Fuse when it saves a dispatch: >=2 real stages, or a
+                # tail with >=1 real stage plus the fused quantize.
+                if chains and (nfns >= 2
+                               or (is_tail and final_quant and nfns >= 1)):
+                    out = self._dispatch_fused(
+                        ops, i, chains, bufin, ophashes, cache,
+                        final_quant if is_tail else None)
+                    if out is not None:
+                        bufin, q = out
+                        if q is not None:
+                            quant = q
+                        i = j
+                        continue
+                    # Compile/dispatch failure: the per-stage path is the
+                    # proven fallback; don't re-attempt fusion this run.
+                    fuse_ok = False
+            op = ops[i]
+            with _timing("    " + op.name()):
+                bufin = op.run(self.globals, bufin)
+            if cache is not None:
+                cache.put_arc(ophashes[i], bufin, bufin.nbytes())
+            i += 1
+        return bufin, quant
+
+    def _dispatch_fused(self, ops, startpos, chains, bufin, ophashes, cache,
+                        final_quant):
+        """Dispatch one fused segment (ops[startpos:startpos+len(chains)])
+        as a single jit. Returns (final OpBuffer, quant or None), or None on
+        dispatch failure (caller falls back per-stage). Identity stages pass
+        their input through; their cache entry shares the underlying array
+        exactly like `op.run` returning `buf` does.
+
+        Per-edit host→device param transfers are the measured edit-slope
+        bottleneck on tunneled hosts (each numpy jit argument is a blocking
+        transfer; dispatches themselves pipeline) — so chain params are
+        device-cached keyed by (op name, shash, chain key): an exposure
+        edit re-uploads only the edited op's (packed) coefficients."""
+        import jax
+
         from . import color as cc
 
-        chains = []
-        meta = (bufin.width, bufin.height, bufin.colors, bufin.monochrome)
-        for op in ops[startpos:]:
-            c = op.device_chain(self.globals, meta)
-            if c is None:
-                return None
-            chains.append(c)
-            meta = c[3]
-        if sum(1 for c in chains if c[1] is not None) < 2:
-            return None  # nothing to fuse; keep the proven per-stage path
-
-        key = (startpos, bufin.data.shape, str(bufin.data.dtype),
-               cc.get_numerics_mode(), tuple(c[0] for c in chains))
+        seg_ops = ops[startpos:startpos + len(chains)]
+        key = (startpos, final_quant, bufin.data.shape,
+               str(bufin.data.dtype), cc.get_numerics_mode(),
+               tuple(c[0] for c in chains))
         memo = getattr(self, "_suffix_jits", None)
         if memo is None:
             memo = self._suffix_jits = {}
         jitted = memo.get(key)
-        if jitted is None:
-            import jax
-
+        if jitted is not None:
+            memo[key] = memo.pop(key)  # LRU: a hit must not be evicted next
+        else:
             fns = [c[1] for c in chains]
+            quant_fn = {8: cc.output8bit, 16: cc.output16bit,
+                        None: None}[final_quant]
 
             def suffix_fn(data, all_params):
                 outs = []
@@ -305,21 +359,50 @@ class Pipeline:
                         # not a changed program.
                         data = jax.lax.optimization_barrier(fn(data, *p))
                     outs.append(data)
-                return tuple(outs)
+                q = None
+                if quant_fn is not None:
+                    q = quant_fn(jax.lax.optimization_barrier(data))
+                return tuple(outs), q
 
             if len(memo) >= 16:   # bound retained traces per pipeline
                 memo.pop(next(iter(memo)))
             jitted = memo[key] = jax.jit(suffix_fn)
 
-        names = "+".join(op.name() for op in ops[startpos:])
-        with _timing("    fused-suffix " + names):
-            outs = jitted(bufin.data, tuple(c[2] for c in chains))
+        # Device-resident param cache (LRU by op identity+state).
+        pmemo = getattr(self, "_chain_params", None)
+        if pmemo is None:
+            pmemo = self._chain_params = {}
+        dev_params = []
+        for op, c in zip(seg_ops, chains):
+            if not c[2]:
+                dev_params.append(())
+                continue
+            pkey = (op.name(), op.shash(), c[0])
+            cached = pmemo.get(pkey)
+            if cached is not None:
+                pmemo[pkey] = pmemo.pop(pkey)
+            else:
+                if len(pmemo) >= 64:
+                    pmemo.pop(next(iter(pmemo)))
+                cached = pmemo[pkey] = jax.device_put(c[2])
+            dev_params.append(cached)
+
+        names = "+".join(op.name() for op in seg_ops)
+        try:
+            with _timing("    fused-suffix " + names):
+                outs, quant = jitted(bufin.data, tuple(dev_params))
+        except Exception:   # transient remote-compile/dispatch failures
+            log.warning("fused-suffix dispatch failed for %s; "
+                        "falling back to per-stage", names, exc_info=True)
+            memo.pop(key, None)
+            return None
         result = bufin
         for i, (c, out) in enumerate(zip(chains, outs)):
             w, h, colors, mono = c[3]
             result = OpBuffer(w, h, colors, mono, out)
-            cache.put_arc(ophashes[startpos + i], result, result.nbytes())
-        return result
+            if cache is not None:
+                cache.put_arc(ophashes[startpos + i], result, result.nbytes())
+        return result, quant
 
     # -- outputs (pipeline.rs:377-469) -------------------------------------
 
@@ -399,9 +482,11 @@ class Pipeline:
 
         with _timing("total output_8bit()"):
             self.globals.settings.linear = False
-            buffer = self.run(cache)
+            buffer, quant = self._run_impl(cache, final_quant=8)
             with _timing("  8 bit conversion"):
-                data = np.moveaxis(np.asarray(output8bit(buffer.data)), 0, -1)
+                if quant is None:
+                    quant = output8bit(buffer.data)
+                data = np.moveaxis(np.asarray(quant), 0, -1)
             return SRGBImage(buffer.width, buffer.height, data)
 
     def output_16bit(self, cache: Optional[MultiCache] = None) -> SRGBImage16:
@@ -425,7 +510,9 @@ class Pipeline:
 
         with _timing("total output_16bit()"):
             self.globals.settings.linear = True
-            buffer = self.run(cache)
+            buffer, quant = self._run_impl(cache, final_quant=16)
             with _timing("  16 bit conversion"):
-                data = np.moveaxis(np.asarray(output16bit(buffer.data)), 0, -1)
+                if quant is None:
+                    quant = output16bit(buffer.data)
+                data = np.moveaxis(np.asarray(quant), 0, -1)
             return SRGBImage16(buffer.width, buffer.height, data)

@@ -88,7 +88,16 @@ _LUT_MAX = (1 << _MAXBITS) - 1  # 8191
 # Numerics mode switch ("lut" = reference-faithful, "direct" = TPU-fast).
 # ---------------------------------------------------------------------------
 
-_NUMERICS_MODE = "lut"
+# None = resolved on first use from the backend: 'lut' on CPU (the
+# reference-faithful golden-parity mode) and 'direct' on accelerators.
+# The per-pixel LUT gathers serialize on the TPU VPU (~1000x arithmetic;
+# CLAUDE.md measurement notes) — leaving 'lut' as a static accelerator
+# default made every STAGED op pay ~30 ms of device time per 1024px
+# dirty-suffix re-render (round-5 attribution, BASELINE.md r5) while the
+# fused engine had always resolved 'auto' to 'direct'. Both device paths
+# compute identical transcendental forms, so the cross-path contract
+# (<=1 LSB) is unchanged.
+_NUMERICS_MODE = None
 
 
 def set_numerics_mode(mode: str) -> None:
@@ -99,6 +108,12 @@ def set_numerics_mode(mode: str) -> None:
 
 
 def get_numerics_mode() -> str:
+    global _NUMERICS_MODE
+    if _NUMERICS_MODE is None:
+        import jax
+
+        _NUMERICS_MODE = ("lut" if jax.default_backend() == "cpu"
+                          else "direct")
     return _NUMERICS_MODE
 
 
@@ -111,7 +126,7 @@ class numerics_mode:
         self.mode = mode
 
     def __enter__(self):
-        self._prev = _NUMERICS_MODE
+        self._prev = get_numerics_mode()  # resolve: never restore None
         set_numerics_mode(self.mode)
         return self
 
@@ -147,7 +162,7 @@ class TransformLUT:
 
     def __call__(self, val):
         val = jnp.asarray(val, dtype=jnp.float32)
-        if _NUMERICS_MODE == "direct":
+        if get_numerics_mode() == "direct":
             return self._exact(val)
         # lookup() (color_conversions.rs:102-114): pos = val*8191,
         # key = trunc(pos), lerp table[key]..table[key+1]; exact outside [0,1].

@@ -44,17 +44,22 @@ def _is_normal(v: float) -> bool:
     return math.isfinite(v) and v != 0.0 and abs(v) >= 1.1754944e-38
 
 
-@jax.jit
-def _to_lab_kernel(data, mul, cmatrix):
-    # data: planar [4, H, W] -> [3, H, W]
-    L, A, B = cc.camera_to_lab_planar(mul, cmatrix, [data[c] for c in range(4)])
+@partial(jax.jit, static_argnames=("numerics",))
+def _to_lab_kernel(data, mul, cmatrix, *, numerics):
+    # data: planar [4, H, W] -> [3, H, W]. `numerics` keys the trace AND
+    # pins the mode the body traces under (the LUT/direct split happens
+    # at trace time inside the color functions).
+    with cc.numerics_mode(numerics):
+        L, A, B = cc.camera_to_lab_planar(
+            mul, cmatrix, [data[c] for c in range(4)])
     return jnp.stack([L, A, B], axis=0)
 
 
-@jax.jit
-def _from_lab_kernel(data, rgbmatrix):
+@partial(jax.jit, static_argnames=("numerics",))
+def _from_lab_kernel(data, rgbmatrix, *, numerics):
     # data: planar [3, H, W] -> [3, H, W]
-    r, g, b = cc.lab_to_rgb_planar(rgbmatrix, (data[0], data[1], data[2]))
+    with cc.numerics_mode(numerics):
+        r, g, b = cc.lab_to_rgb_planar(rgbmatrix, (data[0], data[1], data[2]))
     return jnp.stack([r, g, b], axis=0)
 
 
@@ -150,7 +155,8 @@ class OpToLab(ImageOp):
         # Host numpy args: the jit dispatch bundles the transfer (an
         # eager asarray is a separate round-trip per array per edit).
         data = _to_lab_kernel(buf.data, np.asarray(mul, np.float32),
-                              np.asarray(cmatrix, np.float32))
+                              np.asarray(cmatrix, np.float32),
+                              numerics=cc.get_numerics_mode())
         return OpBuffer(buf.width, buf.height, 3, buf.monochrome, data)
 
 
@@ -184,5 +190,6 @@ class OpFromLab(ImageOp):
 
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         data = _from_lab_kernel(buf.data, np.asarray(cc.XYZ_D65_33,
-                                                     np.float32))
+                                                     np.float32),
+                                numerics=cc.get_numerics_mode())
         return OpBuffer(buf.width, buf.height, 3, buf.monochrome, data)

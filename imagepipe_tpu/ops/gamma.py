@@ -7,10 +7,13 @@ output (gamma.rs:17-18).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 
 from .base import ImageOp
 from ..buffer import OpBuffer
+from .. import color as cc
 from ..color import apply_srgb_gamma
 from ..sources import ImageSource
 
@@ -19,9 +22,10 @@ __all__ = ["OpGamma"]
 import jax.numpy as jnp
 
 
-@jax.jit
-def _gamma_kernel(data):
-    return apply_srgb_gamma(jnp.clip(data, 0.0, 1.0))
+@partial(jax.jit, static_argnames=("numerics",))
+def _gamma_kernel(data, *, numerics):
+    with cc.numerics_mode(numerics):
+        return apply_srgb_gamma(jnp.clip(data, 0.0, 1.0))
 
 
 class OpGamma(ImageOp):
@@ -51,4 +55,5 @@ class OpGamma(ImageOp):
     def run(self, globals_, buf: OpBuffer) -> OpBuffer:
         if globals_.settings.linear:
             return buf
-        return buf.with_data(_gamma_kernel(buf.data))
+        return buf.with_data(
+            _gamma_kernel(buf.data, numerics=cc.get_numerics_mode()))

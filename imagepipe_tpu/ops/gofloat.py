@@ -42,11 +42,16 @@ def _normalize(data, mins, ranges, *, mode):
     return v[None]  # cfa
 
 
-@jax.jit
-def _ingest_raster8(rgb_planar):
+@partial(jax.jit, static_argnames=("numerics",))
+def _ingest_raster8(rgb_planar, *, numerics):
     """8-bit raster: sRGB gamma expansion (gofloat.rs:178-187).
-    rgb_planar: [3,h,w] u8 -> [4,h,w] f32."""
-    chans = [expand_srgb_gamma(input8bit(rgb_planar[c])) for c in range(3)]
+    rgb_planar: [3,h,w] u8 -> [4,h,w] f32. `numerics` keys the trace on
+    the LUT/direct mode resolved at call time."""
+    from .. import color as _cc
+
+    with _cc.numerics_mode(numerics):
+        chans = [expand_srgb_gamma(input8bit(rgb_planar[c]))
+                 for c in range(3)]
     return jnp.stack(chans + [jnp.zeros_like(chans[0])], axis=0)
 
 
@@ -155,5 +160,8 @@ class OpGoFloat(ImageOp):
         x, y, width, height = self._size_image(owidth, oheight)
         bits = raster.bits_per_channel()
         planes = raster.staged_planes(bits)[:, y:y + height, x:x + width]
-        out = _ingest_raster8(planes) if bits == 8 else _ingest_raster16(planes)
+        from .. import color as _cc
+
+        out = (_ingest_raster8(planes, numerics=_cc.get_numerics_mode())
+               if bits == 8 else _ingest_raster16(planes))
         return OpBuffer(width, height, 4, False, out)

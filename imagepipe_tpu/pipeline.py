@@ -43,6 +43,15 @@ SERIAL_VERSION = 0
 # pin fused-vs-staged bit-equality by toggling it.
 FUSE_SUFFIX = True
 
+# Cache the fused suffix's per-stage intermediates (reference parity:
+# pipeline.rs:369 caches every stage). When False the fused dispatch
+# returns ONLY the final stage (+ fused quantize): a later edit of a
+# mid-suffix op resumes from the deepest pre-suffix entry instead — same
+# outputs, one fused dispatch either way, but each edit creates one device
+# buffer instead of four or five (per-buffer round trips on tunneled
+# hosts are the measured edit-slope bottleneck; see BASELINE.md r5).
+CACHE_FUSED_INTERMEDIATES = True
+
 PipelineCache = MultiCache
 
 
@@ -335,7 +344,8 @@ class Pipeline:
         from . import color as cc
 
         seg_ops = ops[startpos:startpos + len(chains)]
-        key = (startpos, final_quant, bufin.data.shape,
+        cache_inter = CACHE_FUSED_INTERMEDIATES and cache is not None
+        key = (startpos, final_quant, cache_inter, bufin.data.shape,
                str(bufin.data.dtype), cc.get_numerics_mode(),
                tuple(c[0] for c in chains))
         memo = getattr(self, "_suffix_jits", None)
@@ -362,6 +372,8 @@ class Pipeline:
                 q = None
                 if quant_fn is not None:
                     q = quant_fn(jax.lax.optimization_barrier(data))
+                if not cache_inter:
+                    outs = outs[-1:]
                 return tuple(outs), q
 
             if len(memo) >= 16:   # bound retained traces per pipeline
@@ -396,12 +408,19 @@ class Pipeline:
                         "falling back to per-stage", names, exc_info=True)
             memo.pop(key, None)
             return None
-        result = bufin
-        for i, (c, out) in enumerate(zip(chains, outs)):
-            w, h, colors, mono = c[3]
-            result = OpBuffer(w, h, colors, mono, out)
+        if cache_inter:
+            result = bufin
+            for i, (c, out) in enumerate(zip(chains, outs)):
+                w, h, colors, mono = c[3]
+                result = OpBuffer(w, h, colors, mono, out)
+                cache.put_arc(ophashes[startpos + i], result,
+                              result.nbytes())
+        else:
+            w, h, colors, mono = chains[-1][3]
+            result = OpBuffer(w, h, colors, mono, outs[-1])
             if cache is not None:
-                cache.put_arc(ophashes[startpos + i], result, result.nbytes())
+                cache.put_arc(ophashes[startpos + len(chains) - 1], result,
+                              result.nbytes())
         return result, quant
 
     # -- outputs (pipeline.rs:377-469) -------------------------------------

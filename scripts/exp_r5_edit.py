@@ -63,10 +63,12 @@ def main():
     from imagepipe_tpu.raw import synthetic_bayer
 
     print(f"backend: {jax.default_backend()}", flush=True)
+    small = "--small" in sys.argv  # CPU smoke: tiny frame, fewer reps
 
     def make_session(crop=0.0):
-        ep = Pipeline.new_from_source(
-            ImageSource.from_raw(synthetic_bayer(seed=3)))
+        raw = (synthetic_bayer(192, 128, seed=3) if small
+               else synthetic_bayer(seed=3))
+        ep = Pipeline.new_from_source(ImageSource.from_raw(raw))
         ep.globals.settings.maxwidth = 1024
         ep.globals.settings.maxheight = 1024
         if crop:
@@ -104,7 +106,7 @@ def main():
         return _slope_ms(edit_once, iters)
 
     rows = []
-    for r in range(4):
+    for r in range(1 if small else 4):
         rec = {"fused": edit_slope(True), "staged": edit_slope(False)}
         rows.append(rec)
         print(f"rep {r}: fused {rec['fused']:.2f} ms/edit  "

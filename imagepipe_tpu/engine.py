@@ -225,6 +225,18 @@ def _develop_one(plane, params, *, cfa_name, height, width, crop_x, crop_y,
         out = _scaling.scale_down_planar(jnp.stack(rgbe, 0), dem_w, dem_h, 4)
         rgbe = [out[c] for c in range(4)]
 
+    return finish_planes(rgbe, params, out_bits=out_bits, linear=linear,
+                         apply_curve=apply_curve, n_knots=n_knots,
+                         orientation_flips=orientation_flips)
+
+
+def finish_planes(rgbe, params, *, out_bits, linear, apply_curve, n_knots,
+                  orientation_flips):
+    """The develop back end on RGBE planes: WB/matrix/Lab/spline/Lab^-1/
+    gamma/orientation/quantize -> quantized planar [3, H', W']. Shared by
+    the XLA engine and the separable two-level scaled path so every device
+    route computes identical transcendental forms (the <=1 LSB cross-path
+    contract; see color.py module notes)."""
     # to_lab: WB + camera matrix + Lab encode
     L, A, B = cc.camera_to_lab_planar(params["mul"], params["cmatrix"], rgbe)
 

@@ -112,8 +112,11 @@ def pallas_supported(plan) -> bool:
         return True
     if plan.dem_path == "scaled":
         from .develop_scaled import scaled_supported
+        from .develop_scaled_sep import sep_supported
 
-        return scaled_supported(plan)
+        # Tile-local kernel first (wins >=~600px); deep thumbnails
+        # (sub-600px from large sensors) take the separable matmul path.
+        return scaled_supported(plan) or sep_supported(plan)
     return False
 
 
@@ -772,7 +775,12 @@ def staged_plane_cached(plan, raw):
     if plan.dem_path == "scaled":
         from .develop_scaled import scaled_plan_for, staged_scaled_cached
 
-        return staged_scaled_cached(plan, raw, scaled_plan_for(plan))
+        spn = scaled_plan_for(plan)
+        if spn is not None:
+            return staged_scaled_cached(plan, raw, spn)
+        from .develop_scaled_sep import staged_sep_cached
+
+        return staged_sep_cached(plan, raw)
     key = (plan.crop_y, plan.crop_x, plan.height, plan.width, _tiles_for(plan))
     hit = getattr(raw, "_pallas_staged", None)
     if hit is not None and hit[0] == key:
@@ -875,9 +883,14 @@ def develop_pallas(plan, plane, interpret: bool = False, staged: bool = False):
     kernel (staging layouts differ; staged_plane_cached handles both)."""
     assert pallas_supported(plan), "unsupported plan for the pallas executor"
     if plan.dem_path == "scaled":
-        from .develop_scaled import develop_scaled
+        from .develop_scaled import develop_scaled, scaled_plan_for
 
-        return develop_scaled(plan, plane, interpret=interpret, staged=staged)
+        if scaled_plan_for(plan) is not None:
+            return develop_scaled(plan, plane, interpret=interpret,
+                                  staged=staged)
+        from .develop_scaled_sep import develop_sep
+
+        return develop_sep(plan, plane, staged=staged)
     plane = plane if staged else stage_plane_pallas(plan, plane)
     cmap, scal, spline, statics = plan_tables_device(plan)
     return _develop_pallas_jit(
@@ -948,10 +961,22 @@ def develop_pallas_batch(plan, planes, interpret: bool = False,
     curves may differ per shot). Returns [B, 3, H, W]."""
     assert pallas_supported(plan), "unsupported plan for the pallas executor"
     if plan.dem_path == "scaled":
-        from .develop_scaled import develop_scaled_batch
+        from .develop_scaled import develop_scaled_batch, scaled_plan_for
 
-        return develop_scaled_batch(plan, planes, interpret=interpret,
-                                    staged=staged, param_plans=param_plans)
+        if scaled_plan_for(plan) is not None:
+            return develop_scaled_batch(plan, planes, interpret=interpret,
+                                        staged=staged,
+                                        param_plans=param_plans)
+        from .develop_scaled_sep import develop_sep, develop_sep_batch
+
+        if param_plans is not None:
+            # Per-image calibration: vmapping over params needs stacked
+            # pytrees; a python loop inside one jit is equivalent here
+            # (deep thumbnails are tiny) -- keep the simple exact form.
+            outs = [develop_sep(pp, p, staged=staged)
+                    for pp, p in zip(param_plans, planes)]
+            return jnp.stack(outs)
+        return develop_sep_batch(plan, planes, staged=staged)
     import numpy as _np
 
     if not staged:

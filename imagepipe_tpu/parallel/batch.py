@@ -273,6 +273,35 @@ class BatchEngine:
             _statics_for, _tables_device, scaled_plan_for, stage_scaled_np)
 
         spn = scaled_plan_for(plan)
+        if spn is None:
+            # Deep thumbnails outside the tile-local kernel's envelope:
+            # the separable two-level matmul path (develop_scaled_sep).
+            from ..engine import stack_params
+            from ..kernels.develop_scaled_sep import (
+                _sep_batch_perimage_jit, _statics_for as _sep_statics,
+                _tables_device as _sep_tables, sep_plan_for, stage_sep_np)
+
+            sps = sep_plan_for(plan)
+            staged = np.stack([stage_sep_np(chunk[i][2],
+                                            chunk[i][1].raw.data)
+                               for i in sel])
+            tabs_d = _sep_tables(plan, sps)
+            st = _sep_statics(plan, sps)
+            params_stacked = stack_params([chunk[i][2].params for i in sel])
+            spec_in = NamedSharding(self.mesh, P("batch", None, None))
+            planes_d = jax.device_put(jnp.asarray(staged), spec_in)
+            params_d = jax.device_put(
+                params_stacked, NamedSharding(self.mesh, P("batch")))
+
+            def local_sep(planes_l, params_l):
+                return _sep_batch_perimage_jit(planes_l, params_l,
+                                               *tabs_d, **st)
+
+            fn = jax.shard_map(
+                local_sep, mesh=self.mesh,
+                in_specs=(P("batch", None, None), P("batch")),
+                out_specs=P("batch", None, None, None), check_vma=False)
+            return fn(planes_d, params_d)
         staged = np.stack([
             stage_scaled_np(chunk[i][2], chunk[i][1].raw.data, spn)
             for i in sel])

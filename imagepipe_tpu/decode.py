@@ -401,6 +401,18 @@ def codec_family(path) -> str:
             return (base + ("-float" if fmt == 3 else "")
                     + ("-linear" if spp == 3 else ""))
         if ext == ".cr2":
+            tf = TiffFile(buf)
+            raw_ifds = [e for e in tf.ifds
+                        if e.get1(259) == 6 and e.get(273)]
+            if raw_ifds:
+                off = int(raw_ifds[-1].get(273)[0])
+                try:
+                    from .lj92 import sof_ncomp
+
+                    if sof_ncomp(bytes(buf[off:off + 4096])) == 3:
+                        return "cr2-sraw"
+                except ValueError:
+                    pass
             return "cr2-lj92"
         if ext in (".arw", ".sr2"):
             return "arw"
@@ -414,6 +426,15 @@ def codec_family(path) -> str:
                     tf = TiffFile(buf)
                     if int(_raw_cfa_ifd(tf).get1(259, 1) or 1) == 7:
                         return "3fr-compressed"
+                except Exception:
+                    pass
+            if ext == ".srw":
+                try:
+                    from .vendor import _raw_cfa_ifd
+
+                    tf = TiffFile(buf)
+                    if int(_raw_cfa_ifd(tf).get1(259, 1) or 1) == 32772:
+                        return "srw-32772"
                 except Exception:
                     pass
             return f"tiffep-{ext[1:]}"

@@ -403,3 +403,239 @@ def encode(img: np.ndarray, ncomp: int = 1, precision: int = 16,
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Canon sRAW/mRAW: subsampled 3-component lossless JPEG
+# ---------------------------------------------------------------------------
+#
+# CR2 sRAW/mRAW payloads are SOF3 streams with THREE components where the
+# luma carries sampling factors (2,1) for sRAW2/mRAW or (2,2) for sRAW1
+# and the chromas are (1,1). Per T.81 an interleaved lossless MCU is then
+# [Y..(hs*vs, raster order), Cb, Cr] and component i spans
+# ceil(X*Hi/Hmax) samples per line. Prediction follows the reference
+# chain's semantics (dcraw ljpeg_row's sraw branch, which rawloader's
+# cr2 path mirrors): every Y sample predicts from the PREVIOUS DECODED Y
+# (one chained predictor across the whole MCU row), except the row's
+# first Y which uses the per-component vertical predictor (previous
+# row's first value; 1 << (prec-1) on the first row); chromas use
+# standard predictor-1 (previous MCU's same component, vertical
+# predictor at row start).
+
+
+def _parse_sof3_components(data: bytes):
+    """(precision, lines, samples_per_line, [(h, v), ...]) from SOF3."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = (data[pos] << 8) | data[pos + 1]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xC3:
+            prec = seg[0]
+            lines = (seg[1] << 8) | seg[2]
+            samples = (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            hv = []
+            for c in range(ncomp):
+                b = seg[7 + c * 3]
+                hv.append((b >> 4, b & 0x0F))
+            return prec, lines, samples, hv
+        if marker == 0xDA:
+            break
+        pos += seglen
+    raise ValueError("no SOF3 segment in lossless-JPEG stream")
+
+
+def decode_sraw(data: bytes):
+    """Subsampled 3-component SOF3 stream -> (mcus [rows, n_mcu*clrs]
+    int32, precision, hs, vs) where clrs = hs*vs + 2 and MCU slots are
+    [Y raster..., Cb, Cr]."""
+    prec, lines, samples, hv = _parse_sof3_components(data)
+    if len(hv) != 3 or hv[1] != (1, 1) or hv[2] != (1, 1):
+        raise ValueError(f"not an sRAW component layout: {hv}")
+    hs, vs = hv[0]
+    if (hs, vs) not in ((2, 1), (2, 2)):
+        raise ValueError(f"unsupported sRAW sampling {hs}x{vs}")
+    clrs = hs * vs + 2
+    n_mcu = (samples + hs - 1) // hs
+    # MCU rows: lines is the LUMA line count; each MCU row covers vs lines.
+    rows = (lines + vs - 1) // vs
+
+    # Walk to SOS collecting Huffman tables (same walk as _decode_python).
+    pos = 2
+    huffs = {}
+    comp_table = [0, 0, 0]
+    while pos + 4 <= len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = (data[pos] << 8) | data[pos + 1]
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xC4:
+            q = 0
+            while q < len(seg):
+                th = seg[q] & 0x0F
+                q += 1
+                counts = list(seg[q:q + 16])
+                q += 16
+                nvals = sum(counts)
+                huffs[th] = _build_huff(counts, list(seg[q:q + nvals]))
+                q += nvals
+            pos += seglen
+        elif marker == 0xDA:
+            ns = seg[0]
+            for i in range(min(ns, 3)):
+                comp_table[i] = seg[1 + i * 2 + 1] >> 4
+            pos += seglen
+            break
+        else:
+            pos += seglen
+    else:
+        raise ValueError("no SOS in sRAW stream")
+    br = _BitReader(data[pos:])
+    # slot -> component (0 for all Y slots, then 1, 2)
+    slot_comp = [0] * (hs * vs) + [1, 2]
+    tabs = [huffs[comp_table[slot_comp[s]]] for s in range(clrs)]
+
+    def huff_decode(tbl):
+        code = br.get_bit()
+        l = 1
+        while (l, code) not in tbl:
+            code = (code << 1) | br.get_bit()
+            l += 1
+            if l > 16:
+                raise ValueError("bad huffman code")
+        return tbl[(l, code)]
+
+    out = np.zeros((rows, n_mcu * clrs), np.int32)
+    default = 1 << (prec - 1)
+    vpred = [default, default, default]
+    n_y = hs * vs
+    for y in range(rows):
+        spred = 0
+        for m in range(n_mcu):
+            base = m * clrs
+            for s in range(clrs):
+                ssss = huff_decode(tabs[s])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.get_bits(ssss), ssss)
+                comp = slot_comp[s]
+                if s < n_y:                       # luma: chained predictor
+                    if m == 0 and s == 0:
+                        pred = vpred[0]
+                        vpred[0] = pred + diff
+                    else:
+                        pred = spred
+                    val = (pred + diff) & 0xFFFF
+                    spred = val
+                else:                             # chroma: predictor 1
+                    if m == 0:
+                        pred = vpred[comp]
+                        vpred[comp] = pred + diff
+                    else:
+                        pred = int(out[y, base - clrs + s])
+                    val = (pred + diff) & 0xFFFF
+                out[y, base + s] = val
+    return out, prec, hs, vs
+
+
+def encode_sraw(Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray,
+                precision: int = 15) -> bytes:
+    """Canonical sRAW encoder (tests + fixtures): the exact inverse of
+    decode_sraw's prediction chain. Y: [lines, samples]; Cb/Cr at the
+    subsampled grid [lines/vs, samples/hs]."""
+    Y = np.asarray(Y, np.uint16)
+    Cb = np.asarray(Cb, np.uint16)
+    Cr = np.asarray(Cr, np.uint16)
+    lines, samples = Y.shape
+    vs = lines // Cb.shape[0]
+    hs = samples // Cb.shape[1]
+    assert (hs, vs) in ((2, 1), (2, 2)), (hs, vs)
+    assert Cb.shape == Cr.shape == (lines // vs, samples // hs)
+    assert lines % vs == 0 and samples % hs == 0
+    clrs = hs * vs + 2
+    n_mcu = samples // hs
+    rows = lines // vs
+
+    counts, vals, codes = _enc_table()
+    out = bytearray(b"\xff\xd8")
+    sof = bytearray([precision, rows * vs >> 8, (rows * vs) & 0xFF,
+                     samples >> 8, samples & 0xFF, 3])
+    sof += bytes([0, (hs << 4) | vs, 0])
+    sof += bytes([1, 0x11, 0])
+    sof += bytes([2, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    dht = bytearray([0x00]) + bytes(counts) + bytes(vals)
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    sos = bytearray([3])
+    for c in range(3):
+        sos += bytes([c, 0x00])
+    sos += bytes([1, 0, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    bw = _BitWriter()
+
+    def put_diff(diff):
+        diff = ((diff + 32768) & 0xFFFF) - 32768
+        if diff == 0:
+            ssss = 0
+        elif diff == -32768:
+            diff = 32768
+            ssss = 16
+        else:
+            ssss = int(abs(diff)).bit_length()
+        code, nb = codes[ssss]
+        bw.put(code, nb)
+        if 0 < ssss < 16:
+            v = diff if diff >= 0 else diff + (1 << ssss) - 1
+            bw.put(v, ssss)
+
+    default = 1 << (precision - 1)
+    vpred = [default, default, default]
+    Yi = Y.astype(np.int64)
+    planes = {1: Cb.astype(np.int64), 2: Cr.astype(np.int64)}
+    for r in range(rows):
+        spred = 0
+        for m in range(n_mcu):
+            for s in range(clrs):
+                if s < hs * vs:
+                    yy = r * vs + (s // hs)
+                    xx = m * hs + (s % hs)
+                    val = int(Yi[yy, xx])
+                    if m == 0 and s == 0:
+                        pred = vpred[0]
+                        vpred[0] = val
+                    else:
+                        pred = spred
+                    put_diff(val - pred)
+                    spred = val
+                else:
+                    comp = 1 if s == hs * vs else 2
+                    val = int(planes[comp][r, m])
+                    if m == 0:
+                        pred = vpred[comp]
+                        vpred[comp] = val
+                    else:
+                        pred = int(planes[comp][r, m - 1])
+                    put_diff(val - pred)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -255,6 +255,83 @@ def _unslice_cr2(flat: np.ndarray, height: int, slices) -> np.ndarray:
     return out
 
 
+def _canon_wb_from_makernote(mn) -> tuple:
+    """WB from ColorData (makernote 0x4001); NaN quad when absent."""
+    if mn is not None:
+        cd = mn.get(0x4001)
+        if cd:
+            idx = _CANON_WB_INDEX.get(len(cd))
+            if idx is not None and idx + 4 <= len(cd):
+                r, g1, g2, b = (float(v) for v in cd[idx: idx + 4])
+                if r > 0 and g1 > 0:
+                    return (r, g1, b, float("nan"))
+    return (float("nan"),) * 4
+
+
+# Canon's YCbCr->camera-RGB fixed-point matrix for sRAW/mRAW (>>14), the
+# reference chain's semantics (dcraw canon_sraw_load_raw's integer
+# coefficients, consumed identically by rawloader's cr2 sraw path).
+# PROVENANCE NOTE: the mechanism around it (subsampled SOF3 MCUs, the
+# chained-Y predictor, linear chroma interpolation) is format-forced and
+# pinned by the canonical encoder round-trips; these six constants and
+# the 1<<(prec-1) chroma bias are the recalled-constant surface awaiting
+# the first real sRAW file through the realfile harness
+# (tests/test_realfiles.py), like fujic.py's B2 interpolation mask.
+_SRAW_RGB = ((50, 22929), (-5640, -11751), (29040, -101))
+
+
+def _chroma_upsample(p: np.ndarray, vs: int, hs: int, H: int, W: int):
+    """Linear integer upsample of a chroma plane from the MCU grid to the
+    luma grid ((a+b)>>1 midpoints, edge-replicated), then crop to HxW."""
+    p = p.astype(np.int32)
+    if vs == 2:
+        up = np.empty((p.shape[0] * 2, p.shape[1]), np.int32)
+        up[0::2] = p
+        up[1:-1:2] = (p[:-1] + p[1:]) >> 1
+        up[-1] = p[-1]
+        p = up
+    if hs == 2:
+        up = np.empty((p.shape[0], p.shape[1] * 2), np.int32)
+        up[:, 0::2] = p
+        up[:, 1:-1:2] = (p[:, :-1] + p[:, 1:]) >> 1
+        up[:, -1] = p[:, -1]
+        p = up
+    return p[:H, :W]
+
+
+def _read_cr2_sraw(tf: TiffFile, payload: bytes, make: str,
+                   model: str) -> RawImage:
+    """sRAW/mRAW: subsampled YCbCr lossless JPEG -> demosaiced cpp=3
+    camera RGB (develops through the engine's rgb mode, like LinearRaw
+    DNGs). Sensor crops don't apply (the frame is already the active
+    area at reduced resolution)."""
+    from .lj92 import decode_sraw
+
+    mcus, prec, hs, vs = decode_sraw(payload)
+    if not 10 <= prec <= 16:
+        raise ValueError(f"implausible sRAW SOF precision {prec}")
+    clrs = hs * vs + 2
+    rows = mcus.shape[0]
+    n_mcu = mcus.shape[1] // clrs
+    H, W = rows * vs, n_mcu * hs
+    m3 = mcus.reshape(rows, n_mcu, clrs)
+    Y = (m3[:, :, :hs * vs].reshape(rows, n_mcu, vs, hs)
+         .transpose(0, 2, 1, 3).reshape(H, W).astype(np.int32))
+    bias = 1 << (prec - 1)
+    cb = _chroma_upsample(m3[:, :, hs * vs], vs, hs, H, W) - bias
+    cr = _chroma_upsample(m3[:, :, hs * vs + 1], vs, hs, H, W) - bias
+    maxv = (1 << prec) - 1
+    chans = [Y + ((kb * cb + kr * cr) >> 14) for kb, kr in _SRAW_RGB]
+    data = np.clip(np.stack(chans, axis=-1), 0, maxv).astype(np.uint16)
+    return RawImage(
+        width=W, height=H, cpp=3, crops=(0, 0, 0, 0),
+        blacklevels=(0,) * 4, whitelevels=(maxv,) * 4,
+        wb_coeffs=_canon_wb_from_makernote(_canon_makernote_ifd(tf)),
+        xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=CFA(""),
+        data=data.reshape(H, W * 3), make=make, model=model)
+
+
 def read_cr2(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
@@ -276,16 +353,13 @@ def read_cr2(path: str) -> RawImage:
     from .lj92 import decode as lj92_decode, sof_precision
 
     payload = bytes(buf[off:off + cnt])
-    # sRAW/mRAW files carry a 3-component YCbCr lossless-JPEG frame
-    # (dcraw's canon_sraw_load_raw) -- a different colorimetric pipeline,
-    # not a mosaic; decoding it as CFA would produce convincing-looking
-    # garbage. Refuse by name before touching the stream.
+    # sRAW/mRAW files carry a subsampled 3-component YCbCr lossless-JPEG
+    # frame (dcraw's canon_sraw_load_raw; rawloader's cr2 sraw path) — a
+    # demosaiced colorimetric pipeline, not a mosaic.
     from .lj92 import sof_ncomp
 
     if sof_ncomp(payload) == 3:
-        raise ValueError(
-            "CR2: sRAW/mRAW (3-component YCbCr) is not supported; "
-            "shoot full-size RAW or convert to DNG")
+        return _read_cr2_sraw(tf, payload, make, model)
     decoded = lj92_decode(payload)  # [h, w*ncomp]
     height = decoded.shape[0]
     slices = ifd.get(0xC640)
@@ -295,18 +369,11 @@ def read_cr2(path: str) -> RawImage:
         data = decoded
     width = data.shape[1]
 
-    wb = (float("nan"),) * 4
     crops = (0, 0, 0, 0)
     black = 0
     mn = _canon_makernote_ifd(tf)
+    wb = _canon_wb_from_makernote(mn)
     if mn is not None:
-        cd = mn.get(0x4001)
-        if cd:
-            idx = _CANON_WB_INDEX.get(len(cd))
-            if idx is not None and idx + 4 <= len(cd):
-                r, g1, g2, b = (float(v) for v in cd[idx: idx + 4])
-                if r > 0 and g1 > 0:
-                    wb = (r, g1, b, float("nan"))
         si = mn.get(0x00E0)  # SensorInfo
         if si and len(si) >= 9:
             left, top, right, bottom = si[5], si[6], si[7], si[8]
@@ -943,6 +1010,29 @@ def read_tiffep(path: str) -> RawImage:
         # way); the bit reader consumes what it needs.
         data = decode_hasselblad(bytes(tf.buf[off:]), width, height)
         black, white = _vendor_levels(model, 16)
+        return RawImage(
+            width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+            blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+            wb_coeffs=(float("nan"),) * 4,
+            xyz_to_cam=xyz_to_cam_for(make, model),
+            orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd),
+            data=data, make=make, model=model)
+    if compression == 32772 and "SAMSUNG" in make.upper():
+        # Samsung NX 12-bit compressed (dcraw samsung_load_raw semantics;
+        # see samsung.py for the algorithm + provenance notes).
+        from .samsung import decode_samsung12
+
+        offsets = ifd.get(T_STRIP_OFFSETS) or []
+        counts = ifd.get(T_STRIP_BYTECOUNTS) or []
+        if len(offsets) != 1:
+            raise ValueError(
+                f"SRW 32772 ({model}): expected one strip, got "
+                f"{len(offsets)}")
+        off = int(offsets[0])
+        cnt = int(counts[0]) if counts else len(tf.buf) - off
+        tf._check(off, cnt, "SRW 32772 strip")
+        data = decode_samsung12(bytes(tf.buf[off:off + cnt]), width, height)
+        black, white = _vendor_levels(model, 12)
         return RawImage(
             width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
             blacklevels=(black,) * 4, whitelevels=(white,) * 4,

@@ -134,3 +134,113 @@ def test_develops_end_to_end(tmp_path):
     out = Pipeline.new_from_file(path).output_8bit()
     assert out.data.shape == (32, 48, 3)
     assert out.data.std() > 0
+
+
+# ---------------------------------------------------------------------------
+# Samsung SRW 12-bit compressed (compression 32772) — samsung.py
+# ---------------------------------------------------------------------------
+
+
+def make_srw_compressed(data, model="NX10") -> bytes:
+    from imagepipe_tpu.samsung import encode_samsung12
+
+    h, w = data.shape
+    payload = encode_samsung12(data)
+    b = TiffBuilder("<")
+    strip = b.add_blob(payload)
+    raw_ifd = b.add_ifd([
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [12]),
+        (259, 3, [32772]), (262, 3, [32803]),
+        (273, 4, [strip]), (278, 4, [h]), (279, 4, [len(payload)]),
+        (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+    ], chain=False)
+    b.add_ifd([
+        (271, 2, "SAMSUNG"), (272, 2, model), (274, 3, [1]),
+        (330, 4, [raw_ifd]),
+    ])
+    return b.bytes()
+
+
+def test_srw_32772_decodes(tmp_path):
+    data = _sensor(16, 64, seed=90, bits=12)
+    path = str(tmp_path / "shot.srw")
+    with open(path, "wb") as f:
+        f.write(make_srw_compressed(data))
+    from imagepipe_tpu.decode import codec_family
+
+    assert codec_family(path) == "srw-32772"
+    src = decode_file(path)
+    raw = src.raw
+    np.testing.assert_array_equal(raw.data, data)
+    assert raw.whitelevels[0] == 4095
+    assert raw.cfa.name == "RGGB"
+    # end-to-end develop
+    from imagepipe_tpu import Pipeline
+
+    out = Pipeline.new_from_source(src).output_8bit(None)
+    assert out.data.shape == (16, 64, 3)
+
+
+def test_srw_32772_roundtrip_stress():
+    from imagepipe_tpu.samsung import decode_samsung12, encode_samsung12
+
+    rng = np.random.default_rng(91)
+    for trial in range(8):
+        h, w = 2 * int(rng.integers(2, 8)), 32 * int(rng.integers(1, 4))
+        kind = trial % 4
+        if kind == 0:
+            img = rng.integers(0, 1 << 12, (h, w)).astype(np.uint16)
+        elif kind == 1:
+            img = np.zeros((h, w), np.uint16)
+        elif kind == 2:  # smooth sensor-like (vertical prediction wins)
+            img = (1000 + np.cumsum(rng.integers(-8, 9, (h, w)), 0)
+                   ).clip(0, 4095).astype(np.uint16)
+        else:            # alternating extremes (worst-case lengths)
+            img = np.where((np.arange(w)[None, :] ^ np.arange(h)[:, None]) & 1,
+                           4095, 0).astype(np.uint16)
+        st = encode_samsung12(img)
+        np.testing.assert_array_equal(decode_samsung12(st, w, h), img)
+
+
+def test_srw_32772_truncated_fails_loud(tmp_path):
+    from imagepipe_tpu.samsung import decode_samsung12, encode_samsung12
+
+    data = _sensor(8, 32, seed=92, bits=12)
+    st = encode_samsung12(data)
+    with pytest.raises(ValueError):
+        decode_samsung12(st[: len(st) // 2], 32, 8)
+    with pytest.raises(ValueError):
+        decode_samsung12(st, 48, 8)   # wrong geometry must not pass silently
+
+
+def test_srw_32772_python_native_fuzz():
+    from imagepipe_tpu import native
+    from imagepipe_tpu.samsung import (_decode_native, _decode_python,
+                                       encode_samsung12)
+
+    if not (native.have_native()
+            and hasattr(native._lib, "samsung12_decode")):
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(93)
+    img = (900 + np.cumsum(rng.integers(-9, 10, (8, 64)), 1)
+           ).clip(0, 4095).astype(np.uint16)
+    data = encode_samsung12(img)
+    np.testing.assert_array_equal(_decode_native(data, 64, 8), img)
+    np.testing.assert_array_equal(_decode_python(data, 64, 8), img)
+    # adversarial: random corruptions must fail/succeed IDENTICALLY and
+    # never crash either implementation
+    for trial in range(60):
+        b = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            py = _decode_python(bytes(b), 64, 8)
+        except ValueError:
+            py = None
+        try:
+            nat = _decode_native(bytes(b), 64, 8)
+        except ValueError:
+            nat = None
+        assert (py is None) == (nat is None), f"trial {trial}"
+        if py is not None:
+            np.testing.assert_array_equal(py, nat)

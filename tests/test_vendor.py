@@ -919,3 +919,110 @@ def test_vendor_levels_registry(tmp_path):
     raw = read_pef(path)
     assert raw.blacklevels == (64,) * 4
     assert raw.whitelevels == (16000,) * 4
+
+
+def make_cr2_sraw(Y, Cb, Cr, model="Canon EOS 5D Mark II",
+                  wb=(2100, 1024, 1024, 1400), precision=15) -> bytes:
+    """sRAW/mRAW CR2: subsampled 3-component YCbCr lossless JPEG."""
+    from imagepipe_tpu.lj92 import encode_sraw
+
+    payload = encode_sraw(Y, Cb, Cr, precision=precision)
+    b = TiffBuilder("<", header_extra=b"CR\x02\x00")
+    strip = b.add_blob(payload)
+    colordata = [0] * 1312
+    colordata[63:67] = list(wb)
+    note_ifd = b.add_ifd([(0x4001, 3, colordata)], chain=False)
+    exif_ifd = b.add_ifd([(37500, 7, ("ptr", 256, note_ifd))], chain=False)
+    b.add_ifd([
+        (271, 2, "Canon"), (272, 2, model), (274, 3, [1]),
+        (34665, 4, [exif_ifd]),
+    ])
+    b.add_ifd([(259, 3, [6]), (273, 4, [strip]), (279, 4, [len(payload)])])
+    return b.bytes()
+
+
+def _sraw_oracle(Y, Cb, Cr, precision):
+    """Independent scalar reconstruction: replicate-then-midpoint chroma
+    upsample and the dcraw-semantics >>14 integer matrix."""
+    vs = Y.shape[0] // Cb.shape[0]
+    hs = Y.shape[1] // Cb.shape[1]
+    H, W = Y.shape
+    bias = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    out = np.zeros((H, W, 3), np.int64)
+    for y in range(H):
+        for x in range(W):
+            my, ry = divmod(y, vs)
+            mx, rx = divmod(x, hs)
+
+            def up(p):
+                v0 = int(p[my, mx])
+                if ry and my + 1 < p.shape[0]:
+                    v0 = (v0 + int(p[my + 1, mx])) >> 1
+                if rx and mx + 1 < p.shape[1]:
+                    v1 = int(p[min(my + (1 if ry and my + 1 < p.shape[0] else 0), p.shape[0]-1), mx + 1])
+                    pass
+                return v0
+
+            # vertical midpoint first, then horizontal midpoint -- exactly
+            # _chroma_upsample's order.
+            def up2(p):
+                a = int(p[my, mx])
+                if ry:
+                    a = (a + int(p[min(my + 1, p.shape[0] - 1), mx])) >> 1
+                if rx:
+                    b_ = int(p[my, min(mx + 1, p.shape[1] - 1)])
+                    if ry:
+                        b_ = (b_ + int(p[min(my + 1, p.shape[0] - 1),
+                                         min(mx + 1, p.shape[1] - 1)])) >> 1
+                    a = (a + b_) >> 1
+                return a
+
+            cb = up2(Cb) - bias
+            cr = up2(Cr) - bias
+            yv = int(Y[y, x])
+            out[y, x, 0] = yv + ((50 * cb + 22929 * cr) >> 14)
+            out[y, x, 1] = yv + ((-5640 * cb - 11751 * cr) >> 14)
+            out[y, x, 2] = yv + ((29040 * cb - 101 * cr) >> 14)
+    return np.clip(out, 0, maxv).astype(np.uint16)
+
+
+@pytest.mark.parametrize("vs", [1, 2])
+def test_cr2_sraw_decode(tmp_path, vs):
+    rng = np.random.default_rng(7 + vs)
+    H, W = 16 * vs, 24
+    # smooth-ish luma + chroma around the bias point (realistic sRAW)
+    Y = (8000 + np.cumsum(rng.integers(-50, 50, (H, W)), axis=1)).astype(np.uint16)
+    Cb = rng.integers(16000, 17000, (H // vs, W // 2)).astype(np.uint16)
+    Cr = rng.integers(16000, 17000, (H // vs, W // 2)).astype(np.uint16)
+    path = str(tmp_path / "shot.cr2")
+    with open(path, "wb") as f:
+        f.write(make_cr2_sraw(Y, Cb, Cr))
+    from imagepipe_tpu.decode import codec_family
+
+    assert codec_family(path) == "cr2-sraw"
+    src = decode_file(path)
+    raw = src.raw
+    assert raw.cpp == 3 and (raw.width, raw.height) == (W, H)
+    assert raw.whitelevels[0] == (1 << 15) - 1
+    want = _sraw_oracle(Y, Cb, Cr, 15)
+    np.testing.assert_array_equal(
+        raw.data.reshape(H, W, 3), want)
+    assert raw.wb_coeffs[0] == pytest.approx(2100.0)
+    # end-to-end develop through the rgb mode
+    out = Pipeline.new_from_source(src).output_8bit(None)
+    assert out.data.shape == (H, W, 3)
+
+
+def test_cr2_sraw_fullsize_unaffected(tmp_path):
+    # a 2-component (CFA) CR2 still takes the mosaic path
+    data = _sensor(16, 32, seed=9)
+    path = str(tmp_path / "full.cr2")
+    with open(path, "wb") as f:
+        f.write(make_cr2(data))
+    from imagepipe_tpu.decode import codec_family
+
+    assert codec_family(path) == "cr2-lj92"
+    raw = decode_file(path).raw
+    assert raw.cpp == 1
+    np.testing.assert_array_equal(raw.data, data)

@@ -13,6 +13,10 @@ color_conversions, simple_decode_8bit.
 from . import color as color_conversions
 from .buffer import OpBuffer, from_rgb_str_vec
 from .cache import MultiCache
+from .cameras import (
+    known_cameras, register_alias, register_camera, register_from_dng,
+    register_sidecar_dir,
+)
 from .ops.transform import Rotation
 from .pipeline import (
     Pipeline, PipelineCache, PipelineGlobals, PipelineOps, PipelineSettings,
@@ -29,7 +33,8 @@ __all__ = [
     "Rotation", "Pipeline", "PipelineCache", "PipelineGlobals", "PipelineOps",
     "PipelineSettings", "SRGBImage", "SRGBImage16", "CFA", "Orientation",
     "RawImage", "ImageSource", "RasterImage", "SplineFunc",
-    "simple_decode_8bit",
+    "simple_decode_8bit", "register_camera", "register_alias",
+    "register_from_dng", "register_sidecar_dir", "known_cameras",
 ]
 
 

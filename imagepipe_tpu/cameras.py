@@ -18,7 +18,8 @@ import logging
 
 import numpy as np
 
-__all__ = ["xyz_to_cam_for", "register_camera", "known_cameras"]
+__all__ = ["xyz_to_cam_for", "register_camera", "register_alias",
+           "register_from_dng", "register_sidecar_dir", "known_cameras"]
 
 log = logging.getLogger(__name__)
 
@@ -69,6 +70,11 @@ _ALIASES: dict[str, str] = {
     "ILCE-7RM3A": "ILCE-7RM3",
     "ILCE-7RM4A": "ILCE-7RM4",
     "ILCE-7C": "ILCE-7M3",
+    # Fujifilm X-E4 is the X-Trans IV 26MP sensor (same published matrix
+    # as the rest of the family above).
+    "X-E4": "X-T30",
+    # Canon EOS R5 C is the R5 sensor in a cinema body (publicly stated).
+    "CANON EOS R5 C": "CANON EOS R5",
 }
 
 
@@ -112,6 +118,52 @@ def register_from_dng(path: str, model: str | None = None) -> str:
     return key.upper()
 
 
+def register_sidecar_dir(dirpath: str) -> list[str]:
+    """Batch registry growth: register_from_dng over every *.dng in a
+    directory (non-recursive). The fleet-boot form of the one-shot DNG
+    procedure — keep one sidecar DNG per body in a directory, call this
+    once per boot (or set IMAGEPIPE_SIDECAR_DIR to have it loaded
+    automatically on first matrix lookup). Per-file failures are logged
+    and skipped so one corrupt sidecar can't take down the fleet.
+    Returns the model keys registered."""
+    import os
+
+    registered = []
+    try:
+        names = sorted(os.listdir(dirpath))
+    except OSError as e:
+        log.warning("sidecar dir %r unreadable: %s", dirpath, e)
+        return registered
+    for name in names:
+        if not name.lower().endswith(".dng"):
+            continue
+        path = os.path.join(dirpath, name)
+        try:
+            registered.append(register_from_dng(path))
+        except Exception as e:
+            log.warning("sidecar %r skipped: %s", path, e)
+    if registered:
+        log.info("sidecar dir %r: %d bodies registered (%s)", dirpath,
+                 len(registered), ", ".join(registered))
+    return registered
+
+
+_SIDECAR_ENV = "IMAGEPIPE_SIDECAR_DIR"
+_sidecar_loaded = False
+
+
+def _load_env_sidecars_once() -> None:
+    global _sidecar_loaded
+    if _sidecar_loaded:
+        return
+    _sidecar_loaded = True
+    import os
+
+    d = os.environ.get(_SIDECAR_ENV)
+    if d:
+        register_sidecar_dir(d)
+
+
 def known_cameras() -> list[str]:
     return sorted(set(_TABLE) | set(_ALIASES))
 
@@ -140,6 +192,7 @@ def xyz_to_cam_from_cam2srgb(m: np.ndarray) -> np.ndarray:
 def xyz_to_cam_for(make: str, model: str) -> np.ndarray:
     """[4,3] f32 xyz_to_cam for a body; sRGB identity fallback (with a
     warning) so unknown cameras still develop."""
+    _load_env_sidecars_once()
     key = (model or "").strip().upper()
     entry = _lookup(key)
     if entry is None:
@@ -147,7 +200,15 @@ def xyz_to_cam_for(make: str, model: str) -> np.ndarray:
         longkey = f"{(make or '').strip().upper()} {key}".strip()
         entry = _lookup(longkey)
     if entry is None:
-        log.warning("no color matrix for %r %r; using sRGB fallback", make, model)
+        log.warning(
+            "no color matrix for %r %r; using sRGB fallback (colors "
+            "uncalibrated). To calibrate: convert ONE shot from this body "
+            "to DNG (Adobe DNG Converter), then run\n"
+            "  python -c \"import imagepipe_tpu as ip; "
+            "ip.register_from_dng('shot.dng')\"\n"
+            "or drop the DNG in a sidecar directory and set %s=<dir> to "
+            "auto-load it at boot (see docs/MIGRATION.md).",
+            make, model, _SIDECAR_ENV)
         m = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
     else:
         m = np.asarray(entry, np.float32).reshape(3, 3) / np.float32(10000.0)

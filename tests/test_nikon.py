@@ -266,6 +266,62 @@ def test_camera_registry_aliases_and_dng_growth(tmp_path):
     np.testing.assert_allclose(got[:3], m[:3], atol=1e-4)
 
 
+def test_camera_registry_sidecar_dir_and_warning_recipe(tmp_path, caplog,
+                                                        monkeypatch):
+    """Fleet-boot registry growth: register_sidecar_dir batch-loads every
+    sidecar DNG (skipping corrupt ones), IMAGEPIPE_SIDECAR_DIR auto-loads
+    on first lookup, and the unknown-body warning prints the exact
+    one-command recipe (VERDICT r4 item 6: calibrated color or an
+    actionable warning, never a silent fallback)."""
+    import logging
+
+    import numpy as np
+
+    from imagepipe_tpu import cameras
+    from imagepipe_tpu.dng import write_dng
+    from imagepipe_tpu.raw import RawImage, CFA, Orientation
+
+    def probe_dng(path, model, scale):
+        m = np.array([[0.9, -0.2, -0.1], [-0.4, 1.2, 0.2],
+                      [-0.1, 0.2, 0.6], [0, 0, 0]], np.float32) * scale
+        raw = RawImage(width=16, height=8, cpp=1, crops=(0, 0, 0, 0),
+                       blacklevels=(0,) * 4, whitelevels=(16383,) * 4,
+                       wb_coeffs=(2.0, 1.0, 1.5, float("nan")),
+                       xyz_to_cam=m, orientation=Orientation.Normal,
+                       cfa=CFA("RGGB"), data=np.zeros((8, 16), np.uint16),
+                       make="ACME", model=model)
+        write_dng(str(path), raw)
+        return m
+
+    side = tmp_path / "sidecars"
+    side.mkdir()
+    m1 = probe_dng(side / "a.dng", "ACME FLEET1", 1.0)
+    probe_dng(side / "b.dng", "ACME FLEET2", 0.9)
+    (side / "corrupt.dng").write_bytes(b"not a dng at all")
+    (side / "ignored.txt").write_bytes(b"x")
+
+    keys = cameras.register_sidecar_dir(str(side))
+    assert keys == ["ACME FLEET1", "ACME FLEET2"]
+    np.testing.assert_allclose(
+        cameras.xyz_to_cam_for("ACME", "ACME FLEET1")[:3], m1[:3], atol=1e-4)
+
+    # Env auto-load: fresh guard, env set -> first lookup registers.
+    side2 = tmp_path / "sidecars2"
+    side2.mkdir()
+    m3 = probe_dng(side2 / "c.dng", "ACME FLEET3", 1.1)
+    monkeypatch.setattr(cameras, "_sidecar_loaded", False)
+    monkeypatch.setenv(cameras._SIDECAR_ENV, str(side2))
+    np.testing.assert_allclose(
+        cameras.xyz_to_cam_for("ACME", "ACME FLEET3")[:3], m3[:3], atol=1e-4)
+
+    # Unknown body: warning carries the exact recipe + the env knob.
+    with caplog.at_level(logging.WARNING, logger="imagepipe_tpu.cameras"):
+        out = cameras.xyz_to_cam_for("ACME", "ACME UNKNOWN99")
+    np.testing.assert_array_equal(out[:3], np.eye(3, dtype=np.float32))
+    text = "\n".join(r.getMessage() for r in caplog.records)
+    assert "register_from_dng" in text and cameras._SIDECAR_ENV in text
+
+
 def test_nef_34713_multi_strip_concatenates(tmp_path):
     """A compressed payload split across strips is one logical bitstream."""
     from imagepipe_tpu.decode import decode_file

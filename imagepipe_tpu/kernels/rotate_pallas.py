@@ -89,9 +89,10 @@ from ..scaling import sat_floor_np as _sat_np  # shared two-rounding helper
 
 
 def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
-                components):
+                components, tc_force=None):
     """Host-side geometry plan. Returns (statics, tables...) or None when
-    this geometry should fall back to the gather implementation."""
+    this geometry should fall back to the gather implementation.
+    `tc_force` pins the tile width (tests + A/B harnesses)."""
     if nwidth <= 1 or nheight <= 1 or components < 1 or components > 8:
         return None
     tl0, tl1, sxx, sxy, syx, syy = _skips(
@@ -267,13 +268,22 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
 
     # Angle-adaptive tile width: the group sub-window scales with
     # TC*sin(angle) on BOTH axes, so selection FLOPs per output pixel
-    # grow ~TC^2 at large angles; a 64-lane tile quarters them there
-    # (at the cost of half-empty vector lanes). Pick by cost model with
-    # hysteresis toward the proven 128-lane default.
+    # grow ~TC^2 at large angles; narrower tiles shrink them there (at
+    # the cost of partially-empty vector lanes, which the cost model's
+    # per-element accounting deliberately ignores -- lanes below 128 are
+    # wasted, so the hysteresis thresholds stay stiff). Pick by cost
+    # model with hysteresis toward the proven 128-lane default; 32-lane
+    # must beat 64-lane by the same margin again (steep-angle shapes
+    # only -- at 45 degrees D_g/D_xr stop shrinking with TC once the
+    # R*|syy| row term dominates).
+    if tc_force is not None:
+        cand = body(tc_force)
+        return None if cand is None else cand[1]
     best = body(TC)
-    cand = body(64)
-    if cand is not None and (best is None or cand[0] < 0.75 * best[0]):
-        best = cand
+    for cand_tc in (64, 32):
+        cand = body(cand_tc)
+        if cand is not None and (best is None or cand[0] < 0.75 * best[0]):
+            best = cand
     return None if best is None else best[1]
 
 

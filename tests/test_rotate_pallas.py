@@ -271,3 +271,22 @@ def test_rotate_pallas_planar_entry():
         jnp.moveaxis(jnp.asarray(data), -1, 0), w, h, tl, tr, bl, nw, nh, 4))
     gat = _run_gather(data, w, h, tl, tr, bl, nw, nh, 4)
     np.testing.assert_allclose(np.moveaxis(out, 0, -1), gat, rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("tc", [32, 64])
+def test_rotate_pallas_narrow_tiles_match_gather(tc):
+    """Forced narrow tile widths (the steep-angle cost-model candidates)
+    keep ULP-level agreement with the gather loop — the tile-major
+    sub-128 layout path at both candidate widths."""
+    theta, w, h, nw, nh, sc, C = 45, 140, 100, 150, 110, 1.4, 4
+    rng = np.random.default_rng(tc)
+    tl, tr, bl = _corners(theta, w, h, nw, nh, sc)
+    data = rng.random((h, w, C), dtype=np.float32)
+    plan = rp.rotate_plan(w, h, tl, tr, bl, nw, nh, C, tc_force=tc)
+    assert plan is not None and plan[0]["tc"] == tc
+    src = jnp.moveaxis(jnp.asarray(data), -1, 0)
+    out = rp.rotate_resample_planar(src, w, h, tl, tr, bl, nw, nh, C,
+                                    interpret=True, plan=plan)
+    pal = np.moveaxis(np.asarray(out), 0, -1)
+    gat = _run_gather(data, w, h, tl, tr, bl, nw, nh, C)
+    np.testing.assert_allclose(pal, gat, rtol=0, atol=2e-6)

@@ -268,22 +268,20 @@ def rotate_plan(width, height, topleft, topright, bottomleft, nwidth, nheight,
 
     # Angle-adaptive tile width: the group sub-window scales with
     # TC*sin(angle) on BOTH axes, so selection FLOPs per output pixel
-    # grow ~TC^2 at large angles; narrower tiles shrink them there (at
-    # the cost of partially-empty vector lanes, which the cost model's
-    # per-element accounting deliberately ignores -- lanes below 128 are
-    # wasted, so the hysteresis thresholds stay stiff). Pick by cost
-    # model with hysteresis toward the proven 128-lane default; 32-lane
-    # must beat 64-lane by the same margin again (steep-angle shapes
-    # only -- at 45 degrees D_g/D_xr stop shrinking with TC once the
-    # R*|syy| row term dominates).
+    # grow ~TC^2 at large angles; a 64-lane tile quarters them there
+    # (at the cost of half-empty vector lanes). Pick by cost model with
+    # hysteresis toward the proven 128-lane default. 32/16-lane tiles
+    # are deliberately NOT candidates: the element-count model says they
+    # shrink further, but on hardware they REGRESS (45 deg: 449/900 ms
+    # vs 364 for TC=64 -- per-tile fixed costs + lane waste the model
+    # doesn't price; scripts/exp_rotate_45sweep.py, BASELINE.md r4).
     if tc_force is not None:
         cand = body(tc_force)
         return None if cand is None else cand[1]
     best = body(TC)
-    for cand_tc in (64, 32):
-        cand = body(cand_tc)
-        if cand is not None and (best is None or cand[0] < 0.75 * best[0]):
-            best = cand
+    cand = body(64)
+    if cand is not None and (best is None or cand[0] < 0.75 * best[0]):
+        best = cand
     return None if best is None else best[1]
 
 

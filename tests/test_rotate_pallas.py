@@ -275,9 +275,11 @@ def test_rotate_pallas_planar_entry():
 
 @pytest.mark.parametrize("tc", [32, 64])
 def test_rotate_pallas_narrow_tiles_match_gather(tc):
-    """Forced narrow tile widths (the steep-angle cost-model candidates)
-    keep ULP-level agreement with the gather loop — the tile-major
-    sub-128 layout path at both candidate widths."""
+    """Forced narrow tile widths keep ULP-level agreement with the
+    gather loop — the tile-major sub-128 layout path. 64 is the
+    steep-angle cost-model candidate; 32 is tc_force-only (hardware
+    measured it 24%+ slower than 64 at 45°, BASELINE.md r4 sweep) but
+    the layout path must stay correct for harnesses."""
     theta, w, h, nw, nh, sc, C = 45, 140, 100, 150, 110, 1.4, 4
     rng = np.random.default_rng(tc)
     tl, tr, bl = _corners(theta, w, h, nw, nh, sc)

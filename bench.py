@@ -47,6 +47,16 @@ BASELINE_MP_S_FALLBACK = 11.58
 # Nominal v5e HBM bandwidth for the roofline accounting (819 GB/s).
 HBM_GBPS = 819.0
 
+# Chip-measured VPU element rates for the compute-floor model (one v5e
+# through the tunnel, scripts/exp_r5_floor.py sections A/B, 2026-08-19;
+# slope over chain length isolates per-pass cost from HBM traffic).
+# fma = elements through one fused a*b+c pass; explog_pair = elements
+# through one exp(log(x)*k) polynomial pair. The floor combines these
+# with profiling.vpu_pass_census (jaxpr element census of the develop
+# chain, same math forms as the megakernel) — see BASELINE.md round 5.
+VPU_FMA_ELEMS_PER_S = None       # filled from exp_r5_floor.py section A
+VPU_EXPLOG_PAIR_ELEMS_PER_S = None  # section B
+
 # Sections in execution order (most important first: an exhausted time
 # budget or a late outage drops the least important lines).
 SECTION_ORDER = [
@@ -248,6 +258,29 @@ def section_headline():
     roofline_ms = bytes_min / (HBM_GBPS * 1e9) * 1e3
     per_image_ms = dt_batch / batch * 1e3
 
+    # Compute-floor model (VERDICT r4 item 4): census the develop chain's
+    # per-pixel VPU element passes (host-side jaxpr walk, same math forms
+    # as the megakernel) and price them at the chip-measured element
+    # rates. achieved/floor near 1 = the kernel is VPU-pass-bound at this
+    # decomposition's arithmetic, and further speedups need fewer passes
+    # (algorithm), not scheduling.
+    floor_extra = {}
+    try:
+        from imagepipe_tpu import profiling as _prof
+        census = _prof.vpu_pass_census(plan, plane_shape=staged[0].shape)
+        floor_extra["vpu_passes_per_px"] = round(census["per_px_cheap"], 1)
+        floor_extra["explog_pairs_per_px"] = round(
+            census["per_px_transcendental"] / 2.0, 2)
+        if VPU_FMA_ELEMS_PER_S and VPU_EXPLOG_PAIR_ELEMS_PER_S:
+            fl = _prof.vpu_floor_ms(
+                census, width * height,
+                fma_elems_per_s=VPU_FMA_ELEMS_PER_S,
+                explog_pair_elems_per_s=VPU_EXPLOG_PAIR_ELEMS_PER_S)
+            floor_extra["vpu_floor_ms_per_image"] = round(fl, 3)
+            floor_extra["vpu_floor_frac"] = round(fl / per_image_ms, 3)
+    except Exception as e:  # census must never break the headline
+        floor_extra["vpu_floor_error"] = str(e)[:120]
+
     baseline = BASELINE_MP_S_FALLBACK
     measured_baseline = measure_baseline()
     _emit({
@@ -264,6 +297,7 @@ def section_headline():
             "roofline_bytes_per_image": bytes_min,
             "roofline_ms_per_image": round(roofline_ms, 3),
             "hbm_roofline_frac": round(roofline_ms / per_image_ms, 3),
+            **floor_extra,
             "device": str(jax.devices()[0]),
             "baseline_mp_s": baseline,
             "baseline_mp_s_remeasured": measured_baseline,

@@ -187,6 +187,32 @@ def test_profiling_helpers():
     np.testing.assert_allclose(np.asarray(out), 2.0)
 
 
+def test_vpu_pass_census_pins_numerics_mode():
+    """The compute-floor census is also the regression guard for the
+    round-5 edit-slope root cause: in 'direct' numerics the traced
+    develop chain must contain ZERO gather-class elements (per-pixel
+    jnp.take serializes ~1000x on the TPU VPU), while 'lut' mode (the
+    CPU golden-parity path) necessarily gathers from the LUTs. If
+    'direct' ever re-grows a gather, accelerator edits regress 10x."""
+    from imagepipe_tpu import profiling
+    from imagepipe_tpu.engine import make_develop_plan
+    from imagepipe_tpu.raw import synthetic_bayer
+
+    raw = synthetic_bayer(seed=5, width=96, height=64)
+    p = Pipeline.new_from_source(ImageSource.from_raw(raw))
+    c_direct = profiling.vpu_pass_census(
+        make_develop_plan(p, out_bits=8, numerics="direct"))
+    assert c_direct["per_px_serialized"] == 0.0
+    # exp/log budget: 3 Lab cbrt forms + 3 sRGB gamma forms per pixel.
+    assert c_direct["per_px_transcendental"] == pytest.approx(12.0, abs=1.0)
+    assert c_direct["per_px_cheap"] > 50
+    assert not c_direct["unclassified"], c_direct["unclassified"]
+
+    c_lut = profiling.vpu_pass_census(
+        make_develop_plan(p, out_bits=8, numerics="lut"))
+    assert c_lut["per_px_serialized"] > 0.5
+
+
 def test_float_raw_data():
     """RawImageData::Float equivalent: f32 sensor payloads develop through
     the same levels math (gofloat.rs:132-167)."""

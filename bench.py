@@ -54,8 +54,14 @@ HBM_GBPS = 819.0
 # through one exp(log(x)*k) polynomial pair. The floor combines these
 # with profiling.vpu_pass_census (jaxpr element census of the develop
 # chain, same math forms as the megakernel) — see BASELINE.md round 5.
-VPU_FMA_ELEMS_PER_S = None       # filled from exp_r5_floor.py section A
-VPU_EXPLOG_PAIR_ELEMS_PER_S = None  # section B
+# Short-chain regime (K=8..40, exp_r5_rotate.py run 2026-08-19 11:57):
+# 3.76e12 elem-FMA steps/s. The long-chain regime (K=128..512,
+# exp_r5_floor.py) measured 12x lower (0.31e12) — long unrolled chains
+# hit a compile pathology; the kernel's fused stages are short chains
+# between memory ops, so the short-chain anchor is the relevant one.
+# Both runs recorded in BASELINE.md round 5 with the discrepancy named.
+VPU_FMA_ELEMS_PER_S = 3.76e12
+VPU_EXPLOG_PAIR_ELEMS_PER_S = 8.33e11   # exp_r5_floor.py section B
 
 # Sections in execution order (most important first: an exhausted time
 # budget or a late outage drops the least important lines).
@@ -272,12 +278,16 @@ def section_headline():
         floor_extra["explog_pairs_per_px"] = round(
             census["per_px_transcendental"] / 2.0, 2)
         if VPU_FMA_ELEMS_PER_S and VPU_EXPLOG_PAIR_ELEMS_PER_S:
-            fl = _prof.vpu_floor_ms(
+            lo, hi = _prof.vpu_floor_ms(
                 census, width * height,
                 fma_elems_per_s=VPU_FMA_ELEMS_PER_S,
                 explog_pair_elems_per_s=VPU_EXPLOG_PAIR_ELEMS_PER_S)
-            floor_extra["vpu_floor_ms_per_image"] = round(fl, 3)
-            floor_extra["vpu_floor_frac"] = round(fl / per_image_ms, 3)
+            floor_extra["vpu_floor_ms_band"] = [round(lo, 3), round(hi, 3)]
+            # achieved/floor: <= 1.0 means at-or-below the unpaired floor
+            # (at the floor for this arithmetic); the band brackets FMA
+            # pairing, see profiling.vpu_floor_ms.
+            floor_extra["ms_over_floor_band"] = [
+                round(per_image_ms / hi, 2), round(per_image_ms / lo, 2)]
     except Exception as e:  # census must never break the headline
         floor_extra["vpu_floor_error"] = str(e)[:120]
 

@@ -161,16 +161,23 @@ def vpu_pass_census(plan, plane_shape=None):
 
 
 def vpu_floor_ms(census, n_px, *, fma_elems_per_s, explog_pair_elems_per_s):
-    """VPU-bound floor (ms) for a frame of n_px output pixels, given the
-    census per-pixel counts and chip-measured element rates: `fma_elems_per_s`
-    from a fused a*b+c chain slope (exp_r5_floor.py section A) and
-    `explog_pair_elems_per_s` from an exp(log(x)*k) chain slope (section B;
-    one PAIR = one exp + one log, so a lone exp/log counts as half)."""
-    cheap_s = census["per_px_cheap"] * n_px / fma_elems_per_s
-    # census counts exp and log elements separately; the anchor prices pairs.
+    """VPU-bound floor BAND (ms_lower, ms_upper) for a frame of n_px output
+    pixels, given the census per-pixel counts and chip-measured element
+    rates: `fma_elems_per_s` from a fused a*b+c chain slope (one chain step
+    = one FMA = TWO census element-ops) and `explog_pair_elems_per_s` from
+    an exp(log(x)*k) chain slope (one PAIR = one exp + one log).
+
+    The band brackets the unknowable FMA pairing: `lower` assumes every
+    census mul/add pairs into an FMA (2 ops per anchor step — the floor a
+    perfect scheduler could reach), `upper` assumes none do (1 op per
+    step). A kernel measuring inside or below the band is at the floor for
+    its arithmetic; above `upper`, the gap is real harvestable time."""
     trans_s = (census["per_px_transcendental"] * n_px / 2.0
                / explog_pair_elems_per_s)
-    return (cheap_s + trans_s) * 1e3
+    cheap = census["per_px_cheap"] * n_px
+    lower = (cheap / 2.0 / fma_elems_per_s + trans_s) * 1e3
+    upper = (cheap / fma_elems_per_s + trans_s) * 1e3
+    return lower, upper
 
 
 __all__ += ["vpu_pass_census", "vpu_floor_ms"]

@@ -189,10 +189,11 @@ def _transform_impl(src, cfa_tile, *, width, height, topleft, topright, bottomle
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "topleft", "topright", "bottomleft",
-    "nwidth", "nheight", "components", "cfa_key", "out_dtype", "planar"))
+    "nwidth", "nheight", "components", "cfa_key", "out_dtype", "planar",
+    "banded"))
 def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
                             bottomleft, nwidth, nheight, components, cfa_key,
-                            out_dtype, planar=False):
+                            out_dtype, planar=False, banded=None):
     """Axis-aligned specialization of the resampler (no rotation: every
     scale-down and crop path). Identical per-pixel semantics to
     _transform_impl, restructured for the TPU:
@@ -265,10 +266,42 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
     cx_d = jnp.asarray(center_x1.astype(_f32))
     cy_d = jnp.asarray(center_y1.astype(_f32))
 
-    # One-hot column selector [nw, W]; shifts of the padded row block give
-    # the kx offsets.
-    xs = jnp.arange(width, dtype=jnp.int32)
-    P = (xs[None, :] == from_x_d[:, None]).astype(f)
+    # Column selection formulation. Global: one-hot [nw, W] — every output
+    # column's dot spans the full source width, so MXU work is O(W) per
+    # output column regardless of the window. Banded: from_x is HOST data,
+    # so 128-column output blocks get STATIC source bands; selection runs
+    # block-local dots [C*nh, BAND] x [BAND, 128] — at near-full-size
+    # resizes (the fulldown path: 24MP -> 0.5-0.8x) that is 20-30x fewer
+    # MACs, and selection stays bit-exact (one-hot rows pick the same
+    # values; added zeros are exact in f32). `banded=None` auto-selects.
+    BLK = 128
+    if banded is None:
+        banded = nwidth > BLK
+    if banded:
+        nblocks = -(-nwidth // BLK)
+        fx_pad = np.concatenate(
+            [from_x1, np.full(nblocks * BLK - nwidth, width - 1, np.int32)])
+        blocks = fx_pad.reshape(nblocks, BLK)
+        band_starts = blocks.min(axis=1).astype(np.int64)
+        extent = int((blocks.max(axis=1) - band_starts).max()) + 1
+        BAND = min(-(-extent // 128) * 128, width)
+        # Worth it only when bands are meaningfully narrower than the
+        # source (the global form's single big dot schedules better when
+        # BAND ~ W; 3x keeps a real margin over the per-block overheads).
+        banded = BAND * 3 <= width and nblocks >= 2
+    if banded:
+        band_starts = np.minimum(band_starts, max(width - BAND, 0))
+        local = blocks - band_starts[:, None]                # [nb, BLK]
+        P_bands = jnp.asarray(
+            (np.arange(BAND)[None, None, :] == local[:, :, None])
+            .astype(np.float32))                             # [nb, BLK, BAND]
+        pad_w = max(0, int(band_starts.max()) + BAND + K_x - width)
+        band_starts = [int(s) for s in band_starts]
+        P = None
+    else:
+        xs = jnp.arange(width, dtype=jnp.int32)
+        P = (xs[None, :] == from_x_d[:, None]).astype(f)
+        pad_w = K_x
 
     nacc = nsum if cfa_mode else C
     sums0 = jnp.zeros((nacc, nheight, nwidth), f)
@@ -284,7 +317,7 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
 
         A = jnp.take(planes, y, axis=1)                   # [C, nh, W] row gather
         A = A.reshape(C * nheight, width)
-        A_pad = jnp.pad(A, ((0, 0), (0, K_x)))
+        A_pad = jnp.pad(A, ((0, 0), (0, pad_w)))
 
         def kx_body(kx, acc):
             sums, ccounts = acc
@@ -296,13 +329,24 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
             factor = jnp.where(factor < 0.0, 0.0, factor)
             w = jnp.where(valid_y[:, None] & valid_x[None, :], factor, 0.0)
 
-            A_shift = jax.lax.dynamic_slice(A_pad, (0, kx), (C * nheight, width))
             # HIGH = bf16x3 passes: the 3-way bf16 split of an f32 is exact,
             # and the other operand is 0/1, so selection stays bit-exact at
             # half the cost of HIGHEST.
-            sel = jax.lax.dot_general(
-                A_shift, P, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGH)         # [C*nh, nw]
+            if banded:
+                sels = []
+                for b, bs in enumerate(band_starts):
+                    A_sh = jax.lax.dynamic_slice(
+                        A_pad, (0, bs + kx), (C * nheight, BAND))
+                    sels.append(jax.lax.dot_general(
+                        A_sh, P_bands[b], (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGH))  # [C*nh, BLK]
+                sel = jnp.concatenate(sels, axis=1)[:, :nwidth]
+            else:
+                A_shift = jax.lax.dynamic_slice(
+                    A_pad, (0, kx), (C * nheight, width))
+                sel = jax.lax.dot_general(
+                    A_shift, P, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGH)     # [C*nh, nw]
             sel = sel.reshape(C, nheight, nwidth)
 
             if not cfa_mode:

@@ -51,6 +51,7 @@ def main():
 
     print(f"backend: {jax.default_backend()}", flush=True)
     small = "--small" in sys.argv
+    d_only = "--d-only" in sys.argv   # re-run the fulldown A/B alone
     H, W = (256, 384) if small else (4000, 6000)
     N = 3 * H * W
     x0 = jnp.asarray(np.random.default_rng(0)
@@ -66,15 +67,15 @@ def main():
 
     cnt = [0]
     res = {}
-    for k in (32, 128, 512):
+    for k in () if d_only else (32, 128, 512):
         def f(k=k):
             cnt[0] += 1
             return fma_chain(x0, jnp.float32(cnt[0] * 1e-9), k=k)
         res[k] = _slope_ms(f)
         print(f"A fma-chain K={k}: {res[k]:.3f} ms", flush=True)
     ks = sorted(res)
-    dk = ks[-1] - ks[0]
-    dms = res[ks[-1]] - res[ks[0]]
+    dk = ks[-1] - ks[0] if res else 0
+    dms = res[ks[-1]] - res[ks[0]] if res else 0.0
     if dms > 0:
         ops = N * dk * 2 / (dms * 1e-3)
         print(f"A achieved VPU f32: {ops/1e12:.2f} Tops/s "
@@ -90,14 +91,14 @@ def main():
         return acc
 
     res = {}
-    for k in (4, 16, 64):
+    for k in () if d_only else (4, 16, 64):
         def f(k=k):
             cnt[0] += 1
             return exp_chain(x0, jnp.float32(cnt[0] * 1e-9), k=k)
         res[k] = _slope_ms(f)
         print(f"B exp/log-chain K={k}: {res[k]:.3f} ms", flush=True)
     ks = sorted(res)
-    dms = res[ks[-1]] - res[ks[0]]
+    dms = res[ks[-1]] - res[ks[0]] if res else 0.0
     if dms > 0:
         per = dms / (ks[-1] - ks[0])
         print(f"B exp+log pair: {per:.4f} ms per pass over {N/1e6:.0f}M "
@@ -119,7 +120,7 @@ def main():
     plan = make_develop_plan(p, out_bits=8, numerics="direct")
     cmap, scal, spline, statics = plan_tables_device(plan)
     staged = jnp.asarray(stage_plane_np(plan, raw.data))
-    for sl in (1, 2, 3, 4):
+    for sl in () if d_only else (1, 2, 3, 4):
         t = _slope_ms(lambda sl=sl: _develop_pallas_jit(
             staged, cmap, scal, spline, interpret=False, stage_limit=sl,
             **statics))
@@ -156,6 +157,23 @@ def main():
         print(f"D split pieces: megakernel-full {t_full:.2f} ms + "
               f"resampler {t_rs:.2f} ms = {t_full + t_rs:.2f} ms "
               f"vs XLA fused {t_xla:.2f}", flush=True)
+
+        # Banded vs global column selection, interleaved (the round-5
+        # banded rewrite; bit-equality is pinned on CPU by
+        # test_banded_selection_bitexact_vs_global).
+        cfa_tile = jnp.zeros((48, 48), jnp.uint8)
+        kwb = dict(width=plan.width, height=plan.height, topleft=(0, 0),
+                   topright=(plan.width - 1, 0),
+                   bottomleft=(0, plan.height - 1),
+                   nwidth=planf.dem_w, nheight=planf.dem_h, components=4,
+                   cfa_key=None, out_dtype=jnp.float32, planar=True)
+        for rep in range(2):
+            tb = _slope_ms(lambda: sc._transform_aligned_impl(
+                rgbe, cfa_tile, banded=True, **kwb), iters=2)
+            tg = _slope_ms(lambda: sc._transform_aligned_impl(
+                rgbe, cfa_tile, banded=False, **kwb), iters=2)
+            print(f"D rep {rep}: banded {tb:.2f} ms vs global {tg:.2f} ms "
+                  f"({tg / max(tb, 1e-9):.2f}x)", flush=True)
     return 0
 
 

@@ -90,3 +90,52 @@ def test_srgb8_downscale_matches_oracle_quantized():
     # edge; allow 1 LSB there.
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
     assert (got != want).mean() < 0.02
+
+
+def test_banded_selection_bitexact_vs_global():
+    """The block-banded column selection (near-full-size resizes: static
+    per-output-block source bands -> block-local one-hot dots) must be
+    BIT-equal to the global one-hot form: both select the same values by
+    0/1 matmuls and added zeros are exact in f32. Covers downscale,
+    near-unit scale, a crop region, and CFA mode; forces both forms via
+    the `banded` static so the auto heuristic can't dodge the comparison."""
+    rng = np.random.default_rng(11)
+    cases = [
+        # (w, h, nw, nh, cfa_name)
+        (512, 40, 384, 30, None),     # near-unit downscale (fulldown shape)
+        (640, 32, 160, 24, None),     # 4x downscale
+        (520, 36, 500, 30, None),     # ~1.0x
+        (512, 40, 384, 30, "RGGB"),   # CFA fused demosaic-downscale
+    ]
+    for (w, h, nw, nh, cfa_name) in cases:
+        C = 1 if cfa_name else 4
+        src = jnp.asarray(rng.random((C, h, w), dtype=np.float32))
+        cfa_tile, cfa_key = scaling._cfa_args(
+            CFA(cfa_name) if cfa_name else None)
+        kw = dict(width=w, height=h, topleft=(0, 0), topright=(w - 1, 0),
+                  bottomleft=(0, h - 1), nwidth=nw, nheight=nh,
+                  components=4, cfa_key=cfa_key, out_dtype=jnp.float32,
+                  planar=True)
+        got_banded = scaling._transform_aligned_impl(
+            src, cfa_tile, banded=True, **kw)
+        got_global = scaling._transform_aligned_impl(
+            src, cfa_tile, banded=False, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(got_banded), np.asarray(got_global),
+            err_msg=f"banded != global for {(w, h, nw, nh, cfa_name)}")
+
+
+def test_banded_selection_crop_region_bitexact():
+    """Crop geometry (topleft != origin): bands sit inside the source and
+    the padded tail never contributes."""
+    rng = np.random.default_rng(13)
+    w, h, nw, nh = 600, 30, 320, 20
+    src = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+    cfa_tile, cfa_key = scaling._cfa_args(None)
+    kw = dict(width=w, height=h, topleft=(100, 4), topright=(420, 4),
+              bottomleft=(100, 27), nwidth=nw, nheight=nh,
+              components=4, cfa_key=cfa_key, out_dtype=jnp.float32,
+              planar=True)
+    a = scaling._transform_aligned_impl(src, cfa_tile, banded=True, **kw)
+    b = scaling._transform_aligned_impl(src, cfa_tile, banded=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

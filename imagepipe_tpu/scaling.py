@@ -190,10 +190,11 @@ def _transform_impl(src, cfa_tile, *, width, height, topleft, topright, bottomle
 @partial(jax.jit, static_argnames=(
     "width", "height", "topleft", "topright", "bottomleft",
     "nwidth", "nheight", "components", "cfa_key", "out_dtype", "planar",
-    "banded"))
+    "banded", "unroll"))
 def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
                             bottomleft, nwidth, nheight, components, cfa_key,
-                            out_dtype, planar=False, banded=None):
+                            out_dtype, planar=False, banded=None,
+                            unroll=None):
     """Axis-aligned specialization of the resampler (no rotation: every
     scale-down and crop path). Identical per-pixel semantics to
     _transform_impl, restructured for the TPU:
@@ -302,6 +303,12 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
         xs = jnp.arange(width, dtype=jnp.int32)
         P = (xs[None, :] == from_x_d[:, None]).astype(f)
         pad_w = K_x
+    if unroll is None:
+        # Static unroll pays compile time per window step; worth it only
+        # for small windows (the fulldown/near-unit shapes) where it
+        # makes the banded slice offsets static. OFF pending a hardware
+        # win (flip by A/B, not by argument — see BASELINE.md round 5).
+        unroll = False
 
     nacc = nsum if cfa_mode else C
     sums0 = jnp.zeros((nacc, nheight, nwidth), f)
@@ -369,9 +376,28 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
                 new_counts.append(ccounts[c] + w * m)
             return jnp.stack(new_sums, 0), jnp.stack(new_counts, 0)
 
+        if unroll:
+            # Static unroll: kx becomes a compile-time constant, so the
+            # banded slice offsets are static and XLA can CSE the block
+            # slices and fuse dot+weight+accumulate across the window.
+            # Accumulation ORDER matches the fori form, but cross-iteration
+            # fusion moves FMA placement (the documented trap), so the
+            # contract vs the fori form is the cross-graph one (<=1 LSB
+            # after quantize), not f32 bit-equality.
+            acc = (sums, ccounts)
+            for kx in range(K_x):
+                acc = kx_body(kx, acc)
+            return acc
         return jax.lax.fori_loop(0, K_x, kx_body, (sums, ccounts))
 
-    sums, counts_cfa = jax.lax.fori_loop(0, K_y, ky_body, (sums0, counts_cfa0))
+    if unroll:
+        acc = (sums0, counts_cfa0)
+        for ky in range(K_y):
+            acc = ky_body(ky, acc)
+        sums, counts_cfa = acc
+    else:
+        sums, counts_cfa = jax.lax.fori_loop(
+            0, K_y, ky_body, (sums0, counts_cfa0))
 
     if cfa_mode:
         vals = sums

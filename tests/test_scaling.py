@@ -139,3 +139,31 @@ def test_banded_selection_crop_region_bitexact():
     a = scaling._transform_aligned_impl(src, cfa_tile, banded=True, **kw)
     b = scaling._transform_aligned_impl(src, cfa_tile, banded=False, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unrolled_window_cross_graph_contract():
+    """Static (ky,kx) unroll preserves the accumulation order in source, but
+    XLA's cross-iteration fusion moves FMA placement (CLAUDE.md trap), so the
+    contract vs the fori form is the documented cross-graph one: f32 within
+    tight rtol, and <=1 LSB with a small flip fraction after 8-bit quantize.
+    Both selection modes (banded/global) are exercised."""
+    rng = np.random.default_rng(17)
+    w, h, nw, nh = 512, 40, 384, 30
+    src = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+    cfa_tile, cfa_key = scaling._cfa_args(None)
+    kw = dict(width=w, height=h, topleft=(0, 0), topright=(w - 1, 0),
+              bottomleft=(0, h - 1), nwidth=nw, nheight=nh,
+              components=4, cfa_key=cfa_key, out_dtype=jnp.float32,
+              planar=True)
+    for banded in (True, False):
+        a = np.asarray(scaling._transform_aligned_impl(
+            src, cfa_tile, banded=banded, unroll=True, **kw))
+        b = np.asarray(scaling._transform_aligned_impl(
+            src, cfa_tile, banded=banded, unroll=False, **kw))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6,
+                                   err_msg=f"banded={banded}")
+        qa = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.int32)
+        qb = np.clip(b * 255.0 + 0.5, 0, 255).astype(np.int32)
+        diff = np.abs(qa - qb)
+        assert diff.max() <= 1, f"banded={banded}"
+        assert (diff != 0).mean() < 0.02, f"banded={banded}"

@@ -198,9 +198,11 @@ _TIFFEP_EXTS = (".erf", ".rwl", ".srw", ".mef", ".mos", ".kdc", ".dcr",
 
 def _decode_tiffep(path: str) -> Optional[RawImage]:
     """Generic TIFF-EP CFA fallback for TIFF-based raws without a
-    dedicated decoder (uncompressed flavors decode; vendor-compressed
-    payloads fail with the gap named). Leica RWL files are often plain
-    DNGs with a different extension, so try the DNG reader first."""
+    dedicated decoder (uncompressed flavors decode; lossless-JPEG strips
+    — compressed Mamiya MEF / Leaf MOS — decode through the lj92 codec;
+    other vendor-compressed payloads fail with the gap named). Leica RWL
+    files are often plain DNGs with a different extension, so try the
+    DNG reader first."""
     low = path.lower()
     if not low.endswith(_TIFFEP_EXTS):
         return None
@@ -435,6 +437,15 @@ def codec_family(path) -> str:
                     tf = TiffFile(buf)
                     if int(_raw_cfa_ifd(tf).get1(259, 1) or 1) == 32772:
                         return "srw-32772"
+                except Exception:
+                    pass
+            if ext in (".mef", ".mos"):
+                try:
+                    from .vendor import _raw_cfa_ifd
+
+                    tf = TiffFile(buf)
+                    if int(_raw_cfa_ifd(tf).get1(259, 1) or 1) == 7:
+                        return f"{ext[1:]}-lj92"
                 except Exception:
                     pass
             return f"tiffep-{ext[1:]}"

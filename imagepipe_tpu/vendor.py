@@ -1040,6 +1040,18 @@ def read_tiffep(path: str) -> RawImage:
             xyz_to_cam=xyz_to_cam_for(make, model),
             orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd),
             data=data, make=make, model=model)
+    if compression == 7:
+        # Lossless-JPEG strips: Mamiya MEF (ZD) and Leaf MOS compressed
+        # backs store standard ITU-T T.81 process-14 (SOF3) streams in
+        # their strips — the same public codec as LJ92 DNGs (lj92.py,
+        # with its native twin). rawloader reaches both through its
+        # shared LJPEG decompressor (mef.rs / mos.rs feed strips to it
+        # and copy rows out flat). RECALLED-SEMANTICS SURFACE: "the
+        # payload is plain SOF3 with components interleaved into
+        # consecutive columns" is the recalled claim, pending the
+        # realfile harness (docs/MIGRATION.md); the codec itself is
+        # spec-pinned and encoder-round-tripped.
+        return _read_tiffep_lj92(tf, ifd, make, model, width, height)
     if compression != 1:
         raise ValueError(
             f"TIFF-EP raw ({make} {model}): vendor-compressed payload "
@@ -1080,6 +1092,60 @@ def read_tiffep(path: str) -> RawImage:
             "neither 16-bit words nor a packed layout (vendor-compressed "
             "or truncated); convert to DNG")
     black, white = _vendor_levels(model, bits)
+    return RawImage(
+        width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+        blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+        wb_coeffs=(float("nan"),) * 4,
+        xyz_to_cam=xyz_to_cam_for(make, model),
+        orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd), data=data,
+        make=make, model=model)
+
+
+def _read_tiffep_lj92(tf, ifd, make, model, width, height) -> RawImage:
+    """TIFF-EP CFA raw with lossless-JPEG (SOF3) strips: the compressed
+    Mamiya MEF / Leaf MOS tier. Each strip is an independent T.81
+    process-14 stream; decoded samples fill the raster row-major with
+    components interleaved into consecutive columns (ljw*ncomp == strip
+    width for the 1/2/4-component CFA flavors), so any stream whose pixel
+    count matches the strip's rows*width lays out flat — rawloader's
+    mef.rs/mos.rs copy-out behavior. 3-component (YCbCr sRAW-style)
+    streams are refused: they are not a CFA raster.
+
+    Reference surface: /root/reference/src/pipeline.rs:264 (rawloader)."""
+    from .lj92 import decode as lj92_decode, sof_ncomp, sof_precision
+
+    offsets = ifd.get(T_STRIP_OFFSETS) or []
+    counts = ifd.get(T_STRIP_BYTECOUNTS) or []
+    if not offsets:
+        raise ValueError(f"TIFF-EP LJ92 ({make} {model}): no strips")
+    rps = int(ifd.get1(T_ROWS_PER_STRIP, height) or height)
+    nstrips = (height + rps - 1) // rps
+    if len(offsets) != nstrips:
+        raise ValueError(
+            f"TIFF-EP LJ92 ({make} {model}): {len(offsets)} strips for "
+            f"{nstrips} expected from RowsPerStrip {rps}")
+    data = np.empty((height, width), np.uint16)
+    prec = 16
+    for i, off in enumerate(offsets):
+        off = int(off)
+        cnt = int(counts[i]) if i < len(counts) else len(tf.buf) - off
+        tf._check(off, cnt, "TIFF-EP LJ92 strip")
+        payload = bytes(tf.buf[off:off + cnt])
+        if sof_ncomp(payload) == 3:
+            raise ValueError(
+                f"TIFF-EP LJ92 ({make} {model}): 3-component (YCbCr) "
+                "stream is not a CFA raster; only a dedicated sRAW-style "
+                "decoder could develop it")
+        prec = sof_precision(payload)
+        rows = min(rps, height - i * rps)
+        arr = lj92_decode(payload)
+        if arr.size != rows * width:
+            raise ValueError(
+                f"TIFF-EP LJ92 ({make} {model}): strip {i} decodes "
+                f"{arr.shape[0]}x{arr.shape[1]} = {arr.size} samples, "
+                f"expected {rows}x{width}")
+        data[i * rps:i * rps + rows] = arr.reshape(rows, width)
+    black, white = _vendor_levels(model, prec)
     return RawImage(
         width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
         blacklevels=(black,) * 4, whitelevels=(white,) * 4,

@@ -176,14 +176,16 @@ def _extend(v, ssss):
 
 
 def _decode_python(data: bytes) -> np.ndarray:
-    assert data[:2] == b"\xff\xd8", "not a JPEG stream"
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("lj92: not a JPEG stream")
     pos = 2
     precision = height = width = ncomp = 0
     huffs = {}
     comp_table = [0] * 4
     predictor, pt, restart = 1, 0, 0
     while pos + 4 <= len(data):
-        assert data[pos] == 0xFF
+        if data[pos] != 0xFF:
+            raise ValueError("lj92: marker desync (malformed stream)")
         marker = data[pos + 1]
         pos += 2
         seglen = (data[pos] << 8) | data[pos + 1]
@@ -476,7 +478,8 @@ def decode_sraw(data: bytes):
     huffs = {}
     comp_table = [0, 0, 0]
     while pos + 4 <= len(data):
-        assert data[pos] == 0xFF
+        if data[pos] != 0xFF:
+            raise ValueError("lj92: marker desync (malformed stream)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xFF:

@@ -304,11 +304,16 @@ def _transform_aligned_impl(src, cfa_tile, *, width, height, topleft, topright,
         P = (xs[None, :] == from_x_d[:, None]).astype(f)
         pad_w = K_x
     if unroll is None:
-        # Static unroll pays compile time per window step; worth it only
-        # for small windows (the fulldown/near-unit shapes) where it
-        # makes the banded slice offsets static. OFF pending a hardware
-        # win (flip by A/B, not by argument — see BASELINE.md round 5).
-        unroll = False
+        # Hardware-measured default (scripts/exp_r5_unroll.py, one v5e,
+        # 3 interleaved reps each): static unroll wins 1.50-1.53x at
+        # 24MP->0.79x and 1.35-1.43x at ->0.53x by making the banded
+        # slice offsets compile-time constants (XLA CSEs the block
+        # slices and fuses across window steps). Compile cost scales
+        # with K_y*K_x and very long unrolled chains hit the documented
+        # long-chain fusion pathology (BASELINE.md VPU-anchor note), so
+        # only small windows unroll; CPU keeps the fori form (golden-
+        # parity mode, the same backend split as the numerics default).
+        unroll = K_y * K_x <= 32 and jax.default_backend() != "cpu"
 
     nacc = nsum if cfa_mode else C
     sums0 = jnp.zeros((nacc, nheight, nwidth), f)

@@ -359,3 +359,64 @@ def test_tiffep_lj92_size_mismatch_fails_loud(tmp_path):
         f.write(b.bytes())
     with pytest.raises(ValueError, match="expected 18x32"):
         read_tiffep(path)
+
+
+def test_tiffep_lj92_truncated_and_corrupt_fail_loud(tmp_path):
+    """Container-level adversarial coverage for the MEF/MOS LJ92 tier:
+    truncated payloads, non-JPEG strips, and strip-count mismatches must
+    raise named ValueErrors, never crash or return a silent raster."""
+    from imagepipe_tpu.lj92 import encode as lj92_encode
+
+    data = _sensor(16, 32, seed=95, bits=12)
+    payload = lj92_encode(data, ncomp=2, precision=12)
+
+    def build(strips, rps=16, h=16):
+        b = TiffBuilder(">")
+        offs = [b.add_blob(s) for s in strips]
+        raw_ifd = b.add_ifd([
+            (256, 4, [32]), (257, 4, [h]), (258, 3, [12]),
+            (259, 3, [7]), (262, 3, [32803]),
+            (273, 4, offs), (278, 4, [rps]),
+            (279, 4, [len(s) for s in strips]),
+            (33421, 3, [2, 2]), (33422, 1, [0, 1, 1, 2]),
+        ], chain=False)
+        b.add_ifd([(271, 2, "Mamiya"), (272, 2, "ZD"),
+                   (330, 4, [raw_ifd])])
+        return b.bytes()
+
+    def write(blob, name):
+        path = str(tmp_path / name)
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+
+    # Truncated stream: the lj92 bit reader zero-fills past EOF (dcraw
+    # semantics) when the header survives, so either outcome is valid —
+    # a named error or a full-shape raster (garbage tail, never a crash
+    # or short buffer).
+    try:
+        raw = read_tiffep(write(build([payload[: len(payload) // 3]]),
+                                "t.mef"))
+        assert raw.data.shape == (16, 32)
+    except ValueError:
+        pass
+    # Garbage strip: not a JPEG stream at all -> named ValueError (a
+    # regression guard for the assert->raise fix: must hold under -O).
+    with pytest.raises(ValueError):
+        read_tiffep(write(build([b"\x00" * 256]), "g.mef"))
+    # Strip count disagrees with RowsPerStrip-derived count.
+    with pytest.raises(ValueError, match="strips"):
+        read_tiffep(write(build([payload, payload], rps=16), "n.mef"))
+    # Random byte-flip sweep over the scan body: any outcome is fine
+    # except a crash or a wrong-shape return.
+    rng = np.random.default_rng(96)
+    for trial in range(40):
+        mut = bytearray(payload)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(40, len(mut)))] = int(rng.integers(256))
+        path = write(build([bytes(mut)]), f"m{trial}.mef")
+        try:
+            raw = read_tiffep(path)
+            assert raw.data.shape == (16, 32)
+        except ValueError:
+            pass

@@ -70,6 +70,7 @@ SECTION_ORDER = [
     "thumbnail",    # 24MP->1024px fused scaled-demosaic kernel + wall
     "xtrans",       # X-Trans 26MP megakernel + XLA
     "bigframe",     # 61MP 16-bit megakernel + banded XLA
+    "fulldown",     # 24MP near-full-size resize develop (banded+unrolled)
     "decoders",     # host-side vendor codec throughput (pure CPU)
     "edit",         # interactive edit->preview p50 + re-render slope
     "raster",       # raster slow-path roundtrip
@@ -84,6 +85,7 @@ SECTION_TIMEOUT_S = {
     "thumbnail": 2100,
     "xtrans": 2100,
     "bigframe": 2100,
+    "fulldown": 2100,
     "decoders": 900,
     "edit": 2100,
     "raster": 1200,
@@ -418,6 +420,32 @@ def section_bigframe():
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
 
+def section_fulldown():
+    from imagepipe_tpu import ImageSource, Pipeline
+    from imagepipe_tpu.engine import make_develop_plan, develop_fused
+    from imagepipe_tpu.raw import synthetic_bayer
+    from imagepipe_tpu.sources import staged_raw_plane
+
+    # Near-full-size resize develop (24MP -> 0.79x / 0.53x): the fulldown
+    # path the r5 banded+unrolled aligned resampler serves. The r4
+    # carve-out baseline was 152.5 / 72.1 ms (BASELINE.md); post-banding
+    # 59.3 / 31.0; post-unroll 42.1 / 26.3 in the A/B session
+    # (scripts/exp_r5_unroll.py) -- this section makes the shape
+    # driver-visible so regressions show up in BENCH artifacts.
+    raw = synthetic_bayer()
+    mp = raw.width * raw.height / 1e6
+    plane = staged_raw_plane(raw)
+    for maxw in (4800, 3200):
+        fp = Pipeline.new_from_source(ImageSource.from_raw(raw))
+        fp.globals.settings.maxwidth = maxw
+        fp.globals.settings.maxheight = maxw
+        fplan = make_develop_plan(fp, out_bits=8)
+        dt = _timed(lambda: develop_fused(fplan, plane), iters=4)
+        _emit({"metric": f"24MP fulldown develop ->{maxw}px (XLA fused)",
+               "value": round(mp / dt, 1), "unit": "source MP/s",
+               "vs_baseline": None})
+
+
 def section_raster():
     from imagepipe_tpu import ImageSource, Pipeline
 
@@ -586,6 +614,7 @@ SECTIONS = {
     "thumbnail": section_thumbnail,
     "xtrans": section_xtrans,
     "bigframe": section_bigframe,
+    "fulldown": section_fulldown,
     "decoders": section_decoders,
     "edit": section_edit,
     "raster": section_raster,

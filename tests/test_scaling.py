@@ -167,3 +167,27 @@ def test_unrolled_window_cross_graph_contract():
         diff = np.abs(qa - qb)
         assert diff.max() <= 1, f"banded={banded}"
         assert (diff != 0).mean() < 0.02, f"banded={banded}"
+
+
+def test_unrolled_window_cfa_mode_cross_graph_contract():
+    """Unroll in CFA mode (the scaled-demosaic route): same cross-graph
+    contract as the 4-channel case — tight f32 agreement, <=1 LSB with a
+    small flip fraction after 8-bit quantize."""
+    rng = np.random.default_rng(23)
+    w, h, nw, nh = 96, 72, 24, 18
+    plane = jnp.asarray(rng.random((1, h, w), dtype=np.float32))
+    cfa_tile, cfa_key = scaling._cfa_args(CFA("RGGB"))
+    kw = dict(width=w, height=h, topleft=(0, 0), topright=(w - 1, 0),
+              bottomleft=(0, h - 1), nwidth=nw, nheight=nh,
+              components=4, cfa_key=cfa_key, out_dtype=jnp.float32,
+              planar=True)
+    a = np.asarray(scaling._transform_aligned_impl(
+        plane, cfa_tile, unroll=True, **kw))
+    b = np.asarray(scaling._transform_aligned_impl(
+        plane, cfa_tile, unroll=False, **kw))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+    qa = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.int32)
+    qb = np.clip(b * 255.0 + 0.5, 0, 255).astype(np.int32)
+    diff = np.abs(qa - qb)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02

@@ -237,21 +237,24 @@ def _decode_known_unsupported(path: str) -> Optional[RawImage]:
             raise ValueError(
                 "CRW: Canon's CIFF container (pre-2004 bodies) is not "
                 "supported; convert to DNG")
-    elif low.endswith(".x3f"):
-        with open(path, "rb") as f:
-            head = f.read(4)
-        if head == b"FOVb":
-            raise ValueError(
-                "X3F: Sigma's Foveon format is not supported; convert "
-                "with Sigma Photo Pro or to DNG")
     return None
+
+
+def _decode_x3f(path: str) -> Optional[RawImage]:
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head != b"FOVb":
+        return None
+    from .x3f import read_x3f
+
+    return read_x3f(path)
 
 
 _RAW_DECODERS.extend([_decode_synraw, _decode_pgm16, _decode_dng,
                       _decode_nef, _decode_cr2, _decode_arw, _decode_raf,
                       _decode_orf, _decode_pef, _decode_rw2, _decode_mrw,
-                      _decode_iiq, _decode_srf, _decode_tiffep,
-                      _decode_known_unsupported])
+                      _decode_iiq, _decode_srf, _decode_x3f,
+                      _decode_tiffep, _decode_known_unsupported])
 
 
 def decode_file(path) -> ImageSource:
@@ -314,7 +317,13 @@ def codec_family(path) -> str:
         if head[6:14] == b"HEAPCCDR":
             return "crw-ciff-unsupported"
         if head[:4] == b"FOVb":
-            return "x3f-foveon-unsupported"
+            from .x3f import parse_x3f
+
+            with open(path, "rb") as f:
+                x = parse_x3f(f.read())
+            fmt = x.raw_section().format
+            return ("x3f-huffman" if fmt == 6
+                    else f"x3f-fmt{fmt}-unsupported")
         if head[:4] in (b"IIII", b"MMMM"):
             from .iiq import _parse_entries
 

@@ -793,8 +793,14 @@ def test_codec_family_labels(tmp_path):
             "cr3-crx-unsupported",
         put("c.crw", b"II\x1a\x00\x00\x00HEAPCCDR" + b"\0" * 64):
             "crw-ciff-unsupported",
-        put("c.x3f", b"FOVb" + b"\0" * 64): "x3f-foveon-unsupported",
+        put("c.x3f", b"FOVb" + b"\0" * 64): "unknown",  # unparseable FOVb
     }
+    from imagepipe_tpu.x3f import encode_x3f
+    x3f_img = np.stack([(_smooth(8, 12, seed=s) % 900).astype(np.uint16)
+                        for s in range(3)], axis=-1)
+    cases[put("s.x3f", encode_x3f(x3f_img))] = "x3f-huffman"
+    cases[put("m.x3f", encode_x3f(x3f_img, raw_format=30))] = \
+        "x3f-fmt30-unsupported"
     img12 = (_smooth(8, 28) % 3000 + 600).astype(np.uint16)
     from imagepipe_tpu.rw2 import encode_panasonic_v6 as _enc6
     cases[put("e.rw2", make_rw2(img12, payload=_enc6(

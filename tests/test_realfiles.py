@@ -61,6 +61,7 @@ _FAMILIES = [
     "mrw", "pgm",
     "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
     "srf", "3fr-compressed",
+    "cr2-sraw", "srw-32772", "mef-lj92", "mos-lj92", "x3f-huffman",
 ]
 # Families whose synthetic tests leave a named open question that ONLY
 # real bytes can settle.
@@ -81,6 +82,13 @@ _CONFIRMS = {
                       "vendor.py _olympus_calibration)",
     "3fr-compressed": "confirms the paired-column predictor + psv-11 "
                       "row-2 correction (hasselblad.py)",
+    "cr2-sraw": "confirms the sRAW YCbCr reconstruction constants "
+                "(vendor.py _SRAW_RGB)",
+    "srw-32772": "confirms the recalled block/length-op framing "
+                 "(samsung.py)",
+    "x3f-huffman": "confirms the table order + no-row-realignment "
+                   "recall, and rules the SD9/SD10 conditional u32 "
+                   "skip in or out (x3f.py provenance notes)",
 }
 _seen: dict = {}
 

@@ -886,9 +886,11 @@ def test_known_unsupported_formats_named(tmp_path):
     with pytest.raises(ValueError, match="CIFF"):
         decode_file(str(crw))
 
+    # X3F decodes natively now (test_x3f.py); a malformed Foveon file
+    # still fails with the container problem named, not a PIL error.
     x3f = tmp_path / "shot.x3f"
     x3f.write_bytes(b"FOVb" + b"\0" * 64)
-    with pytest.raises(ValueError, match="Foveon"):
+    with pytest.raises(ValueError, match="X3F"):
         decode_file(str(x3f))
 
     # IIQ decodes natively now (test_iiq.py); a malformed Phase One file

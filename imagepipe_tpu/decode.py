@@ -457,6 +457,18 @@ def codec_family(path) -> str:
                         return f"{ext[1:]}-lj92"
                 except Exception:
                     pass
+            if ext in (".kdc", ".dcr"):
+                try:
+                    from .vendor import _raw_cfa_ifd
+
+                    tf = TiffFile(buf)
+                    comp = int(_raw_cfa_ifd(tf).get1(259, 1) or 1)
+                    if comp == 65000:
+                        return f"{ext[1:]}-65000"
+                    if comp in (65001, 65002):
+                        return f"{ext[1:]}-{comp}-unsupported"
+                except Exception:
+                    pass
             return f"tiffep-{ext[1:]}"
         return "unknown"
     except Exception:

@@ -1040,6 +1040,36 @@ def read_tiffep(path: str) -> RawImage:
             xyz_to_cam=xyz_to_cam_for(make, model),
             orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd),
             data=data, make=make, model=model)
+    if compression == 65000 and "KODAK" in make.upper():
+        # Kodak DCR/KDC per-run DPCM (dcraw kodak_65000_load_raw
+        # semantics; see kodak.py for the algorithm + provenance notes).
+        from .kodak import decode_kodak65000
+
+        offsets = ifd.get(T_STRIP_OFFSETS) or []
+        counts = ifd.get(T_STRIP_BYTECOUNTS) or []
+        if len(offsets) != 1:
+            raise ValueError(
+                f"KDC/DCR 65000 ({model}): expected one strip, got "
+                f"{len(offsets)}")
+        off = int(offsets[0])
+        cnt = int(counts[0]) if counts else len(tf.buf) - off
+        tf._check(off, cnt, "KDC/DCR 65000 strip")
+        data = decode_kodak65000(bytes(tf.buf[off:off + cnt]),
+                                 width, height)
+        black, white = _vendor_levels(model, 12)
+        return RawImage(
+            width=width, height=height, cpp=1, crops=(0, 0, 0, 0),
+            blacklevels=(black,) * 4, whitelevels=(white,) * 4,
+            wb_coeffs=(float("nan"),) * 4,
+            xyz_to_cam=xyz_to_cam_for(make, model),
+            orientation=_orientation(tf), cfa=_cfa_from_ifd(ifd),
+            data=data, make=make, model=model)
+    if compression in (65001, 65002) and "KODAK" in make.upper():
+        raise ValueError(
+            f"KDC/DCR: Kodak compression {compression} "
+            f"({'YCbCr' if compression == 65001 else 'interpolated RGB'}) "
+            "is not supported (only the 65000 CFA scheme decodes); "
+            "convert to DNG")
     if compression == 7:
         # Lossless-JPEG strips: Mamiya MEF (ZD) and Leaf MOS compressed
         # backs store standard ITU-T T.81 process-14 (SOF3) streams in

@@ -62,6 +62,7 @@ _FAMILIES = [
     "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
     "srf", "3fr-compressed",
     "cr2-sraw", "srw-32772", "mef-lj92", "mos-lj92", "x3f-huffman",
+    "dcr-65000", "kdc-65000",
 ]
 # Families whose synthetic tests leave a named open question that ONLY
 # real bytes can settle.
@@ -89,6 +90,8 @@ _CONFIRMS = {
     "x3f-huffman": "confirms the table order + no-row-realignment "
                    "recall, and rules the SD9/SD10 conditional u32 "
                    "skip in or out (x3f.py provenance notes)",
+    "dcr-65000": "confirms the run framing + word-order recall "
+                 "(kodak.py provenance notes)",
 }
 _seen: dict = {}
 

@@ -426,6 +426,19 @@ def codec_family(path) -> str:
                     pass
             return "cr2-lj92"
         if ext in (".arw", ".sr2"):
+            try:
+                from .vendor import _make_model, _raw_cfa_ifd
+
+                tf = TiffFile(buf)
+                ifd = _raw_cfa_ifd(tf)
+                cnt = int((ifd.get(279) or [0])[0])
+                extent = 2 * int(ifd.get1(256, 0)) * int(ifd.get1(257, 0))
+                if (_make_model(tf)[1].strip().upper() == "DSLR-A100"
+                        and int(ifd.get1(259, 1) or 1) == 1
+                        and 0 < cnt < extent):
+                    return "arw-v1"
+            except Exception:
+                pass
             return "arw"
         if ext == ".srf":
             return "srf"

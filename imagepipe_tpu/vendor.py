@@ -574,8 +574,19 @@ def read_arw(path: str) -> RawImage:
         if data.shape[1] != width:
             data = data.reshape(height, width)
     elif compression == 1:
-        data = _read_strips(tf, ifd, height, width, bits,
-                            "le" if tf.endian == "<" else "be")
+        off, cnt = strip0()
+        if (cnt < width * height * 2
+                and model.strip().upper() == "DSLR-A100"):
+            # ARW v1: the A100 stamps compression 1 but the strip is the
+            # Huffman DPCM stream (dcraw sony_arw_load_raw; see arw1.py
+            # for the algorithm + provenance notes).
+            from .arw1 import decode_arw1
+
+            tf._check(off, cnt, "ARW1 raw strip")
+            data = decode_arw1(bytes(buf[off:off + cnt]), width, height)
+        else:
+            data = _read_strips(tf, ifd, height, width, bits,
+                                "le" if tf.endian == "<" else "be")
     else:
         raise ValueError(f"unsupported ARW compression {compression}")
 

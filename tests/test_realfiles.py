@@ -62,7 +62,7 @@ _FAMILIES = [
     "iiq-fmt3", "iiq-fmt5", "iiq-fmt8", "iiq-uncompressed",
     "srf", "3fr-compressed",
     "cr2-sraw", "srw-32772", "mef-lj92", "mos-lj92", "x3f-huffman",
-    "dcr-65000", "kdc-65000",
+    "dcr-65000", "kdc-65000", "arw-v1",
 ]
 # Families whose synthetic tests leave a named open question that ONLY
 # real bytes can settle.
@@ -92,6 +92,8 @@ _CONFIRMS = {
                    "skip in or out (x3f.py provenance notes)",
     "dcr-65000": "confirms the run framing + word-order recall "
                  "(kodak.py provenance notes)",
+    "arw-v1": "confirms the global-sum parity-striped traversal "
+              "(arw1.py; the code table itself is Kraft-verified)",
 }
 _seen: dict = {}
 

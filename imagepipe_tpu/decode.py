@@ -161,7 +161,10 @@ def _decode_pef(path: str) -> Optional[RawImage]:
 
 
 def _decode_rw2(path: str) -> Optional[RawImage]:
-    if not path.lower().endswith(".rw2"):
+    # .rwl = Leica-branded Panasonic bodies (same magic-85 container);
+    # non-Panasonic RWLs fail the tag check here and fall through to the
+    # DNG/TIFF-EP route below.
+    if not path.lower().endswith((".rw2", ".rwl")):
         return None
     from .rw2 import read_rw2
 
@@ -336,7 +339,7 @@ def codec_family(path) -> str:
         with open(path, "rb") as f:
             buf = f.read()
         ext = os.path.splitext(low)[1]
-        if ext == ".rw2":
+        if ext == ".rw2" or (ext == ".rwl" and buf[2:3] == b"\x55"):
             tf = TiffFile(buf, magics=(42, 85))
             ifd = tf.ifds[0]
             rf = int(ifd.get1(0x002D, 0) or 0)

@@ -487,3 +487,19 @@ def test_rw2_v6_develops_end_to_end(tmp_path):
     out = Pipeline.new_from_file(path).output_8bit()
     assert out.data.shape == (44, 110, 3)
     assert out.data.std() > 0
+
+
+def test_rwl_leica_rebadge_decodes(tmp_path):
+    # Leica RWL = the same magic-85 Panasonic container (rebadged
+    # bodies); the .rwl extension must route to the RW2 reader, and
+    # codec_family must classify the stream, not fall to TIFF-EP.
+    from imagepipe_tpu.decode import codec_family
+
+    img = _smooth(64, 224, seed=21)
+    path = str(tmp_path / "shot.rwl")
+    with open(path, "wb") as f:
+        f.write(make_rw2(img, model="D-LUX 7"))
+    assert codec_family(path) == "rw2-classic"
+    raw = decode_file(path).raw
+    np.testing.assert_array_equal(raw.data, img)
+    assert raw.model == "D-LUX 7"

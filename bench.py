@@ -608,6 +608,35 @@ def section_decoders():
     _emit_dec({"metric": "Sony SRF keystream decrypt (numpy, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
+    from imagepipe_tpu.kodak import decode_kodak65000, encode_kodak65000
+    k12 = np.minimum(smooth, 4095)
+    kblob = encode_kodak65000(k12)
+    dt = timed(lambda: decode_kodak65000(kblob, k12.shape[1], k12.shape[0]))
+    _emit_dec({"metric": "Kodak DCR/KDC 65000 decode (native, host)",
+           "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
+
+    from imagepipe_tpu.arw1 import decode_arw1, encode_arw1
+    ablob = encode_arw1(k12)
+    dt = timed(lambda: decode_arw1(ablob, k12.shape[1], k12.shape[0]))
+    _emit_dec({"metric": "Sony ARW1 (A100) decode (native, host)",
+           "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
+
+    from imagepipe_tpu import native as _natmod
+    from imagepipe_tpu.x3f import encode_x3f_raw_payload
+    from imagepipe_tpu.x3f import _decode_native as x3f_native
+    from imagepipe_tpu.x3f import _decode_python as x3f_python
+    x3 = np.stack([np.minimum(smooth >> 2, 1023)] * 3, axis=-1)
+    xblob = encode_x3f_raw_payload(x3)
+    x3f_dec = (x3f_native if _have
+               and hasattr(_natmod._lib, "x3f_huffman_decode")
+               else x3f_python)
+    # Pixel MP/s like the other lines; a Foveon pixel is THREE samples,
+    # so the per-sample rate is 3x this number.
+    dt = timed(lambda: x3f_dec(xblob, x3.shape[1], x3.shape[0]))
+    _emit_dec({"metric": "Sigma X3F Huffman raw decode (native, host)",
+           "value": round(mp / dt, 1), "unit": "MP/s",
+           "vs_baseline": None})
+
 
 SECTIONS = {
     "headline": section_headline,

@@ -409,8 +409,8 @@ def codec_family(path) -> str:
                       * (e.get1(257, 0) or 0))
             comp = int(ifd.get1(259, 1) or 1)
             fmt = int(ifd.get1(339, 1) or 1)   # SampleFormat 3 = float
-            base = {1: "dng-uncompressed", 7: "dng-lj92",
-                    8: "dng-deflate"}.get(comp, f"dng-comp{comp}")
+            base = {1: "dng-uncompressed", 7: "dng-lj92", 8: "dng-deflate",
+                    34892: "dng-lossy-jpeg"}.get(comp, f"dng-comp{comp}")
             spp = int(ifd.get1(277, 1) or 1)   # 3 = LinearRaw/demosaiced
             return (base + ("-float" if fmt == 3 else "")
                     + ("-linear" if spp == 3 else ""))

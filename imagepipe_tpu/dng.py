@@ -8,9 +8,11 @@ solid uncompressed-DNG path plus the pluggable decoder registry
 bitstreams unpack through the native host library (native/host_pack.cc).
 
 Reader surface: strips or tiles, Compression 1 (uncompressed), 7
-(lossless JPEG), or 8 (Deflate/ZIP per DNG 1.4 with TIFF Predictor
+(lossless JPEG), 8 (Deflate/ZIP per DNG 1.4 with TIFF Predictor
 1/2/3 -- the shape Adobe tools write for compressed integer and float/HDR
-DNGs), BitsPerSample 8/12/14/16 integer plus 16/32-bit float
+DNGs), or 34892 (DNG 1.4 lossy JPEG: 8-bit baseline JFIF per chunk on
+LinearRaw data -- the Lightroom "lossy DNG" shape, decoded through PIL's
+stock baseline-JPEG codec), BitsPerSample 8/12/14/16 integer plus 16/32-bit float
 payloads (SampleFormat 3), CFA (PhotometricInterpretation 32803), linear
 gray, or demosaiced LinearRaw at SamplesPerPixel 3 (the Lightroom
 "linear DNG" / HDR-merge shape — decodes to a cpp=3 RawImage that
@@ -94,10 +96,10 @@ def read_dng(path: str) -> RawImage:
     height = get(e, T_LENGTH)[0]
     bits = get(e, T_BITS, [16])[0]
     compression = get(e, T_COMPRESSION, [1])[0]
-    if compression not in (1, 7, 8):
+    if compression not in (1, 7, 8, 34892):
         raise ValueError(
             f"unsupported DNG compression {compression} "
-            "(uncompressed=1, lossless JPEG=7, Deflate=8)")
+            "(uncompressed=1, lossless JPEG=7, Deflate=8, lossy JPEG=34892)")
     spp = get(e, T_SAMPLES_PER_PIXEL, [1])[0]
     if spp not in (1, 3):
         raise ValueError(
@@ -116,6 +118,22 @@ def read_dng(path: str) -> RawImage:
         if bits not in (16, 32):
             raise ValueError(f"float DNG at {bits}-bit unsupported "
                              "(16/32 supported; fp24 is a known gap)")
+    if compression == 34892:
+        # DNG 1.4 lossy JPEG: standard 8-bit baseline JFIF streams per
+        # strip/tile (the Lightroom "lossy DNG" shape). The payload codec
+        # is stock libjpeg-compatible baseline JPEG — decoded through PIL,
+        # the same library class the reference stack links (rawloader
+        # defers lossy DNG to an ordinary JPEG decoder). No recalled
+        # constants: the container route + spec guards are the whole
+        # implementation surface.
+        if is_float:
+            raise ValueError("lossy-JPEG DNG with SampleFormat 3 is invalid")
+        if bits != 8:
+            raise ValueError(f"lossy-JPEG DNG must be 8-bit (got {bits})")
+        if get(e, T_PHOTOMETRIC, [1])[0] == 32803:
+            raise ValueError("lossy-JPEG DNG with CFA photometric is "
+                             "invalid (DNG 1.4 allows it only on "
+                             "LinearRaw data)")
 
     # TIFF Predictor (DNG 1.4 ships Deflate with horizontal differencing on
     # integers and the byte-planar floating-point predictor on floats; the
@@ -199,6 +217,30 @@ def read_dng(path: str) -> RawImage:
         vals = np.frombuffer(be.tobytes(), fmt).reshape(nrows, ncols)
         return vals.astype(np.float32)
 
+    def decode_lossy_jpeg(chunk, nrows, ncols, what):
+        from io import BytesIO
+
+        from PIL import Image
+
+        try:
+            im = Image.open(BytesIO(chunk.tobytes()))
+            im.load()
+        except Exception as ex:
+            raise ValueError(
+                f"corrupt lossy-JPEG stream in DNG {what}: {ex}") from ex
+        arr = np.asarray(im)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.dtype != np.uint8 or arr.shape[2] != spp:
+            raise ValueError(
+                f"lossy-JPEG DNG {what} decodes to {arr.dtype} "
+                f"x{arr.shape[2]} (expected uint8 x{spp})")
+        if arr.shape[0] != nrows or arr.shape[1] * spp != ncols:
+            raise ValueError(
+                f"lossy-JPEG DNG {what} is {arr.shape[1]}x{arr.shape[0]}, "
+                f"expected {ncols // spp}x{nrows}")
+        return arr.reshape(nrows, ncols).astype(np.uint16)
+
     def decode_chunk(chunk, nrows, ncols, what):
         if compression == 7:
             from .lj92 import decode as lj92_decode
@@ -206,6 +248,8 @@ def read_dng(path: str) -> RawImage:
             return lj92_decode(chunk.tobytes()).reshape(nrows, ncols)
         if compression == 8:
             return decode_deflated(chunk, nrows, ncols, what)
+        if compression == 34892:
+            return decode_lossy_jpeg(chunk, nrows, ncols, what)
         return decode_uncompressed(chunk, nrows * ncols).reshape(nrows, ncols)
 
     def decode_chunks(jobs):
@@ -358,14 +402,17 @@ def read_dng(path: str) -> RawImage:
 
 
 def write_dng(path: str, raw: RawImage, compression: int = 1,
-              predictor: int | None = None) -> None:
+              predictor: int | None = None, quality: int = 90) -> None:
     """compression: 1 = uncompressed, 7 = lossless JPEG (LJ92, 16-bit
-    integer), 8 = Deflate (DNG 1.4). Float32 payloads write SampleFormat 3
-    (the HDR-DNG shape). With Deflate, predictor defaults to the shape
-    Adobe tools emit: 2 (horizontal) for integers, 3 (floating-point
-    byte-planar) for floats; pass predictor=1 for plain inflate."""
+    integer), 8 = Deflate (DNG 1.4), 34892 = lossy JPEG (DNG 1.4: 8-bit
+    baseline JFIF on LinearRaw data — requires the raw payload to already
+    be 8-bit-ranged; `quality` applies only here). Float32 payloads write
+    SampleFormat 3 (the HDR-DNG shape). With Deflate, predictor defaults
+    to the shape Adobe tools emit: 2 (horizontal) for integers, 3
+    (floating-point byte-planar) for floats; pass predictor=1 for plain
+    inflate."""
     assert raw.cpp in (1, 3), "writer supports CFA/gray and LinearRaw"
-    assert compression in (1, 7, 8)
+    assert compression in (1, 7, 8, 34892)
     spp = raw.cpp
     is_float = np.asarray(raw.data).dtype == np.float32
     if is_float:
@@ -382,7 +429,24 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
     assert predictor in (1, 2, 3) and (predictor == 1 or compression == 8)
     assert (predictor != 2 or not is_float) and (predictor != 3 or is_float)
     is_cfa = raw.cfa.is_valid() and spp == 1
-    if compression == 7:
+    is_lossy = compression == 34892
+    if is_lossy:
+        # DNG 1.4 lossy JPEG: LinearRaw only, 8-bit payload.
+        assert not is_float and not is_cfa, \
+            "lossy-JPEG DNG writes LinearRaw integer data only"
+        assert data.max(initial=0) <= 255 and raw.whitelevels[0] <= 255, \
+            "lossy-JPEG DNG payload must be 8-bit-ranged"
+        from io import BytesIO
+
+        from PIL import Image
+
+        arr8 = data.reshape(raw.height, raw.width, spp).astype(np.uint8)
+        im = (Image.fromarray(arr8[:, :, 0], "L") if spp == 1
+              else Image.fromarray(arr8, "RGB"))
+        bio = BytesIO()
+        im.save(bio, "JPEG", quality=int(quality), subsampling=0)
+        payload = bio.getvalue()
+    elif compression == 7:
         from .lj92 import encode as lj92_encode
 
         # Interleaved components so each predicts from its own plane:
@@ -425,7 +489,7 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
     add(T_NEWSUBFILETYPE, 4, [0])
     add(T_WIDTH, 4, [raw.width])
     add(T_LENGTH, 4, [raw.height])
-    add(T_BITS, 3, [32 if is_float else 16])
+    add(T_BITS, 3, [8] * spp if is_lossy else [32 if is_float else 16])
     add(T_COMPRESSION, 3, [compression])
     if is_float:
         add(T_SAMPLE_FORMAT, 3, [3])

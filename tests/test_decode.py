@@ -992,3 +992,189 @@ def test_dng_linear_tiled_lj92(tmp_path):
         np.asarray(back.data).reshape(h, w, 3), img)
     assert back.blacklevels == (128, 130, 132, 0)
     assert codec_family(path) == "dng-lj92-linear"
+
+
+def test_dng_lossy_jpeg_reader_pins_pil(tmp_path):
+    """DNG 1.4 lossy JPEG (compression 34892, the Lightroom 'lossy DNG'
+    shape — rawloader hands the payload to a stock baseline-JPEG codec,
+    reference pipeline.rs:264): read_dng's output must equal PIL's own
+    decode of the embedded JFIF stream exactly (the codec IS PIL; the
+    container route is what this framework adds), and the end-to-end
+    error vs the pre-compression data stays small on smooth content."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from imagepipe_tpu.decode import codec_family
+    from imagepipe_tpu.raw import synthetic_linear
+    from imagepipe_tpu.tiff import TiffFile
+
+    raw = synthetic_linear(96, 64, seed=7, blacklevel=0, whitelevel=255)
+    raw.data = (np.asarray(raw.data) & 0xFF).astype(np.uint16)
+    path = str(tmp_path / "lossy.dng")
+    write_dng(path, raw, compression=34892, quality=95)
+    assert codec_family(path) == "dng-lossy-jpeg-linear"
+
+    back = read_dng(path)
+    assert back.cpp == 3 and back.whitelevels[0] == 255
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    tf = TiffFile(buf)
+    ifd = [e for e in tf.ifds if e.get(273)][0]
+    off, cnt = ifd.get(273)[0], ifd.get(279)[0]
+    pil = np.asarray(Image.open(BytesIO(buf[off:off + cnt])))
+    np.testing.assert_array_equal(
+        np.asarray(back.data).reshape(64, 96, 3), pil)
+
+    orig = np.asarray(raw.data).reshape(64, 96, 3).astype(int)
+    assert np.abs(pil.astype(int) - orig).mean() < 4.0
+
+
+def test_dng_lossy_jpeg_gray_and_pipeline(tmp_path):
+    """spp=1 gray lossy DNG round-trips through PIL's L mode; the spp=3
+    form develops end-to-end (LinearRaw cpp=3 path)."""
+    from imagepipe_tpu import simple_decode_8bit
+    from imagepipe_tpu.raw import CFA, Orientation, RawImage, synthetic_linear
+
+    h, w = 32, 48
+    rng = np.random.default_rng(5)
+    smooth = (np.linspace(16, 240, w)[None, :]
+              + rng.integers(0, 4, (h, w))).astype(np.uint16)
+    gray = RawImage(width=w, height=h, cpp=1, crops=(0, 0, 0, 0),
+                    blacklevels=(0,) * 4, whitelevels=(255,) * 4,
+                    wb_coeffs=(float("nan"),) * 4,
+                    xyz_to_cam=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1],
+                                         [0, 0, 0]], np.float32),
+                    orientation=Orientation.Normal, cfa=CFA(""), data=smooth)
+    pg = str(tmp_path / "gray.dng")
+    write_dng(pg, gray, compression=34892, quality=92)
+    back = read_dng(pg)
+    assert back.cpp == 1 and not back.cfa.is_valid()
+    assert np.abs(np.asarray(back.data).astype(int)
+                  - smooth.astype(int)).mean() < 4.0
+
+    raw = synthetic_linear(96, 64, seed=9, blacklevel=0, whitelevel=255)
+    raw.data = (np.asarray(raw.data) & 0xFF).astype(np.uint16)
+    p3 = str(tmp_path / "lossy3.dng")
+    write_dng(p3, raw, compression=34892)
+    out = simple_decode_8bit(p3)
+    assert (out.width, out.height) == (96, 64)
+
+
+def test_dng_lossy_jpeg_tiled(tmp_path):
+    """Tiled lossy DNG (the layout Adobe writes): per-tile JFIF streams
+    reassemble with ragged right/bottom crop; a tile whose JPEG dims
+    disagree with the tile grid fails loud."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from tests.tiffgen import TiffBuilder
+
+    h, w, tl, tw = 20, 24, 12, 16
+    rng = np.random.default_rng(44)
+    img = np.clip(np.linspace(0, 255, w)[None, :, None]
+                  + rng.integers(0, 6, (h, w, 3)), 0, 255).astype(np.uint8)
+
+    def jfif(tile):
+        bio = BytesIO()
+        Image.fromarray(tile, "RGB").save(bio, "JPEG", quality=95,
+                                          subsampling=0)
+        return bio.getvalue()
+
+    tiles, decoded = [], []
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((tl, tw, 3), np.uint8)
+            ys, xs = ty * tl, tx * tw
+            sub = img[ys:min(h, ys + tl), xs:min(w, xs + tw)]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            blob = jfif(tile)
+            tiles.append(blob)
+            decoded.append(np.asarray(Image.open(BytesIO(blob))))
+
+    def build(tile_blobs):
+        b = TiffBuilder("<")
+        offs = [b.add_blob(t) for t in tile_blobs]
+        b.add_ifd([
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]),
+            (259, 3, [34892]), (262, 3, [34892]), (277, 3, [3]),
+            (322, 4, [tw]), (323, 4, [tl]),
+            (324, 4, offs), (325, 4, [len(t) for t in tile_blobs]),
+            (50717, 4, [255]),
+        ])
+        return b.bytes()
+
+    path = str(tmp_path / "lossy_tiled.dng")
+    with open(path, "wb") as f:
+        f.write(build(tiles))
+    back = read_dng(path)
+    expect = np.zeros((2 * tl, 2 * tw, 3), np.uint16)
+    for ti, dec in enumerate(decoded):
+        ty, tx = divmod(ti, 2)
+        expect[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = dec
+    np.testing.assert_array_equal(
+        np.asarray(back.data).reshape(h, w, 3), expect[:h, :w])
+
+    # Wrong-size JPEG in a tile slot: fail loud, never silent-pad.
+    bad = tiles[:3] + [jfif(np.zeros((8, 8, 3), np.uint8))]
+    pbad = str(tmp_path / "badtile.dng")
+    with open(pbad, "wb") as f:
+        f.write(build(bad))
+    with pytest.raises(ValueError, match="lossy-JPEG"):
+        read_dng(pbad)
+
+
+def test_dng_lossy_jpeg_rejects(tmp_path):
+    """Spec guards: CFA photometric with 34892 invalid; truncated/garbage
+    JFIF streams raise named ValueErrors; LinearizationTable still maps
+    the 8-bit codes (the real Lightroom shape stores a tone LUT)."""
+    from imagepipe_tpu.raw import synthetic_linear
+
+    raw = synthetic_linear(48, 32, seed=2, blacklevel=0, whitelevel=255)
+    raw.data = (np.asarray(raw.data) & 0xFF).astype(np.uint16)
+    path = str(tmp_path / "lossy.dng")
+    write_dng(path, raw, compression=34892)
+    with open(path, "rb") as f:
+        base = bytearray(f.read())
+
+    def patch_short(blob, tag, short_value):
+        n = struct.unpack_from("<H", blob, 8)[0]
+        for i in range(n):
+            eo = 10 + 12 * i
+            if struct.unpack_from("<H", blob, eo)[0] == tag:
+                struct.pack_into("<H", blob, eo + 8, short_value)
+                return
+        raise AssertionError(f"tag {tag} not found")
+
+    bad = bytearray(base)
+    patch_short(bad, 262, 32803)     # CFA photometric
+    p = str(tmp_path / "cfa.dng")
+    with open(p, "wb") as f:
+        f.write(bad)
+    with pytest.raises(ValueError, match="CFA photometric"):
+        read_dng(p)
+
+    # Garbage payload: overwrite the strip with noise.
+    from imagepipe_tpu.tiff import TiffFile
+
+    tf = TiffFile(bytes(base))
+    ifd = [e for e in tf.ifds if e.get(273)][0]
+    off, cnt = ifd.get(273)[0], ifd.get(279)[0]
+    bad = bytearray(base)
+    bad[off:off + cnt] = bytes(cnt)
+    p = str(tmp_path / "garbage.dng")
+    with open(p, "wb") as f:
+        f.write(bad)
+    with pytest.raises(ValueError, match="corrupt lossy-JPEG"):
+        read_dng(p)
+
+    # Truncation sweep over the JFIF stream: named error, no crash.
+    for frac in (0.1, 0.5, 0.9):
+        bad = bytearray(base[: off + int(cnt * frac)])
+        p = str(tmp_path / f"trunc{frac}.dng")
+        with open(p, "wb") as f:
+            f.write(bad)
+        with pytest.raises(ValueError):
+            read_dng(p)

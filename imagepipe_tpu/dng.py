@@ -12,8 +12,10 @@ Reader surface: strips or tiles, Compression 1 (uncompressed), 7
 1/2/3 -- the shape Adobe tools write for compressed integer and float/HDR
 DNGs), or 34892 (DNG 1.4 lossy JPEG: 8-bit baseline JFIF per chunk on
 LinearRaw data -- the Lightroom "lossy DNG" shape, decoded through PIL's
-stock baseline-JPEG codec), BitsPerSample 8/12/14/16 integer plus 16/32-bit float
-payloads (SampleFormat 3), CFA (PhotometricInterpretation 32803), linear
+stock baseline-JPEG codec), BitsPerSample 8/12/14/16 integer plus
+16/24/32-bit float payloads (SampleFormat 3; fp24 is the DNG-1.4
+sign/7-bit-exponent/16-bit-mantissa layout at the standard bias 63),
+CFA (PhotometricInterpretation 32803), linear
 gray, or demosaiced LinearRaw at SamplesPerPixel 3 (the Lightroom
 "linear DNG" / HDR-merge shape — decodes to a cpp=3 RawImage that
 develops through the engine's rgb mode with no demosaic, exactly as
@@ -66,6 +68,61 @@ T_ACTIVE_AREA = 50829
 _ORIENTATION_TO_EXIF = {exif_to_orientation(k): k for k in range(1, 9)}
 
 
+def _fp24_to_f32(b3: np.ndarray) -> np.ndarray:
+    """DNG 1.4 24-bit float -> float32. Layout (DNG spec 1.4, 'Floating
+    Point Predictors' / BitsPerSample 24): 1 sign bit, 7 exponent bits at
+    the STANDARD bias 2^(7-1)-1 = 63 (same convention as fp16's 15 and
+    fp32's 127), 16 mantissa bits; `b3` is (n, 3) MSB-first bytes.
+    Exact: a 16-bit mantissa always fits fp32, and ldexp scaling is
+    exact, so float64 intermediate arithmetic introduces no rounding."""
+    b = b3.astype(np.uint32)
+    exp = (b[:, 0] & 0x7F).astype(np.int32)
+    frac = ((b[:, 1] << 8) | b[:, 2]).astype(np.int64)
+    # Normal: (1 + frac/2^16) * 2^(exp-63); denormal (exp 0): frac * 2^-78.
+    mag = np.where(exp == 0,
+                   np.ldexp(frac.astype(np.float64), -78),
+                   np.ldexp((frac + 0x10000).astype(np.float64), exp - 63 - 16))
+    special = exp == 0x7F
+    if special.any():
+        mag = np.where(special, np.where(frac == 0, np.inf, np.nan), mag)
+    sign = np.where(b[:, 0] & 0x80, -1.0, 1.0)
+    return (sign * mag).astype(np.float32)
+
+
+def _f32_to_fp24(vals: np.ndarray) -> np.ndarray:
+    """float32 -> DNG fp24 (n, 3) MSB-first bytes; mantissa truncates
+    (23 -> 16 bits), out-of-range exponents saturate to +-inf / flush to
+    the fp24 denormal range (to zero below it). The canonical encoder
+    for round-trip tests: every fp24 value round-trips bit-exact."""
+    u = np.ascontiguousarray(vals, np.float32).view(np.uint32).ravel()
+    sign = (u >> 31).astype(np.uint32)
+    exp32 = ((u >> 23) & 0xFF).astype(np.int32)
+    frac16 = ((u & 0x7FFFFF) >> 7).astype(np.int64)
+    e24 = exp32 - 127 + 63
+    # Specials first; then overflow->inf, normals, denormals, underflow->0.
+    is_special = exp32 == 0xFF
+    nan_frac = np.where((u & 0x7FFFFF) != 0,
+                        np.maximum(frac16, 1), 0)
+    # Denormalize: value = 2^(e24-...) -> frac = (2^16 + frac16) >> (1 - e24)
+    shift = np.clip(1 - e24, 0, 18)
+    den_frac = (frac16 + 0x10000) >> shift
+    exp_out = np.where(is_special, 0x7F,
+                       np.where(e24 >= 0x7F, 0x7F,
+                                np.where(e24 >= 1, e24, 0)))
+    frac_out = np.where(is_special, nan_frac,
+                        np.where(e24 >= 0x7F, 0,
+                                 np.where(e24 >= 1, frac16, den_frac)))
+    # f32 zero / tiny denormals (exp32 == 0) flush to fp24 zero.
+    zero = exp32 == 0
+    exp_out = np.where(zero, 0, exp_out)
+    frac_out = np.where(zero, 0, frac_out)
+    out = np.empty((u.size, 3), np.uint8)
+    out[:, 0] = ((sign << 7) | exp_out.astype(np.uint32)).astype(np.uint8)
+    out[:, 1] = (frac_out >> 8).astype(np.uint8)
+    out[:, 2] = (frac_out & 0xFF).astype(np.uint8)
+    return out
+
+
 def read_dng(path: str) -> RawImage:
     with open(path, "rb") as f:
         buf = f.read()
@@ -115,9 +172,9 @@ def read_dng(path: str) -> RawImage:
         if compression not in (1, 8):
             raise ValueError(f"float DNG with compression {compression} "
                              "unsupported (uncompressed or Deflate)")
-        if bits not in (16, 32):
+        if bits not in (16, 24, 32):
             raise ValueError(f"float DNG at {bits}-bit unsupported "
-                             "(16/32 supported; fp24 is a known gap)")
+                             "(16/24/32 supported)")
     if compression == 34892:
         # DNG 1.4 lossy JPEG: standard 8-bit baseline JFIF streams per
         # strip/tile (the Lightroom "lossy DNG" shape). The payload codec
@@ -155,9 +212,12 @@ def read_dng(path: str) -> RawImage:
     def decode_uncompressed(chunk, npix):
         if is_float:
             bsz = bits // 8
-            fmt = ("<" if endian == "<" else ">") + ("f4" if bits == 32 else "f2")
             if chunk.size < npix * bsz:
                 raise ValueError("truncated float DNG strip/tile")
+            if bits == 24:
+                b3 = np.asarray(chunk[: npix * 3]).reshape(npix, 3)
+                return _fp24_to_f32(b3[:, ::-1] if endian == "<" else b3)
+            fmt = ("<" if endian == "<" else ">") + ("f4" if bits == 32 else "f2")
             return np.frombuffer(chunk[: npix * bsz].tobytes(), fmt).astype(np.float32)
         if bits == 16:
             if chunk.size < npix * 2:
@@ -213,6 +273,8 @@ def read_dng(path: str) -> RawImage:
         acc = (np.cumsum(arr, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
         planes = acc.reshape(nrows, bsz, ncols)
         be = np.ascontiguousarray(np.moveaxis(planes, 1, 2))
+        if bits == 24:
+            return _fp24_to_f32(be.reshape(-1, 3)).reshape(nrows, ncols)
         fmt = ">f4" if bits == 32 else ">f2"
         vals = np.frombuffer(be.tobytes(), fmt).reshape(nrows, ncols)
         return vals.astype(np.float32)
@@ -401,18 +463,28 @@ def read_dng(path: str) -> RawImage:
 # ---------------------------------------------------------------------------
 
 
+def _float_payload(data: np.ndarray, float_bits: int) -> bytes:
+    """Uncompressed little-endian float sample bytes at 32 or 24 bits."""
+    if float_bits == 24:
+        return _f32_to_fp24(data)[:, ::-1].tobytes()
+    return data.astype("<f4").tobytes()
+
+
 def write_dng(path: str, raw: RawImage, compression: int = 1,
-              predictor: int | None = None, quality: int = 90) -> None:
+              predictor: int | None = None, quality: int = 90,
+              float_bits: int = 32) -> None:
     """compression: 1 = uncompressed, 7 = lossless JPEG (LJ92, 16-bit
     integer), 8 = Deflate (DNG 1.4), 34892 = lossy JPEG (DNG 1.4: 8-bit
     baseline JFIF on LinearRaw data — requires the raw payload to already
     be 8-bit-ranged; `quality` applies only here). Float32 payloads write
-    SampleFormat 3 (the HDR-DNG shape). With Deflate, predictor defaults
-    to the shape Adobe tools emit: 2 (horizontal) for integers, 3
-    (floating-point byte-planar) for floats; pass predictor=1 for plain
-    inflate."""
+    SampleFormat 3 (the HDR-DNG shape) at `float_bits` 32 or 24 (fp24
+    truncates the mantissa — values already on the fp24 grid round-trip
+    bit-exact). With Deflate, predictor defaults to the shape Adobe tools
+    emit: 2 (horizontal) for integers, 3 (floating-point byte-planar) for
+    floats; pass predictor=1 for plain inflate."""
     assert raw.cpp in (1, 3), "writer supports CFA/gray and LinearRaw"
     assert compression in (1, 7, 8, 34892)
+    assert float_bits in (24, 32)
     spp = raw.cpp
     is_float = np.asarray(raw.data).dtype == np.float32
     if is_float:
@@ -462,8 +534,12 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
         if predictor == 3:
             # TIFF TechNote 3 float predictor: per row, MSB-first byte
             # planes of the big-endian samples, then byte differencing.
-            be = data.astype(">f4").view(np.uint8).reshape(h, w, 4)
-            rowsb = np.moveaxis(be, 2, 1).reshape(h, 4 * w).astype(np.int16)
+            bsz = float_bits // 8
+            if float_bits == 24:
+                be = _f32_to_fp24(data).reshape(h, w, 3)
+            else:
+                be = data.astype(">f4").view(np.uint8).reshape(h, w, 4)
+            rowsb = np.moveaxis(be, 2, 1).reshape(h, bsz * w).astype(np.int16)
             rowsb[:, 1:] = (rowsb[:, 1:] - rowsb[:, :-1]) & 0xFF
             payload = zlib.compress(rowsb.astype(np.uint8).tobytes())
         elif predictor == 2:
@@ -473,11 +549,11 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
             d[:, spp:] = (d[:, spp:] - d[:, :-spp]) & 0xFFFF
             payload = zlib.compress(d.astype("<u2").tobytes())
         elif is_float:
-            payload = zlib.compress(data.astype("<f4").tobytes())
+            payload = zlib.compress(_float_payload(data, float_bits))
         else:
             payload = zlib.compress(data.astype("<u2").tobytes())
     elif is_float:
-        payload = data.astype("<f4").tobytes()
+        payload = _float_payload(data, float_bits)
     else:
         payload = data.astype("<u2").tobytes()
 
@@ -489,7 +565,8 @@ def write_dng(path: str, raw: RawImage, compression: int = 1,
     add(T_NEWSUBFILETYPE, 4, [0])
     add(T_WIDTH, 4, [raw.width])
     add(T_LENGTH, 4, [raw.height])
-    add(T_BITS, 3, [8] * spp if is_lossy else [32 if is_float else 16])
+    add(T_BITS, 3, [8] * spp if is_lossy
+        else [float_bits if is_float else 16])
     add(T_COMPRESSION, 3, [compression])
     if is_float:
         add(T_SAMPLE_FORMAT, 3, [3])

@@ -1178,3 +1178,59 @@ def test_dng_lossy_jpeg_rejects(tmp_path):
             f.write(bad)
         with pytest.raises(ValueError):
             read_dng(p)
+
+
+def test_dng_fp24_bitlevel_roundtrip():
+    """fp24 <-> f32 conversion: every finite fp24 bit pattern converts to
+    f32 and back bit-exactly (the 16-bit mantissa always fits f32, so the
+    mapping is injective); specials map to inf/nan; denormals are exact."""
+    from imagepipe_tpu.dng import _f32_to_fp24, _fp24_to_f32
+
+    rng = np.random.default_rng(17)
+    pats = rng.integers(0, 1 << 24, 20000, np.uint32)
+    # Pin the structured corners too: zeros, denormal min/max, normal
+    # min/max, +-inf.
+    pats = np.concatenate([pats, np.array(
+        [0, 0x800000, 1, 0xFFFF, 0x80FFFF, 0x010000, 0x7EFFFF,
+         0x7F0000, 0xFF0000], np.uint32)])
+    b3 = np.stack([(pats >> 16) & 0xFF, (pats >> 8) & 0xFF,
+                   pats & 0xFF], axis=-1).astype(np.uint8)
+    f = _fp24_to_f32(b3)
+    finite = np.isfinite(f)
+    assert np.isinf(f[np.where((pats & 0x7FFFFF) == 0x7F0000)]).all()
+    back = _f32_to_fp24(f[finite])
+    np.testing.assert_array_equal(back, b3[finite])
+    # Denormal spot value: pattern 0x000001 = 2^-78 exactly.
+    one = _fp24_to_f32(np.array([[0, 0, 1]], np.uint8))[0]
+    assert one == np.float32(2.0 ** -78)
+    # Normal spot value: exponent 63, frac 0 -> 1.0.
+    assert _fp24_to_f32(np.array([[63, 0, 0]], np.uint8))[0] == 1.0
+
+
+def test_dng_fp24_payloads(tmp_path):
+    """24-bit float DNG (the named former gap): uncompressed, Deflate
+    predictor 1, and the byte-planar float predictor 3 all round-trip
+    bit-exact for data already on the fp24 grid; fp32 input quantizes by
+    mantissa truncation."""
+    from imagepipe_tpu.dng import _f32_to_fp24, _fp24_to_f32
+    from imagepipe_tpu.raw import synthetic_linear
+
+    raw = synthetic_linear(48, 32, seed=8, blacklevel=0, whitelevel=1)
+    f32 = (np.asarray(raw.data, np.float32) / 65535.0).reshape(32, 48 * 3)
+    on_grid = _fp24_to_f32(_f32_to_fp24(f32)).reshape(32, 48 * 3)
+    raw.data = on_grid
+    for comp, pred in ((1, None), (8, 1), (8, None)):
+        path = str(tmp_path / f"fp24_{comp}_{pred}.dng")
+        write_dng(path, raw, compression=comp, predictor=pred,
+                  float_bits=24)
+        back = read_dng(path)
+        assert np.asarray(back.data).dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(back.data), on_grid)
+    # Truncation semantics: off-grid fp32 maps to the floor grid point.
+    offgrid = on_grid + np.float32(1e-7)
+    raw.data = offgrid
+    path = str(tmp_path / "fp24_trunc.dng")
+    write_dng(path, raw, compression=1, float_bits=24)
+    back = np.asarray(read_dng(path).data)
+    assert (back <= offgrid).all()
+    assert np.abs(back - offgrid).max() <= 2.0 ** -16

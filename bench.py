@@ -621,15 +621,10 @@ def section_decoders():
     _emit_dec({"metric": "Sony ARW1 (A100) decode (native, host)",
            "value": round(mp / dt, 1), "unit": "MP/s", "vs_baseline": None})
 
-    from imagepipe_tpu import native as _natmod
-    from imagepipe_tpu.x3f import encode_x3f_raw_payload
-    from imagepipe_tpu.x3f import _decode_native as x3f_native
-    from imagepipe_tpu.x3f import _decode_python as x3f_python
+    from imagepipe_tpu.x3f import encode_x3f_raw_payload, huffman_payload_decoder
     x3 = np.stack([np.minimum(smooth >> 2, 1023)] * 3, axis=-1)
     xblob = encode_x3f_raw_payload(x3)
-    x3f_dec = (x3f_native if _have
-               and hasattr(_natmod._lib, "x3f_huffman_decode")
-               else x3f_python)
+    x3f_dec = huffman_payload_decoder()
     # Pixel MP/s like the other lines; a Foveon pixel is THREE samples,
     # so the per-sample rate is 3x this number.
     dt = timed(lambda: x3f_dec(xblob, x3.shape[1], x3.shape[0]))

@@ -182,9 +182,8 @@ def read_dng(path: str) -> RawImage:
         # the same library class the reference stack links (rawloader
         # defers lossy DNG to an ordinary JPEG decoder). No recalled
         # constants: the container route + spec guards are the whole
-        # implementation surface.
-        if is_float:
-            raise ValueError("lossy-JPEG DNG with SampleFormat 3 is invalid")
+        # implementation surface. (SampleFormat 3 with 34892 is already
+        # rejected by the float-compression guard above.)
         if bits != 8:
             raise ValueError(f"lossy-JPEG DNG must be 8-bit (got {bits})")
         if get(e, T_PHOTOMETRIC, [1])[0] == 32803:

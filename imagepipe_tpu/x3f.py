@@ -215,11 +215,20 @@ def decode_x3f_raw(section: X3FImageSection) -> np.ndarray:
     if not (0 < section.columns <= 65535 and 0 < section.rows <= 65535):
         raise ValueError("X3F: implausible raw geometry "
                          f"{section.columns}x{section.rows}")
+    return huffman_payload_decoder()(section.data, section.columns,
+                                     section.rows)
+
+
+def huffman_payload_decoder():
+    """The format-6 payload decoder in use: native when the host library
+    exports it, else the python form (the single dispatch point — bench
+    and tests measure through this so they can't drift from the real
+    route)."""
     from . import native
 
     if native.have_native() and hasattr(native._lib, "x3f_huffman_decode"):
-        return _decode_native(section.data, section.columns, section.rows)
-    return _decode_python(section.data, section.columns, section.rows)
+        return _decode_native
+    return _decode_python
 
 
 def _decode_native(data: bytes, width: int, height: int) -> np.ndarray:
